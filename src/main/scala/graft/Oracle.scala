@@ -1,0 +1,236 @@
+package graft
+
+/** DuckDB oracle SQL for every hash-checked query in SparkEntry.queries.
+  *
+  * Each statement is the *semantic twin* of the Spark plan with the same
+  * key: identical column aliases (the driver sorts columns by name before
+  * hashing), identical total ordering, identical rounding, and — where
+  * doubles are aggregated — the identical DECIMAL(18,x) cast so both
+  * engines produce the exact same sums.
+  *
+  * Timestamps never appear raw in outputs: they are projected to epoch
+  * millis/micros (`unix_millis`/`unix_micros` in Spark = `epoch_ms`/
+  * `epoch_us` in DuckDB) because events.ts is ns-precision parquet and the
+  * two engines read it at different native precisions.
+  */
+object Oracle {
+  val sql: Map[String, String] = Map(
+
+    // ── Group A: CDC semantics on `events` ────────────────────────────
+    "cdc_op_classify" ->
+      """SELECT event_id, user_id,
+         CASE WHEN event_type = 'signup' THEN 'c'
+              WHEN event_type = 'error'  THEN 'd'
+              ELSE 'u' END AS op,
+         epoch_ms(ts) AS ts_ms, epoch_us(ts) AS ts_us, 'events' AS tbl
+         FROM events ORDER BY event_id""",
+
+    "cdc_latest_state" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+                round(value, 4) AS last_value, epoch_us(ts) AS last_ts_us
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+
+    "cdc_latest_state_del" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+                round(value, 4) AS last_value
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
+
+    "cdc_op_counts" ->
+      """SELECT CASE WHEN event_type = 'signup' THEN 'c'
+                     WHEN event_type = 'error'  THEN 'd'
+                     ELSE 'u' END AS op,
+                count(*) AS n_events, min(event_id) AS min_event_id,
+                max(event_id) AS max_event_id
+         FROM events GROUP BY 1 ORDER BY op""",
+
+    "cdc_key_routing" ->
+      """SELECT 'GraftNamespace.graft_keyspace.' || event_type AS topic,
+                count(*) AS n_records
+         FROM events GROUP BY 1 ORDER BY topic""",
+
+    "cdc_stream_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+                count(*) AS n_events,
+                round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""",
+
+    // ── Group B: relational core on the star schema ───────────────────
+    "scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                round(l_extendedprice * (1 - l_discount), 4) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.02 AND l_quantity < 25.0
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))) AS DOUBLE) AS sum_charge,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+                round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "join_broadcast" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         ORDER BY o_orderkey""",
+
+    "join_5way_revenue" ->
+      """SELECT n_name,
+                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+         FROM region
+           JOIN nation   ON n_regionkey = r_regionkey
+           JOIN customer ON c_nationkey = n_nationkey
+           JOIN orders   ON o_custkey = c_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "window_topk_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders)
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
+
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "agg_distinct" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+                count(DISTINCT c_nationkey) AS n_nations
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "agg_rollup" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+                coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nationkey,
+                count(*) AS n_customers,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_acctbal
+         FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+         ORDER BY mktsegment, nationkey""",
+
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+                coalesce(o_orderpriority, 'ALL') AS orderpriority,
+                count(*) AS n_orders,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_totalprice
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY orderstatus, orderpriority""",
+
+    "set_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_acctbal > 8000.0
+         ORDER BY c_custkey""",
+
+    "string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+                substring(p_name, 1, 8) AS name_prefix,
+                length(p_name) AS name_len,
+                concat_ws('|', p_brand, p_type) AS brand_type,
+                CAST(p_name LIKE '%red%' AS INTEGER) AS is_red
+         FROM part ORDER BY p_partkey""",
+
+    "date_funcs" ->
+      """SELECT o_orderkey,
+                year(o_orderdate) AS order_year,
+                month(o_orderdate) AS order_month,
+                epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+                date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+         FROM orders ORDER BY o_orderkey""",
+
+    "math_case_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice * l_tax, 4) AS tax_amount,
+                round(abs(l_discount - 0.05), 4) AS disc_dev,
+                CASE WHEN l_tax < 0.03 THEN 'low'
+                     WHEN l_tax < 0.06 THEN 'mid'
+                     ELSE 'high' END AS tax_bucket
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "json_extract" ->
+      """SELECT event_type, count(k) AS n,
+                round(CAST(sum(k) AS DOUBLE) / count(k), 4) AS avg_k
+         FROM (SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+
+    // ── Group C: LLM data-pipeline ops ────────────────────────────────
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+         FROM documents GROUP BY text ORDER BY doc_id""",
+
+    "dedup_exact_hash" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+         FROM documents GROUP BY sha256(text) ORDER BY doc_id""",
+
+    "text_tokenize_counts" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+
+    "text_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+                round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "embed_norms" ->
+      """SELECT label, count(*) AS n_vecs,
+                round(CAST(sum(CAST(sqrt(list_aggregate(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                      AS DECIMAL(18,8))) AS DOUBLE) / count(*), 4) AS avg_norm
+         FROM embeddings GROUP BY label ORDER BY label""",
+
+    "sim_topk_cosine" ->
+      """SELECT vec_id, round(cos_raw, 4) AS cos_sim FROM (
+           SELECT e.vec_id,
+             list_aggregate(list_transform(list_zip(e.embedding, p.probe_emb),
+               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(p.probe_emb,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos_raw
+           FROM embeddings e,
+                (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0) p
+           WHERE e.vec_id <> 0
+           ORDER BY cos_raw DESC, e.vec_id LIMIT 10)
+         ORDER BY vec_id"""
+  )
+}

@@ -1,13 +1,62 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cdc.{Changelog, Envelope, StreamingLatest}
+import graft.llm.{MinHash, TextOps, VectorOps}
+import graft.rel.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every key in `queries` is an implemented operator from SURVEY.md §2.2;
+  * every key with a SQL twin appears in `oracleSql` (= graft.Oracle.sql).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference tutorial's own question: current keyed state after the
+    * change stream (README.md:305-316) — latest-wins materialization. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Changelog.latestState(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Group A — CDC semantics on `events`
+    "cdc_op_classify"      -> ((s, d) => Changelog.opClassify(s, d)),
+    "cdc_latest_state"     -> ((s, d) => Changelog.latestState(s, d)),
+    "cdc_latest_state_del" -> ((s, d) => Changelog.latestStateWithDeletes(s, d)),
+    "cdc_op_counts"        -> ((s, d) => Changelog.opCounts(s, d)),
+    "cdc_key_routing"      -> ((s, d) => Changelog.keyRouting(s, d)),
+    "cdc_stream_tumbling"  -> ((s, d) => Changelog.streamTumbling(s, d)),
+    "cdc_stream_stateful"  -> ((s, d) => StreamingLatest.streamStateful(s, d)),
+    "cdc_envelope_build"   -> ((s, d) => Envelope.envelopeBuild(s, d)),
+    // Group B — relational core
+    "scan_filter_project"  -> ((s, d) => Relational.scanFilterProject(s, d)),
+    "agg_pricing_summary"  -> ((s, d) => Relational.aggPricingSummary(s, d)),
+    "join_broadcast"       -> ((s, d) => Relational.joinBroadcast(s, d)),
+    "join_5way_revenue"    -> ((s, d) => Relational.join5WayRevenue(s, d)),
+    "join_semi"            -> ((s, d) => Relational.joinSemi(s, d)),
+    "join_anti"            -> ((s, d) => Relational.joinAnti(s, d)),
+    "window_topk_group"    -> ((s, d) => Relational.windowTopkGroup(s, d)),
+    "window_running_sum"   -> ((s, d) => Relational.windowRunningSum(s, d)),
+    "sort_limit_topk"      -> ((s, d) => Relational.sortLimitTopk(s, d)),
+    "agg_distinct"         -> ((s, d) => Relational.aggDistinct(s, d)),
+    "agg_rollup"           -> ((s, d) => Relational.aggRollup(s, d)),
+    "agg_cube"             -> ((s, d) => Relational.aggCube(s, d)),
+    "set_ops"              -> ((s, d) => Relational.setOps(s, d)),
+    "string_funcs"         -> ((s, d) => Relational.stringFuncs(s, d)),
+    "date_funcs"           -> ((s, d) => Relational.dateFuncs(s, d)),
+    "math_case_funcs"      -> ((s, d) => Relational.mathCaseFuncs(s, d)),
+    "json_extract"         -> ((s, d) => Relational.jsonExtract(s, d)),
+    "agg_approx_distinct"  -> ((s, d) => Relational.aggApproxDistinct(s, d)),
+    // Group C — LLM data-pipeline ops
+    "dedup_exact"          -> ((s, d) => TextOps.dedupExact(s, d)),
+    "dedup_exact_hash"     -> ((s, d) => TextOps.dedupExactHash(s, d)),
+    "text_tokenize_counts" -> ((s, d) => TextOps.tokenizeCounts(s, d)),
+    "text_lang_stats"      -> ((s, d) => TextOps.langStats(s, d)),
+    "embed_norms"          -> ((s, d) => VectorOps.embedNorms(s, d)),
+    "sim_topk_cosine"      -> ((s, d) => VectorOps.simTopkCosine(s, d)),
+    "dedup_fuzzy_minhash"  -> ((s, d) => MinHash.fuzzyDedup(s, d))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracle.sql
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loaders for the driver test data (TESTDATA.md).
+  * All operators read via these; the path layout is `$sfDir/<name>.parquet`.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is ns-precision parquet (TIMESTAMP(NANOS)), which Spark 4
+    * rejects outright unless read as a raw long. The driver data is
+    * µs-aligned (verified: epoch_ns % 1000 == 0 for every row), so
+    * `ns div 1000` is an exact conversion to a Spark µs timestamp. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "supplier")
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,127 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** CDC-changelog semantics transplanted onto the `events` table (the
+  * change-stream surrogate; key = user_id, event time = ts, tie-break
+  * event_id).
+  *
+  * Reproduces the behaviors of the reference pipeline
+  * (kovid-r/scylladb-redpanda-cdc): op-code classification
+  * (README.md:166, rpk_topic_consume.json:4,52), latest-wins key
+  * semantics (scylladb_cql_statements.md:27-28), key/topic routing
+  * (connector.properties:6-7), and offset-addressed log ordering
+  * (rpk_topic_consume.json:6-55) — re-expressed as declarative Spark
+  * plans so Catalyst/Tungsten pick the physical strategy.
+  *
+  * Scale notes (100 TB north star):
+  *  - latest-wins is a single hash-shuffle on the key + per-partition
+  *    sort (window row_number); no driver-side state, no collect.
+  *  - op classification / routing are pure projections: fully
+  *    codegen'd, pushed past the parquet scan by Catalyst.
+  */
+object Changelog {
+
+  /** signup -> "c" (create), error -> "d" (delete), else "u" (update).
+    * Mirrors the Debezium op-code domain at rpk_topic_consume.json:4,52. */
+  def opCol(eventType: Column): Column =
+    when(eventType === "signup", "c")
+      .when(eventType === "error", "d")
+      .otherwise("u")
+
+  /** R13+R11: flat envelope projection — key cols, op code, event-time in
+    * ms and us (the reference's source.ts_ms / source.ts_us pair), table lit. */
+  def opClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        $"user_id",
+        opCol($"event_type").as("op"),
+        unix_millis($"ts").as("ts_ms"),
+        unix_micros($"ts").as("ts_us"),
+        lit("events").as("tbl"))
+      .orderBy($"event_id")
+  }
+
+  private def withLatestRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, sfDir).withColumn("rn", row_number().over(w))
+  }
+
+  /** R4/R5: latest-wins materialization — the "current state of orders"
+    * question the reference tutorial builds toward (README.md:305-316). */
+  def latestState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withLatestRank(spark, sfDir)
+      .filter($"rn" === 1)
+      .select(
+        $"user_id",
+        $"event_id".as("last_event_id"),
+        $"event_type".as("last_event_type"),
+        round($"value", 4).as("last_value"),
+        unix_micros($"ts").as("last_ts_us"))
+      .orderBy($"user_id")
+  }
+
+  /** R6: latest-wins where keys whose last op is a delete are dropped. */
+  def latestStateWithDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withLatestRank(spark, sfDir)
+      .filter($"rn" === 1 && opCol($"event_type") =!= "d")
+      .select(
+        $"user_id",
+        $"event_id".as("last_event_id"),
+        $"event_type".as("last_event_type"),
+        round($"value", 4).as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  /** R13/R17: events per op code with offset-surrogate (event_id) range. */
+  def opCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(opCol($"event_type").as("op"), $"event_id")
+      .groupBy($"op")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"event_id").as("min_event_id"),
+        max($"event_id").as("max_event_id"))
+      .orderBy($"op")
+  }
+
+  /** R10/R16: topic routing `<namespace>.<keyspace>.<type>` + record counts
+    * (connector.properties:6-7 naming scheme). */
+  def keyRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(concat_ws(".",
+        lit(Envelope.Namespace), lit(Envelope.Keyspace), $"event_type").as("topic"))
+      .groupBy($"topic")
+      .agg(count(lit(1)).as("n_records"))
+      .orderBy($"topic")
+  }
+
+  /** R7/R18 (batch shape): 1-hour tumbling window x event_type.
+    * Decimal-cast sums make the aggregate exact and order-insensitive, so
+    * the result is bit-stable across partition orderings (and matches the
+    * DuckDB oracle computing the same decimal sum). */
+  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum($"value".cast(DecimalType(18, 6))).cast(DoubleType), 4).as("sum_value"))
+      .select(
+        unix_millis($"w.start").as("bucket_ms"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"bucket_ms", $"event_type")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The Debezium-style change-event envelope — the reference's "row type"
+  * (rpk_topic_consume.json:3-4, README.md:224):
+  *
+  *   Key   = struct { pk columns }
+  *   Value = struct { source, before, after, op, ts_ms, transaction }
+  *
+  * Load-bearing semantics reproduced here (SURVEY.md §1.2):
+  *  1. Cell wrapping: non-key columns are `struct{value}` so that
+  *     null-struct ("column untouched") != struct-of-null ("set to NULL").
+  *  2. before = null (Scylla CDC has no pre-image, even for op="u" —
+  *     rpk_topic_consume.json:49-56).
+  *  3. after = null for deletes (op="d", README.md:166).
+  *  4. Dual event-time clocks: source.ts_ms (millis) + source.ts_us
+  *     (micros) are independent fields, not derivable from each other.
+  *  5. Connect-JSON serialization with an embedded schema half
+  *     (`{schema, payload}`, connect-standalone.properties:2-3): Spark's
+  *     to_json emits only the payload, so the constant schema half is
+  *     generated once from the StructType (R14).
+  */
+object Envelope {
+  val Namespace = "GraftNamespace"
+  val Keyspace  = "graft_keyspace"
+
+  /** Cell wrapper: `struct{value}` when the column was touched, null-struct
+    * otherwise (3-state null logic, SURVEY.md §1.2.1). */
+  def cell(c: Column, dt: DataType, touched: Column): Column = {
+    val cellType = StructType(Seq(StructField("value", dt, nullable = true)))
+    when(touched, struct(c.as("value"))).otherwise(lit(null).cast(cellType))
+  }
+
+  /** The `source` block (rpk_topic_consume.json:4): connector metadata +
+    * dual-precision event time. */
+  def sourceStruct(tableName: String, ts: Column): Column =
+    struct(
+      lit("1.0.0").as("version"),
+      lit("graft-spark-cdc").as("connector"),
+      lit(Namespace).as("name"),
+      unix_millis(ts).as("ts_ms"),
+      lit("false").as("snapshot"),
+      lit(Keyspace).as("db"),
+      lit(Keyspace).as("keyspace_name"),
+      lit(tableName).as("table_name"),
+      unix_micros(ts).as("ts_us"))
+
+  /** Full change-event build over an arbitrary keyed input:
+    * key struct, envelope struct, topic, offset. `op` must be one of
+    * c/u/d; for "d" the after-image is nulled (R6). */
+  def changeEvents(
+      df: DataFrame,
+      tableName: String,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      op: Column,
+      ts: Column,
+      offset: Column): DataFrame = {
+    val key = struct(keyCols.map(col): _*).as("key")
+    val afterType = StructType(
+      keyCols.map(k => StructField(k, df.schema(k).dataType, nullable = true)) ++
+        valueCols.map(v => StructField(v,
+          StructType(Seq(StructField("value", df.schema(v).dataType, nullable = true))),
+          nullable = true)))
+    val afterStruct = struct(
+      keyCols.map(col) ++
+        valueCols.map(v => struct(col(v).as("value")).as(v)): _*)
+    val after = when(op === "d", lit(null).cast(afterType)).otherwise(afterStruct)
+    val value = struct(
+      sourceStruct(tableName, ts).as("source"),
+      lit(null).cast(afterType).as("before"),   // no pre-image (SURVEY.md §1.2.2)
+      after.as("after"),
+      op.as("op"),
+      unix_millis(current_timestamp()).as("ts_ms"))
+    df.select(
+      key,
+      value.as("value"),
+      concat_ws(".", lit(Namespace), lit(Keyspace), lit(tableName)).as("topic"),
+      offset.as("offset"))
+  }
+
+  /** Kafka-Connect JSON schema for a Spark DataType — the constant `schema`
+    * half of the `{schema, payload}` records the JsonConverter emits when
+    * `schemas.enable=true` (connector.properties:3-4, README.md:186-204).
+    * Deterministic field order = StructType field order. */
+  def connectSchemaJson(dt: DataType, optional: Boolean = false,
+      name: Option[String] = None, field: Option[String] = None): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    }
+    val typ = dt match {
+      case _: StructType                 => "struct"
+      case IntegerType                   => "int32"
+      case LongType                      => "int64"
+      case StringType                    => "string"
+      case DoubleType                    => "float64"
+      case FloatType                     => "float"
+      case BooleanType                   => "boolean"
+      case ShortType                     => "int16"
+      case ByteType                      => "int8"
+      case BinaryType                    => "bytes"
+      case TimestampType                 => "int64"
+      case other => throw new IllegalArgumentException(s"no Connect mapping for $other")
+    }
+    val fields = dt match {
+      case st: StructType =>
+        Some(st.fields.map(f =>
+          connectSchemaJson(f.dataType, f.nullable, None, Some(f.name))).mkString("[", ",", "]"))
+      case _ => None
+    }
+    val parts = Seq(s""""type":"$typ"""") ++
+      fields.map(f => s""""fields":$f""") ++
+      Seq(s""""optional":$optional""") ++
+      name.map(n => s""""name":"${esc(n)}"""") ++
+      field.map(f => s""""field":"${esc(f)}"""")
+    parts.mkString("{", ",", "}")
+  }
+
+  /** Serialize change events as Connect-style `{schema, payload}` JSON
+    * strings (R14/R15): payload via to_json, schema as a literal column
+    * generated once from the value StructType. */
+  def toConnectJson(events: DataFrame, valueSchemaName: String): DataFrame = {
+    val valueType = events.schema("value").dataType.asInstanceOf[StructType]
+    val schemaLit = connectSchemaJson(valueType, optional = false, name = Some(valueSchemaName))
+    events.select(
+      to_json(col("key")).as("key_json"),
+      concat(lit(s"""{"schema":$schemaLit,"payload":"""),
+        to_json(col("value")), lit("}")).as("value_json"),
+      col("topic"), col("offset"))
+  }
+
+  /** The declared `cdc_envelope_build` query (no SQL oracle — JSON field
+    * order is engine-specific; driver records a rows-only check): envelope
+    * over `events` with user_id as key, Cell-wrapped non-key columns. */
+  def envelopeBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val built = changeEvents(
+      ev, tableName = "events",
+      keyCols = Seq("user_id"),
+      valueCols = Seq("event_type", "value"),
+      op = Changelog.opCol($"event_type"),
+      ts = $"ts",
+      offset = $"event_id")
+    built
+      .select(
+        to_json($"key").as("key_json"),
+        $"value.source.ts_us".as("ts_us"),
+        $"value.op".as("op"),
+        to_json($"value.after").as("after_json"),
+        $"value.before".isNull.cast("int").as("before_is_null"),
+        $"topic", $"offset")
+      .orderBy($"offset")
+  }
+}

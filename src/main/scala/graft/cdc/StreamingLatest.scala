@@ -1,0 +1,102 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming latest-wins materialization — the streaming heart
+  * of the reference pipeline (Kafka-Connect poll loop + offset tracking,
+  * connector.properties:2 / connect-standalone.properties:4-5) re-expressed
+  * as one streaming query:
+  *
+  *   file source (the CDC-log surrogate) -> watermark -> keyed
+  *   flatMapGroupsWithState (latest per key by (ts, event_id)) ->
+  *   foreachBatch append sink, with a checkpoint dir playing the role of
+  *   the Connect offsets file (R18).
+  *
+  * Scale notes: state is one small record per key, partitioned by the
+  * grouping key across executors; the watermark bounds how long late data
+  * can arrive, and eviction would hook GroupStateTimeout if keys were
+  * unbounded. No driver-side state.
+  */
+object StreamingLatest {
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class LatestRow(user_id: Long, last_event_id: Long, last_event_type: String,
+      last_value: Double, last_ts_us: Long)
+
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** Keep the max-(ts_us, event_id) record per key; emit the new latest on
+    * every update (OutputMode.Update). */
+  private def updateKey(userId: Long, it: Iterator[Ev],
+      state: GroupState[LatestRow]): Iterator[LatestRow] = {
+    var best = state.getOption.orNull
+    var changed = false
+    it.foreach { e =>
+      val us = tsMicros(e.ts)
+      if (best == null || us > best.last_ts_us ||
+          (us == best.last_ts_us && e.event_id > best.last_event_id)) {
+        best = LatestRow(userId, e.event_id, e.event_type, e.value, us)
+        changed = true
+      }
+    }
+    if (changed) { state.update(best); Iterator.single(best) } else Iterator.empty
+  }
+
+  /** `cdc_stream_stateful`: run the streaming query to completion over the
+    * events parquet (Trigger.AvailableNow) and return the final keyed
+    * state. Declared without a SQL oracle; StreamingSpec asserts
+    * equivalence with the batch `cdc_latest_state` (SIGMOD'18
+    * batch/streaming-equivalence argument, PAPERS.md). */
+  def streamStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val runDir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
+        "/root/repo/target/stream-tmp"))), "run")
+    val inDir   = s"$runDir/in"
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+
+    // The file stream source needs a directory; stage the changelog into
+    // one, split into several files so maxFilesPerTrigger=1 actually
+    // exercises incremental multi-batch state updates.
+    val batch = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    batch.repartition(4).write.mode("overwrite").parquet(inDir)
+
+    val updates = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withWatermark("ts", "1 hour")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateKey)
+
+    val q = updates.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[LatestRow], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    // Multiple micro-batches append successive per-key snapshots; reduce to
+    // the final one per key (same (ts_us, event_id) order as the state fn).
+    val w = Window.partitionBy($"user_id").orderBy($"last_ts_us".desc, $"last_event_id".desc)
+    spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"last_event_id", $"last_event_type",
+        round($"last_value", 4).as("last_value"), $"last_ts_us")
+      .orderBy($"user_id")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Vector/similarity operators over `embeddings` (64-dim float vectors).
+  *
+  * All arithmetic uses Spark's higher-order functions (`aggregate`,
+  * `zip_with`, `transform`) — codegen'd, no UDFs. Element-wise math is
+  * promoted to DOUBLE with a left-to-right fold so the oracle (DuckDB
+  * list_transform/list_aggregate, same fold order) reproduces the exact
+  * same IEEE sums.
+  *
+  * Scale notes: `sim_topk_cosine` is probe-vs-all — a broadcast of the
+  * single probe row against a linear scan, i.e. embarrassingly parallel
+  * with a global top-k (TakeOrderedAndProject) at the end. The all-pairs
+  * variant is deliberately out of scope (SURVEY.md §4); bucketed-LSH ANN
+  * lands with the MinHash family.
+  */
+object VectorOps {
+
+  /** Sum of squares of a float-array column, in DOUBLE. */
+  def sumSquares(arr: Column): Column =
+    aggregate(transform(arr, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(arr: Column): Column = sqrt(sumSquares(arr))
+
+  /** Dot product of two float-array columns, in DOUBLE. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** `embed_norms`: per-label vector count + average L2 norm. The per-row
+    * norm is deterministic (sequential fold); the group average goes
+    * through a DECIMAL(18,8) cast so merge order can't wobble it. */
+  def embedNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"label", l2Norm($"embedding").as("norm"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum($"norm".cast(DecimalType(18, 8))).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_norm"))
+      .orderBy($"label")
+  }
+
+  /** `sim_topk_cosine`: top-10 nearest neighbours of probe vec_id=0 by
+    * cosine. Probe is a 1-row broadcast; ranking is on the raw cosine
+    * (vec_id tie-break), output is rounded and re-sorted by vec_id so the
+    * result is hash-stable. */
+  def simTopkCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val probe = e.filter($"vec_id" === 0).select($"embedding".as("probe_emb"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(
+        $"vec_id",
+        (dot($"embedding", $"probe_emb") /
+          (l2Norm($"embedding") * l2Norm($"probe_emb"))).as("cos_raw"))
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(10)
+      .select($"vec_id", round($"cos_raw", 4).as("cos_sim"))
+      .orderBy($"vec_id")
+  }
+}

@@ -1,0 +1,286 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational core on the TPC-H-ish star schema (SURVEY.md §2.2 Group B).
+  *
+  * Determinism rules for hash-matching against the DuckDB oracle:
+  *  - every query ends in a total order (tie-broken by a unique key);
+  *  - double aggregations go through DECIMAL(18,4) casts so the sum is
+  *    exact and independent of partition/merge order (Spark's own
+  *    run-to-run reduce order over 32 threads would otherwise wobble the
+  *    last ulp) — the oracle SQL performs the identical decimal cast;
+  *  - averages are computed as exact decimal sum / count in DOUBLE.
+  *
+  * Scale notes: all joins are equi-joins planned by Catalyst (AQE picks
+  * broadcast vs sort-merge at runtime); only genuine dimension tables
+  * (region, nation, customer-filtered) get explicit broadcast hints.
+  * Filters/projections sit directly on the parquet scan (pushdown audited
+  * via explain in RelationalSpec).
+  */
+object Relational {
+
+  /** Exact, order-insensitive sum of a double column via decimal cast. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  /** Exact average: decimal sum / count, rounded to 4dp. */
+  private def davg(c: Column): Column = round(dsum(c) / count(lit(1)), 4)
+
+  /** `scan_filter_project`: shipdate-range filter + arithmetic projection;
+    * both the filter and the 5-column read schema reach the parquet scan. */
+  def scanFilterProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              $"l_shipdate" <  lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+              $"l_discount" >= 0.02 && $"l_quantity" < 25.0)
+      .select(
+        $"l_orderkey", $"l_linenumber", $"l_quantity",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** `agg_pricing_summary`: TPC-H Q1 shape — partial+final hash aggregate. */
+  def aggPricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(dsum($"l_quantity"), 4).as("sum_qty"),
+        round(dsum($"l_extendedprice"), 4).as("sum_base_price"),
+        round(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+        // 3-factor product carries 6 conceptual decimals: a DECIMAL(18,4)
+        // cast would sit exactly on rounding boundaries (engines disagree);
+        // DECIMAL(28,8) is unambiguous, and the exact sum needs no rounding.
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+          .cast(DecimalType(28, 8))).cast(DoubleType).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        round(sum($"l_discount".cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** `join_broadcast`: fact join small filtered dim — explicit broadcast
+    * hint keeps it shuffle-free on the orders side at any scale. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_name")
+    Tables.orders(spark, sfDir)
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_custkey", $"c_name", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** `join_5way_revenue`: TPC-H Q5 shape — region⋈nation⋈customer⋈orders⋈
+    * lineitem, revenue per nation in ASIA for orders in 1996. Dimension
+    * chain is broadcast; the orders⋈lineitem equi-join is left to AQE. */
+  def join5WayRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val region   = Tables.region(spark, sfDir).filter($"r_name" === "ASIA")
+    val nation   = Tables.nation(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    val orders   = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              $"o_orderdate" <  lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val dims = broadcast(
+      customer
+        .join(nation, $"c_nationkey" === $"n_nationkey")
+        .join(region, $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"n_name"))
+    orders
+      .join(dims, $"o_custkey" === $"c_custkey")
+      .join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"n_name")
+      .agg(round(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** `join_semi`: customers having at least one order (EXISTS). */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** `join_anti`: customers with no urgent orders (NOT EXISTS). The
+    * priority filter keeps the result non-trivial (every customer has
+    * *some* order in the test data). */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** `window_topk_group`: top-3 orders per customer by totalprice. */
+  def windowTopkGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"rk", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** `window_running_sum`: running revenue per customer over orderdate.
+    * Decimal accumulator: the running sum is exact, so prefix sums match
+    * the oracle bit-for-bit. */
+  def windowRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(
+        $"o_custkey", $"o_orderkey",
+        unix_millis($"o_orderdate".cast(TimestampType)).as("order_ms"),
+        round(sum($"o_totalprice".cast(DecimalType(18, 4))).over(w).cast(DoubleType), 4)
+          .as("running_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** `sort_limit_topk`: global top-10 orders — TakeOrderedAndProject, no
+    * full sort at scale. */
+  def sortLimitTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  /** `agg_distinct`: per-segment exact distinct counts. */
+  def aggDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct($"c_nationkey").as("n_nations"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** `agg_rollup`: acctbal stats by rollup(mktsegment, nationkey); subtotal
+    * rows are labeled 'ALL' so null semantics can't diverge between engines. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .rollup($"c_mktsegment", $"c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(dsum($"c_acctbal"), 4).as("sum_acctbal"))
+      .select(
+        coalesce($"c_mktsegment", lit("ALL")).as("mktsegment"),
+        coalesce($"c_nationkey".cast(StringType), lit("ALL")).as("nationkey"),
+        $"n_customers", $"sum_acctbal")
+      .orderBy($"mktsegment", $"nationkey")
+  }
+
+  /** `agg_cube`: order counts by cube(orderstatus, orderpriority). */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(dsum($"o_totalprice"), 4).as("sum_totalprice"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("orderstatus"),
+        coalesce($"o_orderpriority", lit("ALL")).as("orderpriority"),
+        $"n_orders", $"sum_totalprice")
+      .orderBy($"orderstatus", $"orderpriority")
+  }
+
+  /** `set_ops`: (BUILDING ∪ MACHINERY custkeys) ∖ big-spenders. Spark's
+    * union is bag semantics, so distinct() restores set semantics before
+    * the except. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val a   = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val b   = c.filter($"c_mktsegment" === "MACHINERY").select($"c_custkey")
+    val big = c.filter($"c_acctbal" > 8000.0).select($"c_custkey")
+    a.union(b).distinct().except(big).orderBy($"c_custkey")
+  }
+
+  /** `string_funcs`: upper/substring/length/concat_ws/like over part. */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("name_upper"),
+        substring($"p_name", 1, 8).as("name_prefix"),
+        length($"p_name").as("name_len"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        $"p_name".like("%red%").cast(IntegerType).as("is_red"))
+      .orderBy($"p_partkey")
+  }
+
+  /** `date_funcs`: calendar buckets + datediff vs a fixed date. */
+  def dateFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("order_year"),
+        month($"o_orderdate").as("order_month"),
+        unix_millis(date_trunc("month", $"o_orderdate")).as("month_start_ms"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")), $"o_orderdate").as("days_to_2002"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** `math_case_funcs`: round/abs arithmetic + CASE tax buckets. */
+  def mathCaseFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice" * $"l_tax", 4).as("tax_amount"),
+        round(abs($"l_discount" - 0.05), 4).as("disc_dev"),
+        when($"l_tax" < 0.03, "low").when($"l_tax" < 0.06, "mid").otherwise("high").as("tax_bucket"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** `json_extract`: pull `$.k` out of the JSON props column, avg per type.
+    * Integer sum keeps the average exact. */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_type", get_json_object($"props", "$.k").cast(IntegerType).as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count($"k").as("n"),
+        round(sum($"k").cast(DoubleType) / count($"k"), 4).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  /** `agg_approx_distinct`: HLL++ approximate distinct users per type (no
+    * SQL oracle — approximate; bounds are property-tested vs the exact
+    * count in RelationalSpec). */
+  def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", 0.01).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+}
