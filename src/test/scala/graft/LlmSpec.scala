@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{MinHash, TextOps, VectorOps}
+
+class LlmSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.Sf
+
+  test("dedup_exact output is a subset of input ids; hash variant agrees") {
+    val s = spark
+    import s.implicits._
+    val ded  = TextOps.dedupExact(spark, sf).collect()
+    val ids  = Tables.documents(spark, sf).select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ded.forall(r => ids.contains(r.getAs[Long]("doc_id"))))
+    assert(ded.map(_.getAs[Long]("n_dups")).sum == ids.size)
+    val viaHash = TextOps.dedupExactHash(spark, sf).collect()
+    assert(viaHash.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      ded.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("minhash finds all exact duplicates with estimated Jaccard 1.0") {
+    val s = spark
+    import s.implicits._
+    // plant exact dups: copy 5 docs with shifted ids
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val copies = docs.filter($"doc_id" < 5).withColumn("doc_id", $"doc_id" + 100000L)
+    val sigs = MinHash.signatures(docs.union(copies))
+    val b = MinHash.bands(sigs)
+    val a  = b.select($"doc_id".as("doc_a"), $"sig".as("sig_a"), $"band", $"band_hash")
+    val c  = b.select($"doc_id".as("doc_b"), $"sig".as("sig_b"), $"band", $"band_hash")
+    val pairs = a.join(c, Seq("band", "band_hash")).filter($"doc_a" < $"doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .select($"doc_a", $"doc_b", MinHash.estJaccard($"sig_a", $"sig_b").as("j"))
+      .filter($"doc_b" >= 100000L && $"doc_a" === $"doc_b" - 100000L)
+      .collect()
+    assert(pairs.length == 5, s"found ${pairs.length} of 5 planted dup pairs")
+    assert(pairs.forall(_.getAs[Double]("j") == 1.0))
+  }
+
+  test("estimated Jaccard of a signature with itself is 1") {
+    val s = spark
+    import s.implicits._
+    val sigs = MinHash.signatures(Tables.documents(spark, sf).limit(10))
+    val self = sigs.select(MinHash.estJaccard($"sig", $"sig").as("j")).collect()
+    assert(self.forall(_.getDouble(0) == 1.0))
+  }
+
+  test("shingles: k consecutive tokens, short docs fall back to whole text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(MinHash.shinglesCol($"text").as("sh")).collect()
+    assert(df(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(df(1).getSeq[String](0) == Seq("a b"))
+  }
+
+  test("cosine similarity of a vector with itself is 1; range is [-1,1]") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val probe = e.filter($"vec_id" === 0).select($"embedding".as("p"))
+    val self = e.filter($"vec_id" === 0).crossJoin(probe)
+      .select((VectorOps.dot($"embedding", $"p") /
+        (VectorOps.l2Norm($"embedding") * VectorOps.l2Norm($"p"))).as("c"))
+      .collect().head.getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-9)
+    val range = e.crossJoin(probe)
+      .select((VectorOps.dot($"embedding", $"p") /
+        (VectorOps.l2Norm($"embedding") * VectorOps.l2Norm($"p"))).as("c"))
+      .agg(min($"c"), max($"c")).collect().head
+    assert(range.getDouble(0) >= -1.0 - 1e-9 && range.getDouble(1) <= 1.0 + 1e-9)
+  }
+
+  test("sim_topk returns 10 rows excluding the probe, sorted by vec_id") {
+    val rows = VectorOps.simTopkCosine(spark, sf).collect()
+    assert(rows.length == 10)
+    val ids = rows.map(_.getAs[Long]("vec_id")).toSeq
+    assert(!ids.contains(0L))
+    assert(ids == ids.sorted)
+  }
+
+  test("tokenize counts: top token count equals a direct computation") {
+    val s = spark
+    import s.implicits._
+    val top = TextOps.tokenizeCounts(spark, sf).collect()
+    assert(top.length == 20)
+    val direct = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").count().orderBy($"count".desc, $"t").limit(1)
+      .collect().head
+    assert(top.head.getAs[String]("token") == direct.getAs[String]("t"))
+    assert(top.head.getAs[Long]("n") == direct.getAs[Long]("count"))
+    // descending with token tie-break
+    val ns = top.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
+  test("lang stats cover all docs") {
+    val df = TextOps.langStats(spark, sf)
+    val total = df.agg(sum("n_docs")).collect().head.getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+}

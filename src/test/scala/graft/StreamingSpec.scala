@@ -1,0 +1,19 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{Changelog, StreamingLatest}
+
+/** Streaming/batch equivalence (SURVEY.md §5.5): the stateful streaming
+  * latest-wins must converge to exactly the batch window result. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.Sf
+
+  test("cdc_stream_stateful final state equals batch cdc_latest_state") {
+    val streamRows = StreamingLatest.streamStateful(spark, sf).collect().toSeq
+    val batchRows  = Changelog.latestState(spark, sf).collect().toSeq
+    assert(streamRows.length == batchRows.length)
+    assert(streamRows == batchRows)
+  }
+}
