@@ -218,6 +218,71 @@ object Oracle {
                       AS DECIMAL(18,8))) AS DOUBLE) / count(*), 4) AS avg_norm
          FROM embeddings GROUP BY label ORDER BY label""",
 
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(string_split(text,' ')) - 2, 1)),
+             i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))) AS s
+           FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) AS jaccard
+         FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         HAVING round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) >= 0.5
+         ORDER BY doc_a, doc_b""",
+
+    "text_lang_id" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is'))) AS hits_en,
+             len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','que'))) AS hits_es,
+             len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))) AS hits_de,
+             len(list_filter(string_split(text,' '), t -> t IN ('le','la','de','et','est'))) AS hits_fr
+           FROM documents),
+         pred AS (
+           SELECT doc_id, lang,
+             CASE
+               WHEN hits_fr > hits_en AND hits_fr > hits_es AND hits_fr > hits_de THEN 'fr'
+               WHEN hits_de > hits_en AND hits_de > hits_es AND hits_de > hits_fr THEN 'de'
+               WHEN hits_es > hits_en AND hits_es > hits_de AND hits_es > hits_fr THEN 'es'
+               ELSE 'en' END AS predicted
+           FROM scored)
+         SELECT lang, predicted, count(*) AS n_docs
+         FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""",
+
+    "text_quality_score" ->
+      """SELECT doc_id,
+                len(string_split(text,' ')) AS n_tokens,
+                round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                      / len(string_split(text,' ')), 4) AS distinct_ratio,
+                round((CAST(length(text) AS DOUBLE) - len(string_split(text,' ')) + 1.0)
+                      / len(string_split(text,' ')), 4) AS avg_token_len,
+                round(CAST(len(list_filter(string_split(text,' '),
+                        t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+                      / len(string_split(text,' ')), 4) AS stopword_ratio,
+                round(0.4 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                             / len(string_split(text,' ')))
+                    + 0.3 * least(len(string_split(text,' ')) / 100.0, 1.0)
+                    + 0.3 * (1.0 - CAST(len(list_filter(string_split(text,' '),
+                               t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+                             / len(string_split(text,' '))), 4) AS quality
+         FROM documents ORDER BY doc_id""",
+
+    "text_token_regex" ->
+      """SELECT doc_id,
+                len(string_split(text,' ')) AS n_ws_tokens,
+                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_re_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "mm_binary_meta" ->
+      """SELECT doc_id AS media_id,
+                octet_length(encode(text)) AS byte_len,
+                md5(text) AS payload_md5,
+                hex(encode(substring(text, 1, 8))) AS header_hex,
+                source AS origin
+         FROM documents ORDER BY media_id""",
+
     "sim_topk_cosine" ->
       """SELECT vec_id, round(cos_raw, 4) AS cos_sim FROM (
            SELECT e.vec_id,

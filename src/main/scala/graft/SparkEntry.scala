@@ -2,7 +2,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.cdc.{Changelog, Envelope, StreamingLatest}
-import graft.llm.{MinHash, TextOps, VectorOps}
+import graft.llm.{EmbedLsh, MinHash, SimHash, TextOps, VectorOps}
+import graft.mm.MultiModal
 import graft.rel.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -53,7 +54,18 @@ object SparkEntry {
     "text_lang_stats"      -> ((s, d) => TextOps.langStats(s, d)),
     "embed_norms"          -> ((s, d) => VectorOps.embedNorms(s, d)),
     "sim_topk_cosine"      -> ((s, d) => VectorOps.simTopkCosine(s, d)),
-    "dedup_fuzzy_minhash"  -> ((s, d) => MinHash.fuzzyDedup(s, d))
+    "dedup_fuzzy_minhash"  -> ((s, d) => MinHash.fuzzyDedup(s, d)),
+    "dedup_ngram_jaccard"  -> ((s, d) => TextOps.ngramJaccard(s, d)),
+    "dedup_simhash"        -> ((s, d) => SimHash.dedupSimhash(s, d)),
+    "dedup_embed_cosine"   -> ((s, d) => EmbedLsh.dedupEmbedCosine(s, d)),
+    "sim_ann_lsh"          -> ((s, d) => EmbedLsh.simAnnLsh(s, d)),
+    "text_lang_id"         -> ((s, d) => TextOps.langId(s, d)),
+    "text_quality_score"   -> ((s, d) => TextOps.qualityScore(s, d)),
+    "text_token_regex"     -> ((s, d) => TextOps.tokenRegexCounts(s, d)),
+    "text_fingerprint"     -> ((s, d) => TextOps.fingerprint(s, d)),
+    // multimodal plumbing (binary payload + metadata; decode is a stub)
+    "mm_binary_meta"       -> ((s, d) => MultiModal.binaryMeta(s, d)),
+    "mm_decode_stub"       -> ((s, d) => MultiModal.decodeFeatures(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -52,6 +52,116 @@ object TextOps {
       .limit(20)
   }
 
+  /** `dedup_ngram_jaccard`: exact near-dup pairs by Jaccard over word
+    * 3-shingle sets, via an inverted-index self-join on shingles (docs
+    * only meet where they share a shingle — an equi-join, not a cross
+    * join). At 100 TB you would pre-filter candidates with the MinHash
+    * bands first; the verification math here is the exact counterpart. */
+  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, sfDir)
+      .select($"doc_id", MinHash.shinglesCol($"text").as("sh"))
+      .select($"doc_id", size($"sh").as("n"), explode($"sh").as("tok"))
+    val a = sh.select($"doc_id".as("doc_a"), $"n".as("na"), $"tok")
+    val b = sh.select($"doc_id".as("doc_b"), $"n".as("nb"), $"tok")
+    a.join(b, Seq("tok"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
+      .agg(count(lit(1)).as("inter"))
+      .select($"doc_a", $"doc_b",
+        round($"inter".cast(DoubleType) / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  /** `text_lang_id`: n-gram/stopword-list language heuristic — per-token
+    * hit counts against per-language stopword sets, argmax with an 'en'
+    * tie-break default, then a (label, predicted) confusion summary.
+    * (The synthetic corpus draws every language from one vocabulary, so
+    * the interesting part is the operator shape, not the accuracy.) */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val hits = StopwordSets.map { case (lang, words) =>
+      size(filter(toks, t => t.isin(words: _*))).as(s"hits_$lang")
+    }
+    val scored = Tables.documents(spark, sfDir)
+      .select(($"doc_id" +: $"lang" +: hits): _*)
+    val others = (l: String) => StopwordSets.map(_._1).filter(_ != l)
+    val predicted = StopwordSets.map(_._1).filter(_ != "en")
+      .foldLeft(lit("en")) { (acc, l) =>
+        val beatsAll = others(l).map(o => col(s"hits_$l") > col(s"hits_$o")).reduce(_ && _)
+        when(beatsAll, l).otherwise(acc)
+      }
+    scored.select($"doc_id", $"lang", predicted.as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** `text_quality_score`: per-document quality features — token count,
+    * vocabulary diversity, mean token length, stopword ratio — combined
+    * into a bounded score. Pure scalar expressions; identical arithmetic
+    * in the DuckDB oracle. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val en = StopwordSets.head._2
+    val base = Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      size(toks).cast(DoubleType).as("n_tokens"),
+      size(array_distinct(toks)).cast(DoubleType).as("n_distinct"),
+      length($"text").cast(DoubleType).as("n_chars"),
+      size(filter(toks, t => t.isin(en: _*))).cast(DoubleType).as("n_stop"))
+    base.select(
+      $"doc_id",
+      $"n_tokens".cast("long").as("n_tokens"),
+      round($"n_distinct" / $"n_tokens", 4).as("distinct_ratio"),
+      round(($"n_chars" - $"n_tokens" + 1.0) / $"n_tokens", 4).as("avg_token_len"),
+      round($"n_stop" / $"n_tokens", 4).as("stopword_ratio"),
+      round(
+        lit(0.4) * ($"n_distinct" / $"n_tokens") +
+        lit(0.3) * least($"n_tokens" / 100.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - $"n_stop" / $"n_tokens"), 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** `text_token_regex`: token counting two ways — whitespace split and a
+    * BPE-ish regex over word/number/symbol classes — per document. */
+  def tokenRegexCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+          .as("n_re_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): rolling windows
+    * of W consecutive shingle hashes, keep each window's minimum — a
+    * position-robust document sketch. Declared as `text_fingerprint`
+    * (stats per doc; no SQL oracle — xxhash64 is Spark-specific). */
+  val FingerprintWindow = 4
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = transform(MinHash.shinglesCol($"text"), s => xxhash64(s))
+    val minima = transform(
+      sequence(lit(0), greatest(size(hashes) - FingerprintWindow, lit(0))),
+      i => array_min(slice(hashes, i + 1, lit(FingerprintWindow))))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", array_distinct(minima).as("fps"))
+      .select($"doc_id", size($"fps").as("n_fingerprints"), array_min($"fps").as("min_fp"))
+      .orderBy($"doc_id")
+  }
+
   /** `text_lang_stats`: per-language doc count, avg chars, avg tokens.
     * Integer sums keep averages exact (no FP merge-order wobble). */
   def langStats(spark: SparkSession, sfDir: String): DataFrame = {
