@@ -60,6 +60,31 @@ object Oracle {
                 round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""",
 
+    "cdc_snapshot_union" ->
+      """SELECT user_id, event_id, 'r' AS op, 'true' AS snapshot, epoch_us(ts) AS ts_us
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events WHERE ts < TIMESTAMP '2024-01-15')
+         WHERE rn = 1
+         UNION ALL
+         SELECT user_id, event_id,
+                CASE WHEN event_type = 'signup' THEN 'c'
+                     WHEN event_type = 'error'  THEN 'd'
+                     ELSE 'u' END AS op,
+                'false' AS snapshot, epoch_us(ts) AS ts_us
+         FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+         ORDER BY event_id""",
+
+    "cdc_json_roundtrip" ->
+      """SELECT event_id,
+                CASE WHEN event_type = 'signup' THEN 'c'
+                     WHEN event_type = 'error'  THEN 'd'
+                     ELSE 'u' END AS op,
+                CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS user_id,
+                CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+                epoch_us(ts) AS ts_us
+         FROM events ORDER BY event_id""",
+
     // ── Group B: relational core on the star schema ───────────────────
     "scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

@@ -28,6 +28,8 @@ object SparkEntry {
     "cdc_stream_tumbling"  -> ((s, d) => Changelog.streamTumbling(s, d)),
     "cdc_stream_stateful"  -> ((s, d) => StreamingLatest.streamStateful(s, d)),
     "cdc_envelope_build"   -> ((s, d) => Envelope.envelopeBuild(s, d)),
+    "cdc_snapshot_union"   -> ((s, d) => Changelog.snapshotUnion(s, d)),
+    "cdc_json_roundtrip"   -> ((s, d) => Changelog.jsonRoundtrip(s, d)),
     // Group B — relational core
     "scan_filter_project"  -> ((s, d) => Relational.scanFilterProject(s, d)),
     "agg_pricing_summary"  -> ((s, d) => Relational.aggPricingSummary(s, d)),

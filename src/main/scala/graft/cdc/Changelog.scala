@@ -108,6 +108,48 @@ object Changelog {
       .orderBy($"topic")
   }
 
+  /** R8: snapshot-vs-stream phase distinction. The initial load is the
+    * latest state as of a cutoff (emitted with Debezium's snapshot-read
+    * op "r" and snapshot="true"); everything after the cutoff is the live
+    * change tail with real op codes and snapshot="false". */
+  def snapshotUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    val ev = Tables.events(spark, sfDir)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val snapshot = ev.filter($"ts" < cutoff)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_id", lit("r").as("op"),
+        lit("true").as("snapshot"), unix_micros($"ts").as("ts_us"))
+    val tail = ev.filter($"ts" >= cutoff)
+      .select($"user_id", $"event_id", opCol($"event_type").as("op"),
+        lit("false").as("snapshot"), unix_micros($"ts").as("ts_us"))
+    snapshot.union(tail).orderBy($"event_id")
+  }
+
+  /** R14+R15: full serialization round-trip — build the envelope, emit it
+    * as JSON, parse it back with an explicit schema (never inference), and
+    * project the payload fields. The oracle checks the round trip is the
+    * identity, including the after=null Cell semantics for deletes. */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val built = Envelope.changeEvents(
+      Tables.events(spark, sfDir), tableName = "events",
+      keyCols = Seq("user_id"), valueCols = Seq("event_type", "value"),
+      op = opCol($"event_type"), ts = $"ts", offset = $"event_id")
+    val valueType = built.schema("value").dataType
+    built
+      .select($"offset".as("event_id"), to_json($"value").as("vj"))
+      .select($"event_id", from_json($"vj", valueType).as("v"))
+      .select(
+        $"event_id",
+        $"v.op".as("op"),
+        $"v.after.user_id".as("user_id"),
+        $"v.after.value.value".as("value"),
+        $"v.source.ts_us".as("ts_us"))
+      .orderBy($"event_id")
+  }
+
   /** R7/R18 (batch shape): 1-hour tumbling window x event_type.
     * Decimal-cast sums make the aggregate exact and order-insensitive, so
     * the result is bit-stable across partition orderings (and matches the

@@ -68,7 +68,7 @@ object StreamingLatest {
     // exercises incremental multi-batch state updates.
     val batch = graft.Tables.events(spark, sfDir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-    batch.repartition(4).write.mode("overwrite").parquet(inDir)
+    batch.repartition(2).write.mode("overwrite").parquet(inDir)
 
     val updates = spark.readStream
       .schema(batch.schema)

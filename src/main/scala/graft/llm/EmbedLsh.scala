@@ -45,13 +45,17 @@ object EmbedLsh {
         .reduce(_ + _).as(s"t$t")
     }
 
+  /** (vec_id, table_id, bucket) — ids only: the banded rows that flow
+    * through the candidate join carry no vectors, so the 12-way explode
+    * and the shuffle stay narrow; vectors are joined back only for the
+    * (much smaller) verification step. */
   private def withBuckets(df: DataFrame): DataFrame = {
     val tables = (0 until NumTables).map { t =>
       struct(lit(t).as("table_id"), col(s"t$t").as("bucket"))
     }
     df.select((col("vec_id") +: col("embedding") +: bucketCols(col("embedding"))): _*)
-      .select(col("vec_id"), col("embedding"), explode(array(tables: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"),
         col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
   }
 
@@ -63,14 +67,22 @@ object EmbedLsh {
     * (probabilistic recall); property-tested instead. */
   def dedupEmbedCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val banded = withBuckets(Tables.embeddings(spark, sfDir))
-    val a = banded.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"table_id", $"bucket")
-    val b = banded.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"table_id", $"bucket")
-    a.join(b, Seq("table_id", "bucket"))
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val banded = withBuckets(emb)
+    val a = banded.select($"vec_id".as("vec_a"), $"table_id", $"bucket")
+    val b = banded.select($"vec_id".as("vec_b"), $"table_id", $"bucket")
+    val pairs = a.join(b, Seq("table_id", "bucket"))
       .filter($"vec_a" < $"vec_b")
-      .select($"vec_a", $"vec_b", $"emb_a", $"emb_b")
+      .select($"vec_a", $"vec_b")
       .dropDuplicates("vec_a", "vec_b")
-      .select($"vec_a", $"vec_b", cosine($"emb_a", $"emb_b").as("cos_raw"))
+    // vectors + precomputed norms join back only for verified candidates
+    val withNorm = emb.select($"vec_id", $"embedding",
+      VectorOps.l2Norm($"embedding").as("nrm"))
+    pairs
+      .join(withNorm.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"nrm".as("nrm_a")), "vec_a")
+      .join(withNorm.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"nrm".as("nrm_b")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        (VectorOps.dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b")).as("cos_raw"))
       .filter($"cos_raw" >= CosineThreshold)
       .select($"vec_a", $"vec_b", round($"cos_raw", 4).as("cos_sim"))
       .orderBy($"vec_a", $"vec_b")
@@ -81,13 +93,16 @@ object EmbedLsh {
     * exact cosine. The ANN counterpart of the exact `sim_topk_cosine`. */
   def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val banded = withBuckets(Tables.embeddings(spark, sfDir))
-    val probe = banded.filter($"vec_id" === 0)
-      .select($"embedding".as("probe_emb"), $"table_id", $"bucket")
-    banded.filter($"vec_id" =!= 0)
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val banded = withBuckets(emb)
+    val probe = banded.filter($"vec_id" === 0).select($"table_id", $"bucket")
+    val candidates = banded.filter($"vec_id" =!= 0)
       .join(broadcast(probe), Seq("table_id", "bucket"))
-      .select($"vec_id", $"embedding", $"probe_emb")
-      .dropDuplicates("vec_id")
+      .select($"vec_id").dropDuplicates("vec_id")
+    val probeEmb = emb.filter($"vec_id" === 0).select($"embedding".as("probe_emb"))
+    candidates
+      .join(emb, "vec_id")
+      .crossJoin(broadcast(probeEmb))
       .select($"vec_id", cosine($"embedding", $"probe_emb").as("cos_raw"))
       .orderBy($"cos_raw".desc, $"vec_id")
       .limit(10)

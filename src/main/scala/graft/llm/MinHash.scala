@@ -74,13 +74,19 @@ object MinHash {
   def fuzzyDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     val sigs = signatures(Tables.documents(spark, sfDir))
-    val b = bands(sigs)
-    val a = b.select($"doc_id".as("doc_a"), $"sig".as("sig_a"), $"band", $"band_hash")
-    val c = b.select($"doc_id".as("doc_b"), $"sig".as("sig_b"), $"band", $"band_hash")
-    a.join(c, Seq("band", "band_hash"))
+    // candidate generation on (doc_id, band, band_hash) only — the 32-long
+    // signature arrays do not ride through the band join's shuffle; they
+    // are joined back just for the verification of the (few) candidates.
+    val b = bands(sigs).select($"doc_id", $"band", $"band_hash")
+    val a = b.select($"doc_id".as("doc_a"), $"band", $"band_hash")
+    val c = b.select($"doc_id".as("doc_b"), $"band", $"band_hash")
+    val pairs = a.join(c, Seq("band", "band_hash"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"sig_a", $"sig_b")
+      .select($"doc_a", $"doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
       .select($"doc_a", $"doc_b",
         round(estJaccard($"sig_a", $"sig_b"), 4).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)

@@ -59,9 +59,15 @@ object TextOps {
     * bands first; the verification math here is the exact counterpart. */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
+    // join on 64-bit shingle hashes, not strings: the shuffled rows are
+    // (long, long, int) instead of carrying ~20-byte shingle text, and the
+    // join compares longs. xxhash64 collisions would perturb Jaccard by
+    // ~1/|shingles| with probability ~n²/2^64 — negligible and checked by
+    // the exact-string oracle at the correctness gate.
     val sh = Tables.documents(spark, sfDir)
       .select($"doc_id", MinHash.shinglesCol($"text").as("sh"))
-      .select($"doc_id", size($"sh").as("n"), explode($"sh").as("tok"))
+      .select($"doc_id", size($"sh").as("n"),
+        explode(transform($"sh", s => xxhash64(s))).as("tok"))
     val a = sh.select($"doc_id".as("doc_a"), $"n".as("na"), $"tok")
     val b = sh.select($"doc_id".as("doc_b"), $"n".as("nb"), $"tok")
     a.join(b, Seq("tok"))
