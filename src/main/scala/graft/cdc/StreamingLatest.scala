@@ -89,6 +89,15 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
+    // the returned DataFrame reads only outDir; drop the staged input and
+    // checkpoint so repeated runs don't accumulate temp state
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rmTree(_))
+      Files.deleteIfExists(p)
+    }
+    rmTree(Paths.get(inDir)); rmTree(Paths.get(ckptDir))
+
     // Multiple micro-batches append successive per-key snapshots; reduce to
     // the final one per key (same (ts_us, event_id) order as the state fn).
     val w = Window.partitionBy($"user_id").orderBy($"last_ts_us".desc, $"last_event_id".desc)

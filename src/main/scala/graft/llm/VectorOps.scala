@@ -22,17 +22,16 @@ import graft.Tables
   */
 object VectorOps {
 
-  /** Sum of squares of a float-array column, in DOUBLE. */
-  def sumSquares(arr: Column): Column =
-    aggregate(transform(arr, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sum of squares of a float-array column, in DOUBLE — backed by the
+    * codegen'd [[graft.functions.FloatVecDot]] (bit-identical to the
+    * higher-order `aggregate(transform(...))` formulation it replaced;
+    * see the numerics contract there). */
+  def sumSquares(arr: Column): Column = graft.functions.VecFunctions.vec_norm_sq(arr)
 
   def l2Norm(arr: Column): Column = sqrt(sumSquares(arr))
 
-  /** Dot product of two float-array columns, in DOUBLE. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two float-array columns, in DOUBLE (native codegen). */
+  def dot(a: Column, b: Column): Column = graft.functions.VecFunctions.vec_dot(a, b)
 
   /** `embed_norms`: per-label vector count + average L2 norm. The per-row
     * norm is deterministic (sequential fold); the group average goes
