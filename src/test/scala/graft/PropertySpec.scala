@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.Envelope
+import graft.llm.MinHash
+import graft.mm.MultiModal
+
+/** Property tests (SURVEY.md §5.3) — ScalaCheck generators with fixed
+  * seeds, evaluated over a handful of samples each (every sample runs a
+  * Spark job, so the sample count is deliberately small). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  // (event_id, user_id, ts_us, value)
+  private val eventsGen: Gen[List[(Long, Long, Long, Double)]] =
+    Gen.listOfN(60, for {
+      id <- Gen.choose(0L, 1000L)
+      uid <- Gen.choose(0L, 5L)
+      ts <- Gen.choose(1700000000000000L, 1700000001000000L)
+      v <- Gen.choose(0, 10000).map(_ / 100.0)
+    } yield (id, uid, ts, v)).map(_.distinctBy(_._1)) // unique event ids
+
+  test("property: latest-wins is permutation-invariant and duplication-idempotent") {
+    val s = spark
+    import s.implicits._
+    def latest(rows: Seq[(Long, Long, Long, Double)]) = {
+      val w = Window.partitionBy($"uid").orderBy($"ts".desc, $"id".desc)
+      rows.toDF("id", "uid", "ts", "v")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"uid", $"id", $"v").orderBy($"uid")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    samples(eventsGen, 4).foreach { rows =>
+      val base = latest(rows)
+      assert(latest(scala.util.Random.shuffle(rows)) == base, "permutation changed result")
+      assert(latest(rows ++ rows) == base, "duplication changed result")
+    }
+  }
+
+  test("property: estimated Jaccard is within [0,1], symmetric, and 1 on self") {
+    val s = spark
+    import s.implicits._
+    val textGen = Gen.listOfN(30,
+      Gen.oneOf("spark", "scan", "agg", "row", "key", "value", "the", "fast"))
+      .map(_.mkString(" "))
+    val texts = samples(Gen.listOfN(6, textGen), 2).flatten.distinct
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sigs = MinHash.signatures(docs)
+    val a = sigs.select($"doc_id".as("ida"), $"sig".as("sa"))
+    val b = sigs.select($"doc_id".as("idb"), $"sig".as("sb"))
+    val cross = a.crossJoin(b).select($"ida", $"idb",
+      MinHash.estJaccard($"sa", $"sb").as("jab"),
+      MinHash.estJaccard($"sb", $"sa").as("jba")).collect()
+    cross.foreach { r =>
+      val (jab, jba) = (r.getDouble(2), r.getDouble(3))
+      assert(jab >= 0.0 && jab <= 1.0)
+      assert(jab == jba, "estJaccard not symmetric")
+      if (r.getLong(0) == r.getLong(1)) assert(jab == 1.0)
+    }
+  }
+
+  test("property: Cell 3-state wrapper round-trips through to_json for arbitrary strings") {
+    val s = spark
+    import s.implicits._
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const(""),
+      Gen.const("""with"quote"""),
+      Gen.const("unié中"))
+    samples(Gen.listOfN(8, strGen), 3).foreach { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val out = df.select($"id",
+        to_json(Envelope.cell($"v", org.apache.spark.sql.types.StringType,
+          touched = lit(true))).as("j"),
+        $"v").collect()
+      out.foreach { r =>
+        val parsed = spark.range(1).select(
+          from_json(lit(r.getString(1)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("value",
+                org.apache.spark.sql.types.StringType)))).getField("value"))
+          .collect().head.getString(0)
+        assert(parsed == r.getString(2), s"round-trip broke for ${r.getString(2)}")
+      }
+    }
+  }
+
+  test("property: stub decoder is total and deterministic on arbitrary byte payloads") {
+    val byteGen = Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+    samples(byteGen, 20).foreach { bytes =>
+      val f1 = MultiModal.stubDecodeFrames(bytes)
+      val f2 = MultiModal.stubDecodeFrames(bytes)
+      assert(f1.n_frames == f2.n_frames && f1.checksum == f2.checksum)
+      assert(f1.n_frames == (bytes.length + MultiModal.FrameBytes - 1) / MultiModal.FrameBytes
+        || (bytes.isEmpty && f1.n_frames == 0))
+    }
+  }
+
+  test("property: Connect schema generator covers every field of arbitrary flat structs") {
+    import org.apache.spark.sql.types._
+    val fieldGen = for {
+      name <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      dt <- Gen.oneOf[DataType](IntegerType, LongType, StringType, DoubleType, BooleanType)
+    } yield StructField(name, dt)
+    samples(Gen.listOfN(5, fieldGen), 5).foreach { fields =>
+      val st = StructType(fields.distinctBy(_.name))
+      val js = Envelope.connectSchemaJson(st)
+      st.fields.foreach(f => assert(js.contains(s""""field":"${f.name}"""")))
+      assert(js.startsWith("""{"type":"struct""""))
+    }
+  }
+}

@@ -13,6 +13,7 @@ object SparkFixture {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
