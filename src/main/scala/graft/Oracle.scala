@@ -152,6 +152,26 @@ object Oracle {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_total
          FROM orders ORDER BY o_custkey, o_orderkey""",
 
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_totalprice, 1)  OVER w AS prev_price,
+                lead(o_totalprice, 1) OVER w AS next_price,
+                date_diff('day',
+                  CAST(lag(o_orderdate, 1) OVER w AS DATE),
+                  CAST(o_orderdate AS DATE)) AS days_since_prev
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+                coalesce(o_orderpriority, 'ALL') AS orderpriority,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY orderstatus, orderpriority""",
+
     "sort_limit_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",

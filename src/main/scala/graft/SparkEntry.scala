@@ -39,6 +39,8 @@ object SparkEntry {
     "join_anti"            -> ((s, d) => Relational.joinAnti(s, d)),
     "window_topk_group"    -> ((s, d) => Relational.windowTopkGroup(s, d)),
     "window_running_sum"   -> ((s, d) => Relational.windowRunningSum(s, d)),
+    "window_lag_lead"      -> ((s, d) => Relational.windowLagLead(s, d)),
+    "agg_grouping_sets"    -> ((s, d) => Relational.aggGroupingSets(s, d)),
     "sort_limit_topk"      -> ((s, d) => Relational.sortLimitTopk(s, d)),
     "agg_distinct"         -> ((s, d) => Relational.aggDistinct(s, d)),
     "agg_rollup"           -> ((s, d) => Relational.aggRollup(s, d)),

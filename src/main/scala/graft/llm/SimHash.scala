@@ -25,16 +25,20 @@ object SimHash {
   val ChunkBits: Int = Bits / Chunks
   val MaxHamming = 3
 
-  /** doc_id -> 64-bit simhash fingerprint. */
+  /** doc_id -> 64-bit simhash fingerprint. The ±1 vote sum is computed
+    * branch-free as `2*popcount_b - n` (bit b is set iff ones outnumber
+    * zeros): 64 unconditional `sum((h>>b)&1)` aggregates + one count,
+    * all in a single map-side-combined hash aggregate. */
   def fingerprints(docs: DataFrame): DataFrame = {
     val ex = docs
       .select(col("doc_id"), explode(MinHash.shinglesCol(col("text"))).as("s"))
       .withColumn("h", xxhash64(col("s")))
-    val votes = (0 until Bits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b"))
-    val agg = ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val ones = (0 until Bits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c$b"))
+    val agg = ex.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nsh"), ones: _*)
     val sim = (0 until Bits)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .map(b => when(col(s"c$b") * 2 > col("nsh"), lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     agg.select(col("doc_id"), sim.as("simhash"))
   }

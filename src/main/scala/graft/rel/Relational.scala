@@ -155,6 +155,36 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** `window_lag_lead`: per-customer order history with previous/next
+    * order prices and gap-days — lag/lead over the orderdate ordering. */
+  def windowLagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select(
+        $"o_custkey", $"o_orderkey",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        datediff($"o_orderdate".cast(TimestampType),
+          lag($"o_orderdate", 1).over(w).cast(TimestampType)).as("days_since_prev"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** `agg_grouping_sets`: explicit grouping sets — (status), (priority),
+    * and grand total, distinguishable via coalesced labels. */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY orderstatus, orderpriority""".stripMargin)
+  }
+
   /** `sort_limit_topk`: global top-10 orders — TakeOrderedAndProject, no
     * full sort at scale. */
   def sortLimitTopk(spark: SparkSession, sfDir: String): DataFrame = {
