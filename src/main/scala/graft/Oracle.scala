@@ -14,7 +14,26 @@ package graft
   * two engines read it at different native precisions.
   */
 object Oracle {
+  private val latestStateSql =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+              round(value, 4) AS last_value, epoch_us(ts) AS last_ts_us
+       FROM (SELECT *, row_number() OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1 ORDER BY user_id"""
+
+  private val tumblingSql =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+              count(*) AS n_events,
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type"""
+
   val sql: Map[String, String] = Map(
+    // Skew-safe and streaming twins share the oracle of their batch
+    // originals: the gate thereby checks salted ≡ windowed formulation
+    // and streaming ≡ batch through DuckDB.
+    "cdc_latest_state_salted" -> latestStateSql,
+    "cdc_stream_windowed"     -> tumblingSql,
 
     // ── Group A: CDC semantics on `events` ────────────────────────────
     "cdc_op_classify" ->
@@ -25,13 +44,7 @@ object Oracle {
          epoch_ms(ts) AS ts_ms, epoch_us(ts) AS ts_us, 'events' AS tbl
          FROM events ORDER BY event_id""",
 
-    "cdc_latest_state" ->
-      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
-                round(value, 4) AS last_value, epoch_us(ts) AS last_ts_us
-         FROM (SELECT *, row_number() OVER
-                 (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-               FROM events)
-         WHERE rn = 1 ORDER BY user_id""",
+    "cdc_latest_state" -> latestStateSql,
 
     "cdc_latest_state_del" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
@@ -54,11 +67,7 @@ object Oracle {
                 count(*) AS n_records
          FROM events GROUP BY 1 ORDER BY topic""",
 
-    "cdc_stream_tumbling" ->
-      """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
-                count(*) AS n_events,
-                round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""",
+    "cdc_stream_tumbling" -> tumblingSql,
 
     "cdc_snapshot_union" ->
       """SELECT user_id, event_id, 'r' AS op, 'true' AS snapshot, epoch_us(ts) AS ts_us

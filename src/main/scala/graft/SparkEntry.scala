@@ -30,6 +30,8 @@ object SparkEntry {
     "cdc_envelope_build"   -> ((s, d) => Envelope.envelopeBuild(s, d)),
     "cdc_snapshot_union"   -> ((s, d) => Changelog.snapshotUnion(s, d)),
     "cdc_json_roundtrip"   -> ((s, d) => Changelog.jsonRoundtrip(s, d)),
+    "cdc_latest_state_salted" -> ((s, d) => Changelog.latestStateSalted(s, d)),
+    "cdc_stream_windowed"  -> ((s, d) => StreamingLatest.streamWindowed(s, d)),
     // Group B — relational core
     "scan_filter_project"  -> ((s, d) => Relational.scanFilterProject(s, d)),
     "agg_pricing_summary"  -> ((s, d) => Relational.aggPricingSummary(s, d)),

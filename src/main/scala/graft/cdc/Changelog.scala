@@ -108,6 +108,31 @@ object Changelog {
       .orderBy($"topic")
   }
 
+  /** Skew-safe latest-wins (`cdc_latest_state_salted`): the same result
+    * as [[latestState]] via a salted two-phase argmax — partial max-struct
+    * per (key, salt) then final max per key. At 100 TB a hot key (one user
+    * with millions of events) would bottleneck a single reducer in the
+    * window formulation; salting spreads the partial reduction over
+    * `salts` reducers, and the struct ordering (ts_us, event_id leading)
+    * keeps the result byte-identical — it shares the oracle SQL of
+    * `cdc_latest_state`. */
+  def latestStateSalted(spark: SparkSession, sfDir: String, salts: Int = 32): DataFrame = {
+    import spark.implicits._
+    val rec = struct(
+      unix_micros($"ts").as("ts_us"), $"event_id", $"event_type", $"value")
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", rec.as("rec"), pmod($"event_id", lit(salts)).as("salt"))
+    ev.groupBy($"user_id", $"salt").agg(max($"rec").as("rec"))
+      .groupBy($"user_id").agg(max($"rec").as("rec"))
+      .select(
+        $"user_id",
+        $"rec.event_id".as("last_event_id"),
+        $"rec.event_type".as("last_event_type"),
+        round($"rec.value", 4).as("last_value"),
+        $"rec.ts_us".as("last_ts_us"))
+      .orderBy($"user_id")
+  }
+
   /** R8: snapshot-vs-stream phase distinction. The initial load is the
     * latest state as of a cutoff (emitted with Debezium's snapshot-read
     * op "r" and snapshot="true"); everything after the cutoff is the live

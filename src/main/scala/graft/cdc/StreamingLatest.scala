@@ -32,6 +32,56 @@ object StreamingLatest {
   private def tsMicros(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  /** `cdc_stream_windowed`: event-time tumbling windows computed by a
+    * *streaming* query (watermark + window aggregate, complete mode so the
+    * bounded final state is the full answer) — the streaming twin of the
+    * batch `cdc_stream_tumbling`, sharing its oracle SQL: the gate checks
+    * streaming/batch equivalence through DuckDB. */
+  def streamWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val runDir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
+        "/root/repo/target/stream-tmp"))), "runw")
+    val inDir   = s"$runDir/in"
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val batch = graft.Tables.events(spark, sfDir).select($"ts", $"event_type", $"value")
+    batch.repartition(2).write.mode("overwrite").parquet(inDir)
+
+    val agg = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 6))).as("sum_dec"))
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(inDir)); rm(Paths.get(ckptDir))
+
+    spark.read.parquet(outDir)
+      .select(
+        unix_millis($"w.start").as("bucket_ms"),
+        $"event_type", $"n_events",
+        round($"sum_dec".cast("double"), 4).as("sum_value"))
+      .orderBy($"bucket_ms", $"event_type")
+  }
+
   /** Keep the max-(ts_us, event_id) record per key; emit the new latest on
     * every update (OutputMode.Update). */
   private def updateKey(userId: Long, it: Iterator[Ev],

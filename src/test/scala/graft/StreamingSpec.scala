@@ -16,4 +16,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamRows.length == batchRows.length)
     assert(streamRows == batchRows)
   }
+
+  test("cdc_stream_windowed equals batch cdc_stream_tumbling") {
+    val streamRows = StreamingLatest.streamWindowed(spark, sf).collect().toSeq
+    val batchRows  = Changelog.streamTumbling(spark, sf).collect().toSeq
+    assert(streamRows == batchRows)
+  }
+
+  test("salted two-phase latest-wins equals the window formulation") {
+    val salted = Changelog.latestStateSalted(spark, sf).collect().toSeq
+    val window = Changelog.latestState(spark, sf).collect().toSeq
+    assert(salted == window)
+  }
 }
