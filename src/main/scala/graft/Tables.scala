@@ -14,13 +14,21 @@ object Tables {
   /** `events.ts` is ns-precision parquet (TIMESTAMP(NANOS)), which Spark 4
     * rejects outright unless read as a raw long. The driver data is
     * µs-aligned (verified: epoch_ns % 1000 == 0 for every row), so
-    * `ns div 1000` is an exact conversion to a Spark µs timestamp. */
+    * `ns div 1000` is an exact conversion to a Spark µs timestamp.
+    *
+    * The raw long survives as `ts_ns`: predicates on the *converted* `ts`
+    * cannot reach the parquet scan (a filter over `timestamp_micros(...)`
+    * is not pushable), so time-range operators filter on `ts_ns` instead —
+    * a plain long comparison the scan can push down (audited in
+    * ChangelogSpec). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+      raw.withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    else
+      raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")

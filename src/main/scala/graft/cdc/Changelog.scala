@@ -139,14 +139,17 @@ object Changelog {
     * change tail with real op codes and snapshot="false". */
   def snapshotUnion(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    // 2024-01-15T00:00:00Z in nanos — filtering on the raw ts_ns long is
+    // parquet-pushable; a predicate on the converted `ts` would force a
+    // full scan (Tables.events scaladoc).
+    val cutoffNs = 1705276800L * 1000000000L
     val ev = Tables.events(spark, sfDir)
     val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
-    val snapshot = ev.filter($"ts" < cutoff)
+    val snapshot = ev.filter($"ts_ns" < cutoffNs)
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .select($"user_id", $"event_id", lit("r").as("op"),
         lit("true").as("snapshot"), unix_micros($"ts").as("ts_us"))
-    val tail = ev.filter($"ts" >= cutoff)
+    val tail = ev.filter($"ts_ns" >= cutoffNs)
       .select($"user_id", $"event_id", opCol($"event_type").as("op"),
         lit("false").as("snapshot"), unix_micros($"ts").as("ts_us"))
     snapshot.union(tail).orderBy($"event_id")

@@ -77,6 +77,20 @@ class ChangelogSpec extends AnyFunSuite {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("snapshot-union's time filter pushes down to the parquet scan") {
+    val df = Changelog.snapshotUnion(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(ts,"),
+      s"ts_ns cutoff not pushed to scan:\n$plan")
+    // both phases present and partition the event ids
+    val s = spark
+    import s.implicits._
+    assert(df.count() ==
+      Tables.events(spark, sf).filter($"ts_ns" >= 1705276800L * 1000000000L).count() +
+      Tables.events(spark, sf).filter($"ts_ns" < 1705276800L * 1000000000L)
+        .select($"user_id").distinct().count())
+  }
+
   test("topic routing produces one topic per event type with full namespace") {
     val s = spark
     import s.implicits._
