@@ -94,6 +94,37 @@ object Oracle {
                 epoch_us(ts) AS ts_us
          FROM events ORDER BY event_id""",
 
+    "join_asof_attribution" ->
+      """SELECT event_id AS purchase_event_id, user_id, click_event_id,
+                epoch_us(ts) - click_ts_us AS gap_us
+         FROM (
+           SELECT *,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_event_id,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts_us
+           FROM events)
+         WHERE event_type = 'purchase'
+         ORDER BY purchase_event_id""",
+
+    "cdc_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sess AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events,
+                round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""",
+
     // ── Group B: relational core on the star schema ───────────────────
     "scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

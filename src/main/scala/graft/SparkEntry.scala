@@ -32,6 +32,8 @@ object SparkEntry {
     "cdc_json_roundtrip"   -> ((s, d) => Changelog.jsonRoundtrip(s, d)),
     "cdc_latest_state_salted" -> ((s, d) => Changelog.latestStateSalted(s, d)),
     "cdc_stream_windowed"  -> ((s, d) => StreamingLatest.streamWindowed(s, d)),
+    "join_asof_attribution" -> ((s, d) => Changelog.asofAttribution(s, d)),
+    "cdc_sessionize"       -> ((s, d) => Changelog.sessionize(s, d)),
     // Group B — relational core
     "scan_filter_project"  -> ((s, d) => Relational.scanFilterProject(s, d)),
     "agg_pricing_summary"  -> ((s, d) => Relational.aggPricingSummary(s, d)),

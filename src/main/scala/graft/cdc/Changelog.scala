@@ -178,6 +178,49 @@ object Changelog {
       .orderBy($"event_id")
   }
 
+  /** `join_asof_attribution`: as-of (temporal) join semantics by
+    * composition — for every purchase, the user's most recent *prior*
+    * click (ad-attribution shape). Spark has no native as-of join; the
+    * union-window formulation (tag rows, `last(..., ignoreNulls)` over an
+    * unbounded-preceding-to--1 frame) is the standard single-shuffle
+    * equivalent and scales exactly like latest-wins. */
+  def asofAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("click_event_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("click_ts_us",
+        last(when($"event_type" === "click", unix_micros($"ts")), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select(
+        $"event_id".as("purchase_event_id"),
+        $"user_id",
+        $"click_event_id",
+        (unix_micros($"ts") - $"click_ts_us").as("gap_us"))
+      .orderBy($"purchase_event_id")
+  }
+
+  /** `cdc_sessionize`: gap-based sessions (30 min) per user via Spark's
+    * native `session_window`. The oracle reproduces the same semantics in
+    * plain SQL (lag + cumulative new-session flags), which doubles as a
+    * cross-check of session_window's gap boundary rule (a gap of exactly
+    * 30 min starts a new session). */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum($"value".cast(DecimalType(18, 6))).cast(DoubleType), 4).as("sum_value"))
+      .select(
+        $"user_id",
+        unix_micros($"sw.start").as("session_start_us"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
   /** R7/R18 (batch shape): 1-hour tumbling window x event_type.
     * Decimal-cast sums make the aggregate exact and order-insensitive, so
     * the result is bit-stable across partition orderings (and matches the

@@ -32,12 +32,24 @@ object StreamingLatest {
   private def tsMicros(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  /** State-store partition count is frozen from shuffle partitions at the
+    * first checkpoint; size it to the state's key cardinality (150 users /
+    * ~170 hour-windows here), not the session's CPU count — at 32
+    * partitions most state tasks carry near-empty stores and the per-batch
+    * fixed cost dominates. Restored after the stream completes. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** `cdc_stream_windowed`: event-time tumbling windows computed by a
     * *streaming* query (watermark + window aggregate, complete mode so the
     * bounded final state is the full answer) — the streaming twin of the
     * batch `cdc_stream_tumbling`, sharing its oracle SQL: the gate checks
     * streaming/batch equivalence through DuckDB. */
-  def streamWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamWindowed(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val runDir = Files.createTempDirectory(
@@ -104,7 +116,7 @@ object StreamingLatest {
     * state. Declared without a SQL oracle; StreamingSpec asserts
     * equivalence with the batch `cdc_latest_state` (SIGMOD'18
     * batch/streaming-equivalence argument, PAPERS.md). */
-  def streamStateful(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamStateful(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     import spark.implicits._
     val runDir = Files.createTempDirectory(
       Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",

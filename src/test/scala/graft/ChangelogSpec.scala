@@ -91,6 +91,30 @@ class ChangelogSpec extends AnyFunSuite {
         .select($"user_id").distinct().count())
   }
 
+  test("as-of attribution: every attributed click precedes its purchase") {
+    val s = spark
+    import s.implicits._
+    val df = Changelog.asofAttribution(spark, sf)
+    assert(df.count() ==
+      Tables.events(spark, sf).filter($"event_type" === "purchase").count())
+    // gap is strictly positive wherever a click was found
+    assert(df.filter($"click_event_id".isNotNull && $"gap_us" <= 0).count() == 0)
+  }
+
+  test("sessionize: sessions partition the events and never overlap per user") {
+    val s = spark
+    import s.implicits._
+    val df = Changelog.sessionize(spark, sf)
+    assert(df.agg(sum("n_events")).collect().head.getLong(0) ==
+      Tables.events(spark, sf).count())
+    // starts strictly increase per user (orderBy already by (user, start))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"session_start_us")
+    val bad = df.withColumn("prev", lag($"session_start_us", 1).over(w))
+      .filter($"prev".isNotNull && $"session_start_us" <= $"prev").count()
+    assert(bad == 0)
+  }
+
   test("topic routing produces one topic per event type with full namespace") {
     val s = spark
     import s.implicits._
