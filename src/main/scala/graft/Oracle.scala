@@ -276,6 +276,50 @@ object Oracle {
          FROM (SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k FROM events)
          GROUP BY event_type ORDER BY event_type""",
 
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+                round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_stats_moments" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+                round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4) AS stddev_qty,
+                round((n * sxy - sx * sy)
+                      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_qty_price
+         FROM m ORDER BY l_returnflag""",
+
+    "agg_array_sorted" ->
+      """SELECT l_returnflag,
+                array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+                count(DISTINCT l_linestatus) AS n_statuses
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_pivot" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id, i * 4 AS frame_idx,
+                least(32, octet_length(encode(text)) - i * 4 * 32) AS frame_len
+         FROM documents,
+              unnest(range(CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT))) AS t(i)
+         ORDER BY media_id, frame_idx""",
+
     // ── Group C: LLM data-pipeline ops ────────────────────────────────
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups

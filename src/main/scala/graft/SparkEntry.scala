@@ -55,6 +55,11 @@ object SparkEntry {
     "math_case_funcs"      -> ((s, d) => Relational.mathCaseFuncs(s, d)),
     "json_extract"         -> ((s, d) => Relational.jsonExtract(s, d)),
     "agg_approx_distinct"  -> ((s, d) => Relational.aggApproxDistinct(s, d)),
+    "agg_percentiles"      -> ((s, d) => Relational.aggPercentiles(s, d)),
+    "agg_stats_moments"    -> ((s, d) => Relational.aggStatsMoments(s, d)),
+    "agg_array_sorted"     -> ((s, d) => Relational.aggArraySorted(s, d)),
+    "agg_pivot"            -> ((s, d) => Relational.aggPivot(s, d)),
+    "agg_hll_sketch"       -> ((s, d) => Relational.aggHllSketch(s, d)),
     // Group C — LLM data-pipeline ops
     "dedup_exact"          -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_exact_hash"     -> ((s, d) => TextOps.dedupExactHash(s, d)),
@@ -73,7 +78,8 @@ object SparkEntry {
     "text_fingerprint"     -> ((s, d) => TextOps.fingerprint(s, d)),
     // multimodal plumbing (binary payload + metadata; decode is a stub)
     "mm_binary_meta"       -> ((s, d) => MultiModal.binaryMeta(s, d)),
-    "mm_decode_stub"       -> ((s, d) => MultiModal.decodeFeatures(s, d))
+    "mm_decode_stub"       -> ((s, d) => MultiModal.decodeFeatures(s, d)),
+    "mm_frame_sample"      -> ((s, d) => MultiModal.frameSample(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -93,6 +93,15 @@ object MultiModal {
       .orderBy($"media_id")
   }
 
+  /** `mm_frame_sample`: the declared-query wrapper over [[sampleFrames]];
+    * oracle-checked (frame indices and lengths are pure arithmetic over
+    * the payload byte length). */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(mediaTable(spark, sfDir), everyK = 4)
+      .orderBy($"media_id", $"frame_idx")
+  }
+
   /** Frame sampling without decode: every k-th FrameBytes-sized slice of
     * the payload, as binary sub-blobs — pure expressions (substr on
     * binary), demonstrating decode-free sampling. */

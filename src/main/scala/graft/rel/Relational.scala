@@ -301,6 +301,90 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** `agg_percentiles`: exact percentiles (continuous interpolation) per
+    * group — Spark `percentile` ≡ DuckDB `quantile_cont`. */
+  def aggPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5D)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.95D)"), 4).as("p95_qty"),
+        round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** `agg_stats_moments`: stddev and correlation computed from exact
+    * decimal moments (n, Σx, Σx², Σxy) instead of the built-in streaming
+    * estimators — the built-ins merge partials in partition order and
+    * wobble at the ulp level run-to-run; moments are exact and
+    * order-insensitive, so the derived statistics are bit-stable. */
+  def aggStatsMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d18 = DecimalType(18, 4); val d28 = DecimalType(28, 8)
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity".cast(d18)).cast(DoubleType).as("sx"),
+        sum($"l_extendedprice".cast(d18)).cast(DoubleType).as("sy"),
+        sum(($"l_quantity" * $"l_quantity").cast(d28)).cast(DoubleType).as("sxx"),
+        sum(($"l_extendedprice" * $"l_extendedprice").cast(d28)).cast(DoubleType).as("syy"),
+        sum(($"l_quantity" * $"l_extendedprice").cast(d28)).cast(DoubleType).as("sxy"))
+      .select(
+        $"l_returnflag",
+        round(sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1))), 4).as("stddev_qty"),
+        round(
+          ($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")), 4)
+          .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** `agg_array_sorted`: collection aggregate — sorted distinct statuses
+    * per group, joined to a string so the hash compare is list-layout
+    * agnostic. */
+  def aggArraySorted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        concat_ws(",", array_sort(collect_set($"l_linestatus"))).as("statuses"),
+        countDistinct($"l_linestatus").as("n_statuses"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** `agg_pivot`: per-user event-type counts as columns (explicit value
+    * list keeps the output schema deterministic). */
+  def aggPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .select($"user_id" +: types.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy($"user_id")
+  }
+
+  /** `agg_hll_sketch`: mergeable Datasketches HLL — per-type sketches
+    * estimated, plus the union across all types (the operation plain
+    * approx_count_distinct cannot do) — no oracle (estimates are
+    * library-specific); bounds tested in RelationalSpec. */
+  def aggHllSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val perType = ev.groupBy($"event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    perType
+      .select($"event_type", expr("hll_sketch_estimate(sk)").cast("long").as("est_users"))
+      .union(
+        perType.select(expr("'ALL'").as("event_type"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("est_users")))
+      .orderBy($"event_type")
+  }
+
   /** `agg_approx_distinct`: HLL++ approximate distinct users per type (no
     * SQL oracle — approximate; bounds are property-tested vs the exact
     * count in RelationalSpec). */

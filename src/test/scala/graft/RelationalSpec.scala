@@ -102,6 +102,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(res.intersect(big).isEmpty)
   }
 
+  test("hll sketch estimates are within 5% of exact, union >= max per-type") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val est = Relational.aggHllSketch(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("est_users")).toMap
+    val exactAll = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(math.abs(est("ALL") - exactAll).toDouble / exactAll <= 0.05)
+    assert(est("ALL") >= est.filter(_._1 != "ALL").values.max)
+  }
+
+  test("pivot counts per user sum to the user's event count") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val p = Relational.aggPivot(spark, sf)
+    val total = p.select(
+      ($"n_click" + $"n_error" + $"n_purchase" + $"n_signup" + $"n_view").as("t"))
+      .agg(sum($"t")).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("moment-based stddev/corr agree with Spark's built-in estimators to 1e-3") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val ours = Relational.aggStatsMoments(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val builtin = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+      .agg(stddev_samp($"l_quantity").as("sd"), corr($"l_quantity", $"l_extendedprice").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ours.foreach { case (k, (sd, c)) =>
+      assert(math.abs(sd - builtin(k)._1) < 1e-3)
+      assert(math.abs(c - builtin(k)._2) < 1e-3)
+    }
+  }
+
   test("approx_count_distinct is within 5% of exact (rsd=0.01 requested)") {
     val s = spark
     import s.implicits._
