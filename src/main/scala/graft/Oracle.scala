@@ -313,6 +313,21 @@ object Oracle {
                 CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
          FROM events GROUP BY user_id ORDER BY user_id""",
 
+    "agg_unpivot" ->
+      """WITH wide AS (
+           SELECT l_returnflag,
+                  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
+                  round(CAST(sum(CAST(l_discount * 100.0 AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_pct
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, measure, value FROM (
+           SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'sum_price', sum_price FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'sum_disc_pct', sum_disc_pct FROM wide)
+         ORDER BY l_returnflag, measure""",
+
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, i * 4 AS frame_idx,
                 least(32, octet_length(encode(text)) - i * 4 * 32) AS frame_len

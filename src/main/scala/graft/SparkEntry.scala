@@ -59,6 +59,7 @@ object SparkEntry {
     "agg_stats_moments"    -> ((s, d) => Relational.aggStatsMoments(s, d)),
     "agg_array_sorted"     -> ((s, d) => Relational.aggArraySorted(s, d)),
     "agg_pivot"            -> ((s, d) => Relational.aggPivot(s, d)),
+    "agg_unpivot"          -> ((s, d) => Relational.aggUnpivot(s, d)),
     "agg_hll_sketch"       -> ((s, d) => Relational.aggHllSketch(s, d)),
     // Group C — LLM data-pipeline ops
     "dedup_exact"          -> ((s, d) => TextOps.dedupExact(s, d)),

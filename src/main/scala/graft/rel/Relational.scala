@@ -368,6 +368,24 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** `agg_unpivot`: reshape — per-returnflag measure matrix melted to
+    * (returnflag, measure, value) long form via Dataset.unpivot. */
+  def aggUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(dsum($"l_quantity"), 4).as("sum_qty"),
+        round(dsum($"l_extendedprice"), 4).as("sum_price"),
+        round(dsum($"l_discount" * lit(100.0)), 4).as("sum_disc_pct"))
+    wide.unpivot(
+      ids = Array($"l_returnflag"),
+      values = Array($"sum_qty", $"sum_price", $"sum_disc_pct"),
+      variableColumnName = "measure",
+      valueColumnName = "value")
+      .orderBy($"l_returnflag", $"measure")
+  }
+
   /** `agg_hll_sketch`: mergeable Datasketches HLL — per-type sketches
     * estimated, plus the union across all types (the operation plain
     * approx_count_distinct cannot do) — no oracle (estimates are
