@@ -273,7 +273,7 @@ object Oracle {
     "json_extract" ->
       """SELECT event_type, count(k) AS n,
                 round(CAST(sum(k) AS DOUBLE) / count(k), 4) AS avg_k
-         FROM (SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k FROM events)
+         FROM (SELECT event_type, TRY_CAST(props->>'$.k' AS INTEGER) AS k FROM events)
          GROUP BY event_type ORDER BY event_type""",
 
     "agg_percentiles" ->

@@ -96,7 +96,7 @@ object StreamingLatest {
 
   /** Keep the max-(ts_us, event_id) record per key; emit the new latest on
     * every update (OutputMode.Update). */
-  private def updateKey(userId: Long, it: Iterator[Ev],
+  private[graft] def updateKey(userId: Long, it: Iterator[Ev],
       state: GroupState[LatestRow]): Iterator[LatestRow] = {
     var best = state.getOption.orNull
     var changed = false

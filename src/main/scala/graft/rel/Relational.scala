@@ -293,7 +293,11 @@ object Relational {
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
-      .select($"event_type", get_json_object($"props", "$.k").cast(IntegerType).as("k"))
+      // try_cast, not cast: ANSI mode (Spark 4 default) makes a plain cast
+      // THROW on a malformed value — one dirty record would kill the whole
+      // job at scale; try_cast degrades it to null (RelationalSpec probes this).
+      .select($"event_type",
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
       .groupBy($"event_type")
       .agg(
         count($"k").as("n"),

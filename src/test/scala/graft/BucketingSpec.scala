@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rel.Bucketing
+
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.Sf
+  private val db = "graft_bucketed"
+
+  test("bucketed orders x lineitem joins with zero shuffle exchanges") {
+    val s = spark
+    import s.implicits._
+    Bucketing.writeBucketed(spark, sf, db)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path: at test scale AQE would broadcast the
+    // small side, which also avoids the shuffle but not via bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(spark, db)
+      joined.collect() // materialize so the adaptive plan is final
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      // no hash-partitioning exchange anywhere below the join: bucket
+      // layout already co-locates both sides
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"bucket info missing:\n$plan")
+
+      // and it is correct: same revenue as the plain-parquet formulation
+      val expected = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("revenue"))
+        .orderBy($"o_orderkey")
+        .collect().toSeq
+      assert(joined.collect().toSeq == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $db.orders_b")
+      spark.sql(s"DROP TABLE IF EXISTS $db.lineitem_b")
+      spark.sql(s"DROP DATABASE IF EXISTS $db")
+    }
+  }
+}

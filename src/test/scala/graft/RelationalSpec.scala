@@ -139,6 +139,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("json extraction is robust to malformed props (null, not crash)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val malformed = Seq("not json", """{"k": "str"}""", "", null, """{"other": 1}""")
+      .toDF("props")
+    // the exact expression json_extract uses: under ANSI mode a plain cast
+    // would throw on {"k": "str"}; try_cast must yield null instead
+    val out = malformed
+      .select(expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(out.forall(_.isEmpty)) // every malformed/missing case yields null
+  }
+
   test("approx_count_distinct is within 5% of exact (rsd=0.01 requested)") {
     val s = spark
     import s.implicits._

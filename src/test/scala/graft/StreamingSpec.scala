@@ -28,4 +28,60 @@ class StreamingSpec extends AnyFunSuite {
     val window = Changelog.latestState(spark, sf).collect().toSeq
     assert(salted == window)
   }
+
+  test("checkpoint resume (R18): restart picks up only new files, final state correct") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, GroupStateTimeout, Trigger}
+
+    val runDir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get("/root/repo/target/stream-tmp")), "resume")
+    val inDir = s"$runDir/in"; val outDir = s"$runDir/out"; val ckpt = s"$runDir/ckpt"
+
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val firstHalf  = ev.filter($"event_id" % 2 === 0)
+    val secondHalf = ev.filter($"event_id" % 2 === 1)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(inDir)
+        .as[StreamingLatest.Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+          StreamingLatest.updateKey _)
+        .writeStream.outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamingLatest.LatestRow], _: Long) =>
+            b.write.mode("append").parquet(outDir)
+        }.start()
+      q.awaitTermination()
+    }
+
+    firstHalf.coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()                        // processes first half, commits offsets
+    val afterFirst = spark.read.parquet(outDir).count()
+    secondHalf.coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()                        // RESUME: must process only the new file
+    val afterSecond = spark.read.parquet(outDir).count()
+    assert(afterSecond > afterFirst)
+
+    // final state (latest row per user across appended snapshots) == batch
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"last_ts_us".desc, $"last_event_id".desc)
+    val finalState = spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"last_event_id", $"last_event_type",
+        round($"last_value", 4).as("last_value"), $"last_ts_us")
+      .orderBy($"user_id").collect().toSeq
+    assert(finalState == Changelog.latestState(spark, sf).collect().toSeq)
+
+    // the resumed run must NOT have reprocessed the first file: the output
+    // appended by run 2 reflects only keys whose latest changed or arrived
+    assert(afterSecond - afterFirst <=
+      secondHalf.select($"user_id").distinct().count())
+  }
 }
