@@ -178,6 +178,43 @@ object Oracle {
                            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
 
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+                epoch_ms(o_orderdate) AS order_ms
+         FROM customer
+           JOIN orders   ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate  > TIMESTAMP '1997-01-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+         FROM (SELECT l_orderkey,
+                      round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) > 250.0)
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "subquery_scalar" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+         FROM part p
+         WHERE p_retailprice > 1.05 * (SELECT avg(p2.p_retailprice)
+                                       FROM part p2
+                                       WHERE p2.p_brand = p.p_brand)
+         ORDER BY p_partkey""",
+
+    "set_ops_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_acctbal > 8000.0
+         ORDER BY c_custkey""",
+
     "window_topk_group" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice
          FROM (SELECT *, row_number() OVER

@@ -41,6 +41,10 @@ object SparkEntry {
     "join_5way_revenue"    -> ((s, d) => Relational.join5WayRevenue(s, d)),
     "join_semi"            -> ((s, d) => Relational.joinSemi(s, d)),
     "join_anti"            -> ((s, d) => Relational.joinAnti(s, d)),
+    "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
+    "q18_large_orders"     -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "subquery_scalar"      -> ((s, d) => Relational.subqueryScalar(s, d)),
+    "set_ops_intersect"    -> ((s, d) => Relational.setOpsIntersect(s, d)),
     "window_topk_group"    -> ((s, d) => Relational.windowTopkGroup(s, d)),
     "window_running_sum"   -> ((s, d) => Relational.windowRunningSum(s, d)),
     "window_lag_lead"      -> ((s, d) => Relational.windowLagLead(s, d)),

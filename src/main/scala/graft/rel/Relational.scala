@@ -185,6 +185,69 @@ object Relational {
         |ORDER BY orderstatus, orderpriority""".stripMargin)
   }
 
+  /** `q3_shipping_priority`: TPC-H Q3 shape — segment-filtered customers,
+    * date-split orders/lineitems, revenue per order, top-10. */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val c = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" < lit(cut))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val l = Tables.lineitem(spark, sfDir).filter($"l_shipdate" > lit(cut))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(round(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        unix_millis($"o_orderdate".cast(TimestampType)).as("order_ms"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** `q18_large_orders`: TPC-H Q18 shape — orders whose lineitem quantity
+    * sum exceeds a threshold (HAVING over a join), joined back to
+    * customers, top-20 by price. */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(round(dsum($"l_quantity"), 4).as("sum_qty"))
+      .filter($"sum_qty" > 250.0)
+    big
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  /** `subquery_scalar`: correlated scalar subquery through SQL — parts
+    * priced 5% above their brand average. Catalyst decorrelates this into
+    * an aggregate + join; declared through spark.sql to exercise exactly
+    * that rewrite. */
+  def subqueryScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("part_sq")
+    spark.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part_sq p
+        |WHERE p_retailprice > 1.05 * (SELECT avg(p2.p_retailprice)
+        |                              FROM part_sq p2
+        |                              WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** `set_ops_intersect`: the third set operation — BUILDING ∩ big-spender
+    * custkeys. */
+  def setOpsIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      .intersect(c.filter($"c_acctbal" > 8000.0).select($"c_custkey"))
+      .orderBy($"c_custkey")
+  }
+
   /** `sort_limit_topk`: global top-10 orders — TakeOrderedAndProject, no
     * full sort at scale. */
   def sortLimitTopk(spark: SparkSession, sfDir: String): DataFrame = {
