@@ -435,19 +435,19 @@ object Oracle {
     "text_quality_score" ->
       """SELECT doc_id,
                 len(string_split(text,' ')) AS n_tokens,
-                round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-                      / len(string_split(text,' ')), 4) AS distinct_ratio,
-                round((CAST(length(text) AS DOUBLE) - len(string_split(text,' ')) + 1.0)
-                      / len(string_split(text,' ')), 4) AS avg_token_len,
-                round(CAST(len(list_filter(string_split(text,' '),
+                floor((CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                      / len(string_split(text,' '))) * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
+                floor(((CAST(length(text) AS DOUBLE) - len(string_split(text,' ')) + 1.0)
+                      / len(string_split(text,' '))) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+                floor((CAST(len(list_filter(string_split(text,' '),
                         t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
-                      / len(string_split(text,' ')), 4) AS stopword_ratio,
-                round(0.4 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                      / len(string_split(text,' '))) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+                floor((0.4 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
                              / len(string_split(text,' ')))
                     + 0.3 * least(len(string_split(text,' ')) / 100.0, 1.0)
                     + 0.3 * (1.0 - CAST(len(list_filter(string_split(text,' '),
                                t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
-                             / len(string_split(text,' '))), 4) AS quality
+                             / len(string_split(text,' ')))) * 10000.0 + 0.5) / 10000.0 AS quality
          FROM documents ORDER BY doc_id""",
 
     "text_token_regex" ->

@@ -125,16 +125,21 @@ object TextOps {
       size(array_distinct(toks)).cast(DoubleType).as("n_distinct"),
       length($"text").cast(DoubleType).as("n_chars"),
       size(filter(toks, t => t.isin(en: _*))).cast(DoubleType).as("n_stop"))
+    // Explicit HALF_UP rounding via floor(x*1e4 + 0.5): docs with 2^k
+    // tokens make ratio terms binary-EXACT on .xxxx5 boundaries, where
+    // Spark's round (HALF_UP) and DuckDB's (half-even nearbyint) disagree.
+    // floor over identical IEEE ops is deterministic in both engines.
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000.0 + 0.5) / 10000.0
     base.select(
       $"doc_id",
       $"n_tokens".cast("long").as("n_tokens"),
-      round($"n_distinct" / $"n_tokens", 4).as("distinct_ratio"),
-      round(($"n_chars" - $"n_tokens" + 1.0) / $"n_tokens", 4).as("avg_token_len"),
-      round($"n_stop" / $"n_tokens", 4).as("stopword_ratio"),
-      round(
+      r4($"n_distinct" / $"n_tokens").as("distinct_ratio"),
+      r4(($"n_chars" - $"n_tokens" + 1.0) / $"n_tokens").as("avg_token_len"),
+      r4($"n_stop" / $"n_tokens").as("stopword_ratio"),
+      r4(
         lit(0.4) * ($"n_distinct" / $"n_tokens") +
         lit(0.3) * least($"n_tokens" / 100.0, lit(1.0)) +
-        lit(0.3) * (lit(1.0) - $"n_stop" / $"n_tokens"), 4).as("quality"))
+        lit(0.3) * (lit(1.0) - $"n_stop" / $"n_tokens")).as("quality"))
       .orderBy($"doc_id")
   }
 
