@@ -140,9 +140,9 @@ object Oracle {
                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
                 round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
                 CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))) AS DOUBLE) AS sum_charge,
-                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
-                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
-                round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+                floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+                floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+                floor((CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
                 count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -309,7 +309,7 @@ object Oracle {
 
     "json_extract" ->
       """SELECT event_type, count(k) AS n,
-                round(CAST(sum(k) AS DOUBLE) / count(k), 4) AS avg_k
+                floor((CAST(sum(k) AS DOUBLE) / count(k)) * 10000.0 + 0.5) / 10000.0 AS avg_k
          FROM (SELECT event_type, TRY_CAST(props->>'$.k' AS INTEGER) AS k FROM events)
          GROUP BY event_type ORDER BY event_type""",
 
@@ -388,15 +388,15 @@ object Oracle {
 
     "text_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
-                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
-                round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
+                floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
+                floor((CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
 
     "embed_norms" ->
       """SELECT label, count(*) AS n_vecs,
-                round(CAST(sum(CAST(sqrt(list_aggregate(list_transform(embedding,
+                floor((CAST(sum(CAST(sqrt(list_aggregate(list_transform(embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-                      AS DECIMAL(18,8))) AS DOUBLE) / count(*), 4) AS avg_norm
+                      AS DECIMAL(18,8))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_norm
          FROM embeddings GROUP BY label ORDER BY label""",
 
     "dedup_ngram_jaccard" ->

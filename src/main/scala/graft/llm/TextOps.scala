@@ -182,8 +182,8 @@ object TextOps {
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(sum($"n_chars").cast(DoubleType) / count(lit(1)), 4).as("avg_chars"),
-        round(sum($"n_tokens").cast(DoubleType) / count(lit(1)), 4).as("avg_tokens"))
+        graft.Det.r4(sum($"n_chars").cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        graft.Det.r4(sum($"n_tokens").cast(DoubleType) / count(lit(1))).as("avg_tokens"))
       .orderBy($"lang")
   }
 }

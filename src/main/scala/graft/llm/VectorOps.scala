@@ -43,7 +43,7 @@ object VectorOps {
       .groupBy($"label")
       .agg(
         count(lit(1)).as("n_vecs"),
-        round(sum($"norm".cast(DecimalType(18, 8))).cast(DoubleType) / count(lit(1)), 4)
+        graft.Det.r4(sum($"norm".cast(DecimalType(18, 8))).cast(DoubleType) / count(lit(1)))
           .as("avg_norm"))
       .orderBy($"label")
   }

@@ -27,8 +27,10 @@ object Relational {
 
   /** Exact, order-insensitive sum of a double column via decimal cast. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
-  /** Exact average: decimal sum / count, rounded to 4dp. */
-  private def davg(c: Column): Column = round(dsum(c) / count(lit(1)), 4)
+  /** Exact average: decimal sum / count, floor-HALF_UP-rounded to 4dp —
+    * plain round(x,4) can diverge across engines when count is a power of
+    * two (graft.Det). */
+  private def davg(c: Column): Column = graft.Det.r4(dsum(c) / count(lit(1)))
 
   /** `scan_filter_project`: shipdate-range filter + arithmetic projection;
     * both the filter and the 5-column read schema reach the parquet scan. */
@@ -61,7 +63,7 @@ object Relational {
           .cast(DecimalType(28, 8))).cast(DoubleType).as("sum_charge"),
         davg($"l_quantity").as("avg_qty"),
         davg($"l_extendedprice").as("avg_price"),
-        round(sum($"l_discount".cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1)), 4).as("avg_disc"),
+        graft.Det.r4(sum($"l_discount".cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -364,7 +366,7 @@ object Relational {
       .groupBy($"event_type")
       .agg(
         count($"k").as("n"),
-        round(sum($"k").cast(DoubleType) / count($"k"), 4).as("avg_k"))
+        graft.Det.r4(sum($"k").cast(DoubleType) / count($"k")).as("avg_k"))
       .orderBy($"event_type")
   }
 
