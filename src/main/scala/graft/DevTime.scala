@@ -1,0 +1,34 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only per-query timer: `runMain graft.DevTime q1 q2 …` times the
+  * named SparkEntry queries (all when no args) on SPARK_GRAFT_SF_DIR with
+  * the same session config as Bench. Second run of each query is also
+  * timed so plan/codegen compile cost is visible separately from exec. */
+object DevTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = once(); val t2 = once()
+      println(f"$name%-28s first=$t1%7.3f  second=$t2%7.3f")
+    }
+    spark.stop()
+  }
+}

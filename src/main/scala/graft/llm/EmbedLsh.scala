@@ -33,31 +33,20 @@ object EmbedLsh {
     Array.fill(NumTables, BitsPerTable, Dim)(rnd.nextGaussian())
   }
 
-  private def dotLit(emb: Column, plane: Array[Double]): Column =
-    aggregate(zip_with(emb, typedLit(plane.toSeq), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** One bucket id per table: the sign pattern of BitsPerTable dots. */
-  def bucketCols(emb: Column): Seq[Column] =
-    planes.toIndexedSeq.zipWithIndex.map { case (table, t) =>
-      table.zipWithIndex
-        .map { case (plane, b) => when(dotLit(emb, plane) > 0, lit(1 << b)).otherwise(lit(0)) }
-        .reduce(_ + _).as(s"t$t")
-    }
+  /** All NumTables bucket ids in one fused pass — the custom codegen
+    * expression [[graft.functions.FloatVecLshBuckets]] (the declarative
+    * `aggregate(zip_with(...))` formulation it replaced needed 72
+    * interpreted higher-order folds per row and dominated the bench). */
+  def bucketsCol(emb: Column): Column =
+    graft.functions.LshFunctions.vec_lsh_buckets(emb, planes)
 
   /** (vec_id, table_id, bucket) — ids only: the banded rows that flow
     * through the candidate join carry no vectors, so the 12-way explode
     * and the shuffle stay narrow; vectors are joined back only for the
     * (much smaller) verification step. */
-  private def withBuckets(df: DataFrame): DataFrame = {
-    val tables = (0 until NumTables).map { t =>
-      struct(lit(t).as("table_id"), col(s"t$t").as("bucket"))
-    }
-    df.select((col("vec_id") +: col("embedding") +: bucketCols(col("embedding"))): _*)
-      .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
-      .select(col("vec_id"),
-        col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
-  }
+  private def withBuckets(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), posexplode(bucketsCol(col("embedding"))))
+      .toDF("vec_id", "table_id", "bucket")
 
   private def cosine(a: Column, b: Column): Column =
     VectorOps.dot(a, b) / (VectorOps.l2Norm(a) * VectorOps.l2Norm(b))

@@ -40,19 +40,21 @@ object MinHash {
       i => concat_ws(" ", slice(toks, i + 1, lit(ShingleSize)))))
   }
 
+  /** Distinct shingle *hashes* (8 bytes each) — the scale representation:
+    * every downstream explode/shuffle carries longs, never shingle text.
+    * Values = xxhash64(shingle string, seed 42), computed by the fused
+    * codegen expression [[graft.functions.WordShingleHashes]]. */
+  def shingleHashesCol(text: Column): Column =
+    graft.functions.ShingleFunctions.word_shingle_hashes(text, ShingleSize)
+
   /** Per-document MinHash signature as an array<bigint> column over the
-    * shingle set. */
-  def signatures(docs: DataFrame): DataFrame = {
-    val tokens = docs
-      .select(col("doc_id"), explode(shinglesCol(col("text"))).as("token"))
-    val minCols = (0 until NumHashes).map(i =>
-      min(xxhash64(col("token"), lit(i))).as(s"h$i"))
-    tokens
+    * shingle set — one [[graft.functions.MinHashSigAgg]] pass (k seeded
+    * xxhash64 remixes, element-wise min with map-side combine). */
+  def signatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(shingleHashesCol(col("text"))).as("tok"))
       .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+      .agg(graft.functions.MinHashFunctions.minhash_agg(col("tok"), NumHashes).as("sig"))
 
   /** Explode each signature into its LSH bands: (doc_id, band, band_hash). */
   def bands(sigs: DataFrame): DataFrame = {

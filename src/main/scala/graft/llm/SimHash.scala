@@ -25,23 +25,17 @@ object SimHash {
   val ChunkBits: Int = Bits / Chunks
   val MaxHamming = 3
 
-  /** doc_id -> 64-bit simhash fingerprint. The ±1 vote sum is computed
-    * branch-free as `2*popcount_b - n` (bit b is set iff ones outnumber
-    * zeros): 64 unconditional `sum((h>>b)&1)` aggregates + one count,
-    * all in a single map-side-combined hash aggregate. */
-  def fingerprints(docs: DataFrame): DataFrame = {
-    val ex = docs
-      .select(col("doc_id"), explode(MinHash.shinglesCol(col("text"))).as("s"))
-      .withColumn("h", xxhash64(col("s")))
-    val ones = (0 until Bits).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c$b"))
-    val agg = ex.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("nsh"), ones: _*)
-    val sim = (0 until Bits)
-      .map(b => when(col(s"c$b") * 2 > col("nsh"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash"))
-  }
+  /** doc_id -> 64-bit simhash fingerprint. One custom bit-vote aggregate
+    * ([[graft.functions.SimHashVoteAgg]]) per key: bit b is set iff ones
+    * outnumber zeros among the feature hashes — a single
+    * map-side-combined pass whose shuffle carries one 520-byte buffer
+    * per key (the 65-column declarative version it replaced spent more
+    * time compiling its generated update function than aggregating). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(MinHash.shingleHashesCol(col("text"))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashFunctions.simhash_agg(col("h")).as("simhash"))
 
   /** `dedup_simhash`: near-dup pairs at hamming distance <= MaxHamming.
     * Declared without a SQL oracle (bit-vote aggregation is not sanely

@@ -53,30 +53,67 @@ object TextOps {
   }
 
   /** `dedup_ngram_jaccard`: exact near-dup pairs by Jaccard over word
-    * 3-shingle sets, via an inverted-index self-join on shingles (docs
-    * only meet where they share a shingle — an equi-join, not a cross
-    * join). At 100 TB you would pre-filter candidates with the MinHash
-    * bands first; the verification math here is the exact counterpart. */
+    * 3-shingle sets — the AllPairs/PPJoin prefix-filter algorithm
+    * (Bayardo/Ma/Srikant WWW'07, Xiao et al.), which is what survives
+    * 100 TB:
+    *
+    *  1. canonicalize each doc's shingle-hash set in ascending global
+    *     document frequency (rarest first — frequent shingles, the n²
+    *     troublemakers, fall out of every prefix);
+    *  2. two docs with Jaccard >= τ must share a shingle within each
+    *     one's first `n - ceil(τ·n) + 1` canonical positions (the
+    *     smallest common element lands in both prefixes), so the
+    *     candidate join is an equi-join on *prefix* shingles only —
+    *     plus the |A| >= τ·|B| size filter;
+    *  3. candidates are verified exactly on full shingle sets.
+    *
+    * The naive inverted-index self-join this replaced produced 1.27M
+    * candidate pairs at sf0.1 (nearly all noise: only hundreds survive
+    * τ=0.5) because the synthetic corpus's small vocabulary makes every
+    * frequent shingle a quadratic bucket. */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
-    // join on 64-bit shingle hashes, not strings: the shuffled rows are
-    // (long, long, int) instead of carrying ~20-byte shingle text, and the
-    // join compares longs. xxhash64 collisions would perturb Jaccard by
-    // ~1/|shingles| with probability ~n²/2^64 — negligible and checked by
-    // the exact-string oracle at the correctness gate.
-    val sh = Tables.documents(spark, sfDir)
-      .select($"doc_id", MinHash.shinglesCol($"text").as("sh"))
-      .select($"doc_id", size($"sh").as("n"),
-        explode(transform($"sh", s => xxhash64(s))).as("tok"))
-    val a = sh.select($"doc_id".as("doc_a"), $"n".as("na"), $"tok")
-    val b = sh.select($"doc_id".as("doc_b"), $"n".as("nb"), $"tok")
-    a.join(b, Seq("tok"))
-      .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
-      .agg(count(lit(1)).as("inter"))
+    // canonical set order = ascending hash (sorted inside the shingle
+    // expression); a global frequency ordering would tighten prefixes
+    // further on Zipfian corpora, but this corpus's shingle frequencies
+    // are flat (measured: df-ordering cut candidates only 1.27M -> 310k
+    // while costing 3 extra shuffles; hash order + the positional filter
+    // below does strictly better with none)
+    val sets = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        graft.functions.ShingleFunctions
+          .word_shingle_hashes($"text", MinHash.ShingleSize, sorted = true).as("toks"))
+      .select($"doc_id", $"toks", size($"toks").as("n"))
+    val prefixLen = ($"n" - ceil($"n" * lit(threshold)) + 1).cast("int")
+    val prefixes = sets
+      .select($"doc_id", $"n", posexplode(slice($"toks", lit(1), prefixLen)))
+      .toDF("doc_id", "n", "pos", "tok")
+    val a = prefixes.select($"doc_id".as("doc_a"), $"n".as("na"), $"pos".as("pa"), $"tok")
+    val b = prefixes.select($"doc_id".as("doc_b"), $"n".as("nb"), $"pos".as("pb"), $"tok")
+    // required overlap for Jaccard >= τ: α = τ/(1+τ)·(na+nb); positional
+    // filter: at the pair's first (smallest) common token, everything
+    // before pa/pb is disjoint, so overlap <= 1 + min(na-pa, nb-pb) - 1
+    val alpha = lit(threshold / (1.0 + threshold)) * ($"na" + $"nb") - lit(1e-9)
+    val cand = a.join(b, Seq("tok"))
+      .filter($"doc_a" < $"doc_b" &&
+        $"na" >= $"nb" * threshold && $"nb" >= $"na" * threshold &&
+        (least($"na" - $"pa", $"nb" - $"pb")) >= alpha)
+      .select($"doc_a", $"doc_b")
+    // exact verify: candidate multiplicity is ~1.05 so verifying before
+    // deduping trades a wide 200k-row shuffle for a few percent repeated
+    // O(|set|) merge scans; the doc-set side is a broadcast (per-executor
+    // map at cluster scale), and the intersection is the codegen merge
+    // scan over the sorted hash arrays — no per-pair allocation
+    cand
+      .join(broadcast(sets.select($"doc_id".as("doc_a"), $"toks".as("ta"), $"n".as("na"))), "doc_a")
+      .join(broadcast(sets.select($"doc_id".as("doc_b"), $"toks".as("tb"), $"n".as("nb"))), "doc_b")
       .select($"doc_a", $"doc_b",
-        round($"inter".cast(DoubleType) / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
+        graft.functions.ArrayFunctions.sorted_intersect_count($"ta", $"tb")
+          .cast(DoubleType).as("inter"), $"na", $"nb")
+      .select($"doc_a", $"doc_b",
+        round($"inter" / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
       .filter($"jaccard" >= threshold)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -163,7 +200,7 @@ object TextOps {
   val FingerprintWindow = 4
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val hashes = transform(MinHash.shinglesCol($"text"), s => xxhash64(s))
+    val hashes = MinHash.shingleHashesCol($"text")
     val minima = transform(
       sequence(lit(0), greatest(size(hashes) - FingerprintWindow, lit(0))),
       i => array_min(slice(hashes, i + 1, lit(FingerprintWindow))))

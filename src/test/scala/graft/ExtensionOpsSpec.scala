@@ -57,7 +57,9 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val e = Tables.embeddings(spark, sf).limit(20)
-    val buckets = e.select((col("vec_id") +: EmbedLsh.bucketCols(col("embedding"))): _*)
+    val buckets = e.select(col("vec_id"),
+      EmbedLsh.bucketsCol(col("embedding")).getItem(0).as("t0"),
+      EmbedLsh.bucketsCol(col("embedding")).getItem(5).as("t5"))
     val twice = buckets.union(buckets).groupBy("vec_id")
       .agg(countDistinct(col("t0"), col("t5")).as("n")).filter(col("n") > 1).count()
     assert(twice == 0) // deterministic bucketing
