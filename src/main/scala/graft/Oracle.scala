@@ -34,6 +34,10 @@ object Oracle {
     // and streaming ≡ batch through DuckDB.
     "cdc_latest_state_salted" -> latestStateSql,
     "cdc_stream_windowed"     -> tumblingSql,
+    // safe because the staged replay is event-time-ordered (see
+    // StreamingLatest.streamStateful): the watermark never drops a
+    // key's winning event, so streaming state ≡ batch latest-wins.
+    "cdc_stream_stateful"     -> latestStateSql,
 
     // ── Group A: CDC semantics on `events` ────────────────────────────
     "cdc_op_classify" ->
@@ -125,6 +129,19 @@ object Oracle {
                 round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""",
 
+    "cdc_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "cdc_scd2_history" ->
+      """SELECT user_id, event_id, event_type,
+                epoch_us(ts) AS valid_from_us,
+                lead(epoch_us(ts)) OVER w AS valid_to_us,
+                CASE WHEN lead(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ORDER BY user_id, valid_from_us, event_id""",
+
     // ── Group B: relational core on the star schema ───────────────────
     "scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
@@ -200,6 +217,52 @@ object Oracle {
            JOIN orders   ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "join_outer_coalesce" ->
+      """SELECT o_orderkey, o_orderstatus,
+                coalesce(r.rev, 0.0) AS recent_revenue,
+                coalesce(r.n, 0) AS n_recent_items
+         FROM orders LEFT JOIN (
+           SELECT l_orderkey,
+                  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS rev,
+                  count(*) AS n
+           FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+           GROUP BY l_orderkey) r ON o_orderkey = r.l_orderkey
+         ORDER BY o_orderkey""",
+
+    "join_range_bucketed" ->
+      """SELECT e.event_id AS err_id, count(*) AS n_nearby_clicks
+         FROM events e JOIN events c
+           ON e.event_type = 'error' AND c.event_type = 'click'
+          AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+         GROUP BY e.event_id ORDER BY err_id""",
+
+    "window_ntile_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+                ntile(4) OVER w AS quartile,
+                floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS pct_rank,
+                floor(cume_dist() OVER w * 10000.0 + 0.5) / 10000.0 AS cume,
+                dense_rank() OVER w AS bal_rank
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
+
+    "window_range_days" ->
+      """SELECT o_custkey, o_orderkey, days,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+                  (PARTITION BY o_custkey ORDER BY days
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS rev_30d
+         FROM (SELECT *, date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days
+               FROM orders)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "agg_conditional" ->
+      """SELECT o_orderpriority,
+                count(*) AS n_orders,
+                count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+                count(*) FILTER (WHERE o_orderstatus = 'O' AND o_totalprice < 50000.0) AS n_open_small,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 4) AS sum_finished
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "subquery_scalar" ->
       """SELECT p_partkey, p_brand, p_retailprice
@@ -380,6 +443,22 @@ object Oracle {
     "dedup_exact_hash" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
          FROM documents GROUP BY sha256(text) ORDER BY doc_id""",
+
+    "text_clean_normalize" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS clean_md5,
+                length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS clean_len,
+                len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS n_clean_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "vec_top_dims" ->
+      """SELECT vec_id, rk, dim, round(CAST(v AS DOUBLE), 4) AS dim_value
+         FROM (SELECT vec_id, dim, v,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, dim) AS rk
+               FROM (SELECT vec_id, unnest(embedding) AS v,
+                            unnest(range(len(embedding))) AS dim
+                     FROM embeddings WHERE vec_id < 10))
+         WHERE rk <= 3 ORDER BY vec_id, rk""",
 
     "text_tokenize_counts" ->
       """SELECT token, count(*) AS n

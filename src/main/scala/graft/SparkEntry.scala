@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.cdc.{Changelog, Envelope, StreamingLatest}
-import graft.llm.{EmbedLsh, MinHash, SimHash, TextOps, VectorOps}
+import graft.llm.{EmbedLsh, IvfAnn, MinHash, SimHash, TextOps, VectorOps}
 import graft.mm.MultiModal
 import graft.rel.Relational
 
@@ -32,8 +32,10 @@ object SparkEntry {
     "cdc_json_roundtrip"   -> ((s, d) => Changelog.jsonRoundtrip(s, d)),
     "cdc_latest_state_salted" -> ((s, d) => Changelog.latestStateSalted(s, d)),
     "cdc_stream_windowed"  -> ((s, d) => StreamingLatest.streamWindowed(s, d)),
+    "cdc_stream_dedup"     -> ((s, d) => StreamingLatest.streamDedup(s, d)),
     "join_asof_attribution" -> ((s, d) => Changelog.asofAttribution(s, d)),
     "cdc_sessionize"       -> ((s, d) => Changelog.sessionize(s, d)),
+    "cdc_scd2_history"     -> ((s, d) => Changelog.scd2History(s, d)),
     // Group B — relational core
     "scan_filter_project"  -> ((s, d) => Relational.scanFilterProject(s, d)),
     "agg_pricing_summary"  -> ((s, d) => Relational.aggPricingSummary(s, d)),
@@ -41,6 +43,8 @@ object SparkEntry {
     "join_5way_revenue"    -> ((s, d) => Relational.join5WayRevenue(s, d)),
     "join_semi"            -> ((s, d) => Relational.joinSemi(s, d)),
     "join_anti"            -> ((s, d) => Relational.joinAnti(s, d)),
+    "join_outer_coalesce"  -> ((s, d) => Relational.joinOuterCoalesce(s, d)),
+    "join_range_bucketed"  -> ((s, d) => Relational.joinRangeBucketed(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
     "q18_large_orders"     -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "subquery_scalar"      -> ((s, d) => Relational.subqueryScalar(s, d)),
@@ -48,6 +52,9 @@ object SparkEntry {
     "window_topk_group"    -> ((s, d) => Relational.windowTopkGroup(s, d)),
     "window_running_sum"   -> ((s, d) => Relational.windowRunningSum(s, d)),
     "window_lag_lead"      -> ((s, d) => Relational.windowLagLead(s, d)),
+    "window_ntile_rank"    -> ((s, d) => Relational.windowNtileRank(s, d)),
+    "window_range_days"    -> ((s, d) => Relational.windowRangeDays(s, d)),
+    "agg_conditional"      -> ((s, d) => Relational.aggConditional(s, d)),
     "agg_grouping_sets"    -> ((s, d) => Relational.aggGroupingSets(s, d)),
     "sort_limit_topk"      -> ((s, d) => Relational.sortLimitTopk(s, d)),
     "agg_distinct"         -> ((s, d) => Relational.aggDistinct(s, d)),
@@ -77,6 +84,9 @@ object SparkEntry {
     "dedup_simhash"        -> ((s, d) => SimHash.dedupSimhash(s, d)),
     "dedup_embed_cosine"   -> ((s, d) => EmbedLsh.dedupEmbedCosine(s, d)),
     "sim_ann_lsh"          -> ((s, d) => EmbedLsh.simAnnLsh(s, d)),
+    "sim_ann_ivf"          -> ((s, d) => IvfAnn.simAnnIvf(s, d)),
+    "vec_top_dims"         -> ((s, d) => VectorOps.vecTopDims(s, d)),
+    "text_clean_normalize" -> ((s, d) => TextOps.cleanNormalize(s, d)),
     "text_lang_id"         -> ((s, d) => TextOps.langId(s, d)),
     "text_quality_score"   -> ((s, d) => TextOps.qualityScore(s, d)),
     "text_token_regex"     -> ((s, d) => TextOps.tokenRegexCounts(s, d)),

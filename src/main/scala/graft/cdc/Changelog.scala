@@ -221,6 +221,26 @@ object Changelog {
       .orderBy($"user_id", $"session_start_us")
   }
 
+  /** `cdc_scd2_history`: slowly-changing-dimension type-2 history build —
+    * every change event becomes a version row with a validity interval
+    * [valid_from, valid_to) closed by the key's next change (`lead` over
+    * the per-key change order), open (null + is_current) for the latest.
+    * This is the standard "CDC log → queryable history table"
+    * materialization, the temporal complement of latest-wins (R4): one
+    * window over the same per-key ordering, no join. */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      .withColumn("valid_to_us", lead($"ts_us", 1).over(w))
+      .select(
+        $"user_id", $"event_id", $"event_type",
+        $"ts_us".as("valid_from_us"), $"valid_to_us",
+        $"valid_to_us".isNull.cast(IntegerType).as("is_current"))
+      .orderBy($"user_id", $"valid_from_us", $"event_id")
+  }
+
   /** R7/R18 (batch shape): 1-hour tumbling window x event_type.
     * Decimal-cast sums make the aggregate exact and order-insensitive, so
     * the result is bit-stable across partition orderings (and matches the

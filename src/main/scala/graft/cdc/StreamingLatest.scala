@@ -49,7 +49,7 @@ object StreamingLatest {
     * bounded final state is the full answer) — the streaming twin of the
     * batch `cdc_stream_tumbling`, sharing its oracle SQL: the gate checks
     * streaming/batch equivalence through DuckDB. */
-  def streamWindowed(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+  def streamWindowed(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val runDir = Files.createTempDirectory(
@@ -94,6 +94,60 @@ object StreamingLatest {
       .orderBy($"bucket_ms", $"event_type")
   }
 
+  /** `cdc_stream_dedup`: streaming exactly-once dedup — the at-least-once
+    * delivery repair every CDC consumer needs (the reference worker's
+    * offset tracking is at-least-once: connect-standalone.properties:4-5,
+    * re-delivery on crash replays events). The staged input is the event
+    * log TWICE (two files, so the replay arrives in a later micro-batch);
+    * `dropDuplicatesWithinWatermark` on the record key keeps state only
+    * within the watermark horizon — bounded state at 100 TB, unlike plain
+    * dropDuplicates whose key state grows forever. A replayed record is
+    * either deduped against state (inside the horizon) or dropped as
+    * late (behind it) — both paths erase the duplicate, which is why the
+    * result can share the exact batch oracle (per-type counts of the
+    * single-copy log). */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
+    import spark.implicits._
+    val runDir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
+        "/root/repo/target/stream-tmp"))), "rund")
+    val inDir   = s"$runDir/in"
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val batch = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"event_type")
+    batch.coalesce(1).write.mode("overwrite").parquet(inDir)
+    batch.coalesce(1).write.mode("append").parquet(inDir) // the replay
+
+    val deduped = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val q = deduped.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(inDir)); rm(Paths.get(ckptDir))
+
+    spark.read.parquet(outDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
   /** Keep the max-(ts_us, event_id) record per key; emit the new latest on
     * every update (OutputMode.Update). */
   private[graft] def updateKey(userId: Long, it: Iterator[Ev],
@@ -113,10 +167,12 @@ object StreamingLatest {
 
   /** `cdc_stream_stateful`: run the streaming query to completion over the
     * events parquet (Trigger.AvailableNow) and return the final keyed
-    * state. Declared without a SQL oracle; StreamingSpec asserts
-    * equivalence with the batch `cdc_latest_state` (SIGMOD'18
-    * batch/streaming-equivalence argument, PAPERS.md). */
-  def streamStateful(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    * state. Shares the batch `cdc_latest_state` DuckDB oracle — sound
+    * because the staged replay below is event-time-ordered, so the
+    * watermark can never drop a key's winning event (the SIGMOD'18
+    * batch/streaming-equivalence argument, PAPERS.md; StreamingSpec
+    * additionally asserts the equivalence in-process at smoke scale). */
+  def streamStateful(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
     import spark.implicits._
     val runDir = Files.createTempDirectory(
       Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
@@ -127,10 +183,25 @@ object StreamingLatest {
 
     // The file stream source needs a directory; stage the changelog into
     // one, split into several files so maxFilesPerTrigger=1 actually
-    // exercises incremental multi-batch state updates.
+    // exercises incremental multi-batch state updates. The split is BY
+    // EVENT TIME (median cut, written oldest-half first so file mtime
+    // order = event-time order): the file source replays batches in
+    // mtime order, so no event can arrive more than the watermark delay
+    // behind the max event time already seen — replay order is exactly
+    // the ordering contract a CDC log/Kafka topic gives the connector
+    // (reference: offset-ordered partition 0, rpk_topic_consume.json).
+    // This makes the watermark safe to honor strictly, which is what
+    // lets the streaming result share the batch latest-state oracle.
     val batch = graft.Tables.events(spark, sfDir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-    batch.repartition(2).write.mode("overwrite").parquet(inDir)
+    // any time cut works (ordering is what matters, not balance), so use
+    // the cheap (min+max)/2 midpoint instead of an exact median sort
+    val mm = batch.agg(unix_micros(min($"ts")), unix_micros(max($"ts"))).first()
+    val midUs = (mm.getLong(0) + mm.getLong(1)) / 2
+    batch.filter(unix_micros($"ts") <= midUs)
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    batch.filter(unix_micros($"ts") > midUs)
+      .coalesce(1).write.mode("append").parquet(inDir)
 
     val updates = spark.readStream
       .schema(batch.schema)

@@ -210,6 +210,24 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_clean_normalize`: the standard LLM-corpus cleaning pass —
+    * lowercase, strip non-alphanumerics, collapse runs of whitespace,
+    * trim — emitted as a content digest + length features rather than
+    * the cleaned text itself (at 100 TB the digest IS the dedup key;
+    * shuffling cleaned bodies around is the anti-pattern). Pure codegen
+    * string expressions, no UDF. */
+  def cleanNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cleaned = trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        md5(cleaned).as("clean_md5"),
+        length(cleaned).as("clean_len"),
+        size(split(cleaned, " ")).as("n_clean_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** `text_lang_stats`: per-language doc count, avg chars, avg tokens.
     * Integer sums keep averages exact (no FP merge-order wobble). */
   def langStats(spark: SparkSession, sfDir: String): DataFrame = {

@@ -48,6 +48,25 @@ object VectorOps {
       .orderBy($"label")
   }
 
+  /** `vec_top_dims`: per-vector top-3 dimensions by activation — the
+    * posexplode + ranked-window reshape (vector → long form with
+    * ordinal) every embedding-inspection pipeline needs. Bounded to the
+    * probe set (vec_id < 10); at scale the same plan runs per-partition
+    * with the window keyed by vec_id, no global sort. */
+  def vecTopDims(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"v".desc, $"dim")
+    Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < 10)
+      .select($"vec_id", posexplode($"embedding"))
+      .toDF("vec_id", "dim", "v")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"vec_id", $"rk", $"dim", round($"v".cast(DoubleType), 4).as("dim_value"))
+      .orderBy($"vec_id", $"rk")
+  }
+
   /** `sim_topk_cosine`: top-10 nearest neighbours of probe vec_id=0 by
     * cosine. Probe is a 1-row broadcast; ranking is on the raw cosine
     * (vec_id tie-break), output is rounded and re-sorted by vec_id so the

@@ -472,6 +472,106 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** `join_outer_coalesce`: left outer join with null-repair — every
+    * order, with revenue from its 1998+ shipments or 0. The aggregate
+    * runs BEFORE the join (pre-aggregated outer side), so the outer join
+    * matches at most one build row per order — no row explosion at
+    * scale, and the unmatched side is a plain null-fill. */
+  def joinOuterCoalesce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val recent = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .groupBy($"l_orderkey")
+      .agg(
+        round(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("rev"),
+        count(lit(1)).as("n"))
+    Tables.orders(spark, sfDir)
+      .join(recent, $"o_orderkey" === $"l_orderkey", "left_outer")
+      .select(
+        $"o_orderkey", $"o_orderstatus",
+        coalesce($"rev", lit(0.0)).as("recent_revenue"),
+        coalesce($"n", lit(0L)).as("n_recent_items"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** `window_ntile_rank`: distribution window functions — quartile,
+    * percent_rank, cume_dist, dense_rank per segment over acctbal. The
+    * window ordering is total (custkey tie-break) so rank functions are
+    * engine-independent. */
+  def windowNtileRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(spark, sfDir)
+      .select(
+        $"c_custkey", $"c_mktsegment", $"c_acctbal",
+        ntile(4).over(w).as("quartile"),
+        graft.Det.r4(percent_rank().over(w)).as("pct_rank"),
+        graft.Det.r4(cume_dist().over(w)).as("cume"),
+        dense_rank().over(w).as("bal_rank"))
+      .orderBy($"c_custkey")
+  }
+
+  /** `window_range_days`: a RANGE frame over a day offset — running
+    * 30-day revenue per customer. The frame key is an integer day count
+    * (timestamp RANGE frames are not portable across engines); peers on
+    * the same day aggregate together in both engines by definition of
+    * RANGE, so no tie-break is needed for determinism. */
+  def windowRangeDays(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"days")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("days",
+        datediff($"o_orderdate".cast(TimestampType), lit(java.sql.Date.valueOf("1992-01-01"))))
+      .select(
+        $"o_custkey", $"o_orderkey", $"days",
+        round(sum($"o_totalprice".cast(DecimalType(18, 4))).over(w).cast(DoubleType), 4)
+          .as("rev_30d"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** `agg_conditional`: FILTER-style conditional aggregation — count_if
+    * and predicated sums inside one grouped pass (one scan, one shuffle,
+    * regardless of how many predicates). */
+  def aggConditional(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_if($"o_totalprice" > 200000.0).as("n_big"),
+        count_if($"o_orderstatus" === "O" && $"o_totalprice" < 50000.0).as("n_open_small"),
+        round(dsum(when($"o_orderstatus" === "F", $"o_totalprice")), 4).as("sum_finished"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** `join_range_bucketed`: interval join via time bucketing — clicks
+    * within ±5 minutes of each error event. The scale path for a range
+    * join: quantize both sides to 5-minute buckets, explode the probe
+    * side into its 3 adjacent buckets, equi-join on the bucket, then
+    * apply the exact |Δt| predicate as a residual filter. Each true
+    * pair meets exactly once (at the click's own bucket), so no
+    * dedup — unlike the naive θ-join, which is a broadcast nested loop
+    * (quadratic) the moment Catalyst sees the inequality predicate. */
+  def joinRangeBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val WinUs = 300000000L // 5 minutes in microseconds
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", expr("ts_ns div 1000").as("us"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"us".as("click_us"),
+        expr(s"us div ${WinUs}L").as("bucket"))
+    val errs = ev.filter($"event_type" === "error")
+      .select($"event_id".as("err_id"), $"us".as("err_us"),
+        expr(s"us div ${WinUs}L").as("b"))
+      .select($"err_id", $"err_us", explode(array($"b" - 1, $"b", $"b" + 1)).as("bucket"))
+    errs.join(clicks, "bucket")
+      .filter(abs($"err_us" - $"click_us") <= WinUs)
+      .groupBy($"err_id")
+      .agg(count(lit(1)).as("n_nearby_clicks"))
+      .orderBy($"err_id")
+  }
+
   /** `agg_approx_distinct`: HLL++ approximate distinct users per type (no
     * SQL oracle — approximate; bounds are property-tested vs the exact
     * count in RelationalSpec). */

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{Changelog, StreamingLatest}
+import graft.llm.{IvfAnn, TextOps, VectorOps}
+import graft.rel.Relational
+
+/** Specs for the round-2 operator additions (SURVEY.md §2.2 updates):
+  * outer/range joins, distribution windows, conditional aggregation,
+  * SCD2 history, IVF ANN, text cleaning, and streaming dedup. */
+class Round2OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.Sf
+
+  test("join_outer_coalesce: one row per order, unmatched orders get 0") {
+    val s = spark
+    import s.implicits._
+    val out = Relational.joinOuterCoalesce(spark, sf)
+    assert(out.count() == Tables.orders(spark, sf).count())
+    assert(out.filter($"recent_revenue" === 0.0 && $"n_recent_items" === 0).count() > 0)
+    assert(out.filter($"recent_revenue" < 0.0).count() == 0)
+  }
+
+  test("join_range_bucketed agrees with the naive theta-join on a sample") {
+    val s = spark
+    import s.implicits._
+    val out = Relational.joinRangeBucketed(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive recount for 5 error events
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"event_type", expr("ts_ns div 1000").as("us"))
+    val errs = ev.filter($"event_type" === "error").limit(5).collect()
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"us").collect().map(_.getLong(0))
+    errs.foreach { e =>
+      val us = e.getAs[Long]("us")
+      val expected = clicks.count(c => math.abs(c - us) <= 300000000L)
+      assert(out.getOrElse(e.getAs[Long]("event_id"), 0L) == expected)
+    }
+  }
+
+  test("window_ntile_rank: quartiles balanced, pct_rank within [0,1]") {
+    val s = spark
+    import s.implicits._
+    val out = Relational.windowNtileRank(spark, sf)
+    assert(out.filter($"pct_rank" < 0.0 || $"pct_rank" > 1.0).count() == 0)
+    val sizes = out.groupBy($"c_mktsegment", $"quartile").count()
+      .groupBy($"c_mktsegment").agg((max($"count") - min($"count")).as("spread"))
+    assert(sizes.filter($"spread" > 1).count() == 0) // ntile balance invariant
+  }
+
+  test("window_range_days >= own totalprice and >= rows-frame equivalent lower bound") {
+    val s = spark
+    import s.implicits._
+    val joined = Relational.windowRangeDays(spark, sf)
+      .join(Tables.orders(spark, sf), "o_orderkey")
+    assert(joined.filter($"rev_30d" < $"o_totalprice" - 0.01).count() == 0)
+  }
+
+  test("agg_conditional counts partition the total") {
+    val s = spark
+    import s.implicits._
+    val out = Relational.aggConditional(spark, sf)
+    assert(out.filter($"n_big" > $"n_orders" || $"n_open_small" > $"n_orders").count() == 0)
+    val n = out.agg(sum($"n_orders")).collect().head.getLong(0)
+    assert(n == Tables.orders(spark, sf).count())
+  }
+
+  test("cdc_scd2_history: intervals chain per key, one current row per key") {
+    val s = spark
+    import s.implicits._
+    val h = Changelog.scd2History(spark, sf)
+    val keys = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(h.filter($"is_current" === 1).count() == keys)
+    // next version starts exactly where the previous one ends
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"valid_from_us", $"event_id")
+    val broken = h.withColumn("next_from", lead($"valid_from_us", 1).over(w))
+      .filter($"valid_to_us".isNotNull && $"valid_to_us" =!= $"next_from")
+    assert(broken.count() == 0)
+  }
+
+  test("sim_ann_ivf: deterministic, correctly ranked, overlaps exact top-10") {
+    val ann1 = IvfAnn.simAnnIvf(spark, sf).collect()
+    val ann2 = IvfAnn.simAnnIvf(spark, sf).collect()
+    assert(ann1.toSeq == ann2.toSeq)
+    assert(ann1.nonEmpty && ann1.length <= 10)
+    val cos = ann1.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(cos == cos.sorted.reverse)
+    val exact = VectorOps.simTopkCosine(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(ann1.map(_.getAs[Long]("vec_id")).toSet.intersect(exact).nonEmpty)
+  }
+
+  test("text_clean_normalize: cleaning is idempotent on already-clean text") {
+    val s = spark
+    import s.implicits._
+    // corpus text is lowercase space-separated -> cleaning must be identity
+    val joined = TextOps.cleanNormalize(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .filter(md5($"text") =!= $"clean_md5" || length($"text") =!= $"clean_len")
+    assert(joined.count() == 0)
+  }
+
+  test("cdc_stream_dedup: doubled replay collapses to single-copy counts") {
+    val s = spark
+    import s.implicits._
+    val out = StreamingLatest.streamDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf).groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == exact)
+  }
+}
