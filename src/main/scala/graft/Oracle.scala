@@ -133,6 +133,14 @@ object Oracle {
       """SELECT event_type, count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "cdc_stream_join" ->
+      """SELECT p.event_id AS purchase_event_id, c.event_id AS click_event_id
+         FROM events p JOIN events c
+           ON p.event_type = 'purchase' AND c.event_type = 'click'
+          AND p.user_id = c.user_id
+          AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+         ORDER BY purchase_event_id, click_event_id""",
+
     "cdc_scd2_history" ->
       """SELECT user_id, event_id, event_type,
                 epoch_us(ts) AS valid_from_us,
@@ -255,6 +263,37 @@ object Oracle {
          FROM (SELECT *, date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days
                FROM orders)
          ORDER BY o_custkey, o_orderkey""",
+
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                first_value(o_totalprice) OVER w AS first_price,
+                last_value(o_totalprice)  OVER w AS last_price,
+                nth_value(o_totalprice, 2) OVER w AS second_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "agg_min_max_by" ->
+      """SELECT c_mktsegment,
+                arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest,
+                arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS poorest,
+                round(max(c_acctbal), 4) AS max_bal,
+                round(min(c_acctbal), 4) AS min_bal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "join_cross_dims" ->
+      """SELECT r_regionkey, n_nationkey, r_name || '/' || n_name AS pair
+         FROM region CROSS JOIN nation
+         ORDER BY r_regionkey, n_nationkey""",
+
+    "date_arith_funcs" ->
+      """SELECT o_orderkey,
+                epoch_ms(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)) AS plus3m_ms,
+                epoch_ms(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS month_end_ms,
+                quarter(CAST(o_orderdate AS DATE)) AS qtr,
+                dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow
+         FROM orders ORDER BY o_orderkey""",
 
     "agg_conditional" ->
       """SELECT o_orderpriority,

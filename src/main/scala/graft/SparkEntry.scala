@@ -33,6 +33,7 @@ object SparkEntry {
     "cdc_latest_state_salted" -> ((s, d) => Changelog.latestStateSalted(s, d)),
     "cdc_stream_windowed"  -> ((s, d) => StreamingLatest.streamWindowed(s, d)),
     "cdc_stream_dedup"     -> ((s, d) => StreamingLatest.streamDedup(s, d)),
+    "cdc_stream_join"      -> ((s, d) => StreamingLatest.streamJoin(s, d)),
     "join_asof_attribution" -> ((s, d) => Changelog.asofAttribution(s, d)),
     "cdc_sessionize"       -> ((s, d) => Changelog.sessionize(s, d)),
     "cdc_scd2_history"     -> ((s, d) => Changelog.scd2History(s, d)),
@@ -54,7 +55,11 @@ object SparkEntry {
     "window_lag_lead"      -> ((s, d) => Relational.windowLagLead(s, d)),
     "window_ntile_rank"    -> ((s, d) => Relational.windowNtileRank(s, d)),
     "window_range_days"    -> ((s, d) => Relational.windowRangeDays(s, d)),
+    "window_first_last"    -> ((s, d) => Relational.windowFirstLast(s, d)),
     "agg_conditional"      -> ((s, d) => Relational.aggConditional(s, d)),
+    "agg_min_max_by"       -> ((s, d) => Relational.aggMinMaxBy(s, d)),
+    "join_cross_dims"      -> ((s, d) => Relational.joinCrossDims(s, d)),
+    "date_arith_funcs"     -> ((s, d) => Relational.dateArithFuncs(s, d)),
     "agg_grouping_sets"    -> ((s, d) => Relational.aggGroupingSets(s, d)),
     "sort_limit_topk"      -> ((s, d) => Relational.sortLimitTopk(s, d)),
     "agg_distinct"         -> ((s, d) => Relational.aggDistinct(s, d)),

@@ -148,6 +148,67 @@ object StreamingLatest {
       .orderBy($"event_type")
   }
 
+  /** `cdc_stream_join`: watermarked stream-stream interval join — each
+    * purchase joined to the same user's clicks from the preceding hour,
+    * both sides live streams. The time-bound join condition plus the
+    * two watermarks is what lets Spark evict join state (a click older
+    * than purchase-watermark − 1 h can never match a future purchase),
+    * so state stays bounded at 100 TB. The staged replay is event-time-
+    * ordered (same files as streamStateful's contract): eviction then
+    * provably never races a pending match — every batch-2 purchase
+    * needs clicks newer than (watermark − 1 h), which are still in
+    * state — so the streaming result shares an exact batch oracle. */
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
+    import spark.implicits._
+    val runDir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
+        "/root/repo/target/stream-tmp"))), "runj")
+    val inDir   = s"$runDir/in"
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val batch = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    val mm = batch.agg(unix_micros(min($"ts")), unix_micros(max($"ts"))).first()
+    val midUs = (mm.getLong(0) + mm.getLong(1)) / 2
+    batch.filter(unix_micros($"ts") <= midUs)
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    batch.filter(unix_micros($"ts") > midUs)
+      .coalesce(1).write.mode("append").parquet(inDir)
+
+    def src() = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val purchases = src().filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"), $"user_id".as("p_user"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src().filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"ts".as("c_ts"), $"user_id".as("c_user"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"))
+      .select($"p_id".as("purchase_event_id"), $"c_id".as("click_event_id"))
+
+    val q = joined.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(inDir)); rm(Paths.get(ckptDir))
+
+    spark.read.parquet(outDir)
+      .orderBy($"purchase_event_id", $"click_event_id")
+  }
+
   /** Keep the max-(ts_us, event_id) record per key; emit the new latest on
     * every update (OutputMode.Update). */
   private[graft] def updateKey(userId: Long, it: Iterator[Ev],

@@ -472,6 +472,70 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** `window_first_last`: value-navigation window functions — first,
+    * last, and 2nd order price within each customer's full history
+    * (unbounded frame so last_value/nth_value see the whole partition,
+    * the standard gotcha with their default frame). */
+  def windowFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(
+        $"o_custkey", $"o_orderkey", $"o_totalprice",
+        first($"o_totalprice").over(w).as("first_price"),
+        last($"o_totalprice").over(w).as("last_price"),
+        nth_value($"o_totalprice", 2).over(w).as("second_price"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** `agg_min_max_by`: argmax/argmin aggregation — the customer holding
+    * each segment's max/min balance. The ordering key folds in custkey
+    * (acctbal is not unique) so both engines pick the same winner. */
+  def aggMinMaxBy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // unique ranking key: acctbal (2 decimals, < 10^5) in cents, then
+    // custkey; round BEFORE the long cast — Spark's double→long cast
+    // truncates while DuckDB's rounds, and 2-dp money in binary sits a
+    // hair below its integer cent value
+    val rank = (round($"c_acctbal" * 100).cast(LongType) * 10000000L + $"c_custkey")
+    Tables.customer(spark, sfDir)
+      .groupBy($"c_mktsegment")
+      .agg(
+        max_by($"c_name", rank).as("richest"),
+        min_by($"c_name", rank).as("poorest"),
+        round(max($"c_acctbal"), 4).as("max_bal"),
+        round(min($"c_acctbal"), 4).as("min_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** `join_cross_dims`: explicit cartesian product of two dimension
+    * tables (the only join shape where a cross join is legitimate —
+    * both sides are tiny and broadcastable; a label matrix). */
+  def joinCrossDims(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.region(spark, sfDir).select($"r_regionkey", $"r_name")
+      .crossJoin(broadcast(Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")))
+      .select($"r_regionkey", $"n_nationkey",
+        concat_ws("/", $"r_name", $"n_name").as("pair"))
+      .orderBy($"r_regionkey", $"n_nationkey")
+  }
+
+  /** `date_arith_funcs`: calendar arithmetic — add_months (with its
+    * month-end clamp), last_day, quarter, day-of-week bucketing. */
+  def dateArithFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = $"o_orderdate".cast(TimestampType).cast(DateType)
+    Tables.orders(spark, sfDir)
+      .select(
+        $"o_orderkey",
+        unix_millis(add_months(d, 3).cast(TimestampType)).as("plus3m_ms"),
+        unix_millis(last_day(d).cast(TimestampType)).as("month_end_ms"),
+        quarter(d).as("qtr"),
+        dayofweek(d).as("dow"))
+      .orderBy($"o_orderkey")
+  }
+
   /** `join_outer_coalesce`: left outer join with null-repair — every
     * order, with revenue from its 1998+ shipments or 0. The aggregate
     * runs BEFORE the join (pre-aggregated outer side), so the outer join
