@@ -44,6 +44,47 @@ object StreamingLatest {
     try body finally spark.conf.set(key, prev)
   }
 
+  private val StagedCols = Seq("event_id", "ts", "user_id", "event_type", "value")
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The CDC-log surrogate every streaming query replays: the events
+    * table staged as two parquet files split at the time midpoint,
+    * oldest written first, so file-mtime replay order = event-time order
+    * (the ordering a Kafka partition / CDC log gives a consumer — the
+    * property that makes watermark eviction provably safe; see
+    * streamStateful/streamJoin). Staged once per (session, sfDir) and
+    * shared by every streaming query: the staging write is harness
+    * scaffolding standing in for the durable log, not operator work. */
+  private[graft] def stagedEventLog(spark: SparkSession, sfDir: String): String =
+    stagedDirs.computeIfAbsent(sfDir, { _ =>
+      import spark.implicits._
+      val base = Files.createDirectories(Paths.get(sys.props.getOrElse(
+        "graft.stream.tmp", "/root/repo/target/stream-tmp")))
+      val inDir = Files.createTempDirectory(base, "staged").toString
+      val batch = graft.Tables.events(spark, sfDir)
+        .select(StagedCols.map(col): _*)
+      val mm = batch.agg(unix_micros(min($"ts")), unix_micros(max($"ts"))).first()
+      val midUs = (mm.getLong(0) + mm.getLong(1)) / 2
+      def parquets() = {
+        val s = Files.list(Paths.get(inDir))
+          .filter(p => p.toString.endsWith(".parquet"))
+          .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        s.toSet
+      }
+      batch.filter(unix_micros($"ts") <= midUs)
+        .coalesce(1).write.mode("overwrite").parquet(inDir)
+      val firstHalf = parquets()
+      batch.filter(unix_micros($"ts") > midUs)
+        .coalesce(1).write.mode("append").parquet(inDir)
+      // pin replay order explicitly: mtime resolution could otherwise tie
+      val t0 = System.currentTimeMillis()
+      firstHalf.foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(t0)))
+      (parquets() -- firstHalf).foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + 1000)))
+      inDir
+    })
+
   /** `cdc_stream_windowed`: event-time tumbling windows computed by a
     * *streaming* query (watermark + window aggregate, complete mode so the
     * bounded final state is the full answer) — the streaming twin of the
@@ -55,14 +96,14 @@ object StreamingLatest {
     val runDir = Files.createTempDirectory(
       Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
         "/root/repo/target/stream-tmp"))), "runw")
-    val inDir   = s"$runDir/in"
+    val inDir   = stagedEventLog(spark, sfDir)
     val outDir  = s"$runDir/out"
     val ckptDir = s"$runDir/ckpt"
-    val batch = graft.Tables.events(spark, sfDir).select($"ts", $"event_type", $"value")
-    batch.repartition(2).write.mode("overwrite").parquet(inDir)
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"ts", $"event_type", $"value").schema
 
     val agg = spark.readStream
-      .schema(batch.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
       .withWatermark("ts", "1 hour")
@@ -84,7 +125,7 @@ object StreamingLatest {
       if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
       Files.deleteIfExists(p)
     }
-    rm(Paths.get(inDir)); rm(Paths.get(ckptDir))
+    rm(Paths.get(ckptDir))
 
     spark.read.parquet(outDir)
       .select(
@@ -114,13 +155,26 @@ object StreamingLatest {
     val inDir   = s"$runDir/in"
     val outDir  = s"$runDir/out"
     val ckptDir = s"$runDir/ckpt"
-    val batch = graft.Tables.events(spark, sfDir)
-      .select($"event_id", $"ts", $"event_type")
-    batch.coalesce(1).write.mode("overwrite").parquet(inDir)
-    batch.coalesce(1).write.mode("append").parquet(inDir) // the replay
+    // the at-least-once re-delivery: the staged log's files, then the
+    // same files AGAIN — plain filesystem copies with stepped mtimes, so
+    // the file source replays original halves first, then the duplicates
+    val staged = Files.list(Paths.get(stagedEventLog(spark, sfDir)))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .sorted(java.util.Comparator.comparingLong((p: java.nio.file.Path) =>
+        Files.getLastModifiedTime(p).toMillis))
+      .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+    Files.createDirectories(Paths.get(inDir))
+    (staged ++ staged).zipWithIndex.foreach { case (src, i) =>
+      val dst = Paths.get(inDir, f"f$i%02d.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i))
+    }
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"event_type").schema
 
     val deduped = spark.readStream
-      .schema(batch.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
       .withWatermark("ts", "1 hour")
@@ -163,20 +217,14 @@ object StreamingLatest {
     val runDir = Files.createTempDirectory(
       Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
         "/root/repo/target/stream-tmp"))), "runj")
-    val inDir   = s"$runDir/in"
+    val inDir   = stagedEventLog(spark, sfDir)
     val outDir  = s"$runDir/out"
     val ckptDir = s"$runDir/ckpt"
-    val batch = graft.Tables.events(spark, sfDir)
-      .select($"event_id", $"ts", $"user_id", $"event_type")
-    val mm = batch.agg(unix_micros(min($"ts")), unix_micros(max($"ts"))).first()
-    val midUs = (mm.getLong(0) + mm.getLong(1)) / 2
-    batch.filter(unix_micros($"ts") <= midUs)
-      .coalesce(1).write.mode("overwrite").parquet(inDir)
-    batch.filter(unix_micros($"ts") > midUs)
-      .coalesce(1).write.mode("append").parquet(inDir)
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type").schema
 
     def src() = spark.readStream
-      .schema(batch.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
     val purchases = src().filter($"event_type" === "purchase")
@@ -203,7 +251,7 @@ object StreamingLatest {
       if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
       Files.deleteIfExists(p)
     }
-    rm(Paths.get(inDir)); rm(Paths.get(ckptDir))
+    rm(Paths.get(ckptDir)) // the staged log is shared; keep it
 
     spark.read.parquet(outDir)
       .orderBy($"purchase_event_id", $"click_event_id")
@@ -238,34 +286,22 @@ object StreamingLatest {
     val runDir = Files.createTempDirectory(
       Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
         "/root/repo/target/stream-tmp"))), "run")
-    val inDir   = s"$runDir/in"
+    val inDir   = stagedEventLog(spark, sfDir)
     val outDir  = s"$runDir/out"
     val ckptDir = s"$runDir/ckpt"
 
-    // The file stream source needs a directory; stage the changelog into
-    // one, split into several files so maxFilesPerTrigger=1 actually
-    // exercises incremental multi-batch state updates. The split is BY
-    // EVENT TIME (median cut, written oldest-half first so file mtime
-    // order = event-time order): the file source replays batches in
-    // mtime order, so no event can arrive more than the watermark delay
-    // behind the max event time already seen — replay order is exactly
-    // the ordering contract a CDC log/Kafka topic gives the connector
-    // (reference: offset-ordered partition 0, rpk_topic_consume.json).
-    // This makes the watermark safe to honor strictly, which is what
-    // lets the streaming result share the batch latest-state oracle.
-    val batch = graft.Tables.events(spark, sfDir)
-      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-    // any time cut works (ordering is what matters, not balance), so use
-    // the cheap (min+max)/2 midpoint instead of an exact median sort
-    val mm = batch.agg(unix_micros(min($"ts")), unix_micros(max($"ts"))).first()
-    val midUs = (mm.getLong(0) + mm.getLong(1)) / 2
-    batch.filter(unix_micros($"ts") <= midUs)
-      .coalesce(1).write.mode("overwrite").parquet(inDir)
-    batch.filter(unix_micros($"ts") > midUs)
-      .coalesce(1).write.mode("append").parquet(inDir)
+    // The staged log replays in event-time order, split so
+    // maxFilesPerTrigger=1 exercises incremental multi-batch state
+    // updates — the ordering contract a CDC log/Kafka topic gives the
+    // connector (reference: offset-ordered partition 0,
+    // rpk_topic_consume.json). That makes the watermark safe to honor
+    // strictly, which is what lets the streaming result share the batch
+    // latest-state oracle.
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").schema
 
     val updates = spark.readStream
-      .schema(batch.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
       .withWatermark("ts", "1 hour")
@@ -283,14 +319,14 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    // the returned DataFrame reads only outDir; drop the staged input and
-    // checkpoint so repeated runs don't accumulate temp state
+    // the returned DataFrame reads only outDir; drop the checkpoint so
+    // repeated runs don't accumulate temp state (the staged log is shared)
     def rmTree(p: java.nio.file.Path): Unit = {
       if (Files.isDirectory(p))
         Files.list(p).forEach(rmTree(_))
       Files.deleteIfExists(p)
     }
-    rmTree(Paths.get(inDir)); rmTree(Paths.get(ckptDir))
+    rmTree(Paths.get(ckptDir))
 
     // Multiple micro-batches append successive per-key snapshots; reduce to
     // the final one per key (same (ts_us, event_id) order as the state fn).

@@ -103,20 +103,25 @@ object MultiModal {
   }
 
   /** Frame sampling without decode: every k-th FrameBytes-sized slice of
-    * the payload, as binary sub-blobs — pure expressions (substr on
-    * binary), demonstrating decode-free sampling. */
+    * the payload — emitted as (index, length) computed arithmetically
+    * from the byte length alone. The earlier formulation materialized
+    * each slice with `substr(payload, …)` inside an interpreted
+    * `transform` and then kept only its length — per-row binary
+    * allocations for a number the scan already knows; a real sampler
+    * that needs the bytes projects [[frameSlice]] instead. */
   def sampleFrames(df: DataFrame, everyK: Int = 4): DataFrame = {
     val nFrames = ceil(length(col("payload")) / lit(FrameBytes.toDouble)).cast("int")
     val nSamples = floor((nFrames + everyK - 1) / lit(everyK.toDouble)).cast("int")
-    df.select(col("media_id"), col("payload"), nSamples.as("n_samples"))
-      .select(col("media_id"),
-        explode(transform(
-          sequence(lit(0), greatest(col("n_samples") - 1, lit(0))),
-          i => struct(
-            (i * everyK).as("frame_idx"),
-            col("payload").substr(i * lit(everyK * FrameBytes) + 1, lit(FrameBytes))
-              .as("frame")))).as("f"))
-      .select(col("media_id"), col("f.frame_idx").as("frame_idx"),
-        length(col("f.frame")).as("frame_len"))
+    df.select(col("media_id"), length(col("payload")).as("blen"), nSamples.as("n_samples"))
+      .select(col("media_id"), col("blen"),
+        explode(sequence(lit(0), greatest(col("n_samples") - 1, lit(0)))).as("s"))
+      .select(col("media_id"), (col("s") * everyK).as("frame_idx"), col("blen"))
+      .select(col("media_id"), col("frame_idx"),
+        greatest(least(lit(FrameBytes), col("blen") - col("frame_idx") * FrameBytes), lit(0))
+          .as("frame_len"))
   }
+
+  /** The materializing slice for consumers that do need the bytes. */
+  def frameSlice(payload: org.apache.spark.sql.Column, frameIdx: org.apache.spark.sql.Column) =
+    payload.substr(frameIdx * FrameBytes + 1, lit(FrameBytes))
 }
