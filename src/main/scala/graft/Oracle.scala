@@ -264,6 +264,24 @@ object Oracle {
                FROM orders)
          ORDER BY o_custkey, o_orderkey""",
 
+    "join_salted_skew" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "text_ngram_freq" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(text, ' ')) AS tok,
+                  unnest(range(len(string_split(text, ' ')))) AS pos
+           FROM documents),
+         big AS (
+           SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+           FROM toks)
+         SELECT bigram, count(*) AS n FROM big WHERE bigram IS NOT NULL
+         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+
     "window_first_last" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 first_value(o_totalprice) OVER w AS first_price,

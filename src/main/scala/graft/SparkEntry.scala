@@ -46,6 +46,9 @@ object SparkEntry {
     "join_anti"            -> ((s, d) => Relational.joinAnti(s, d)),
     "join_outer_coalesce"  -> ((s, d) => Relational.joinOuterCoalesce(s, d)),
     "join_range_bucketed"  -> ((s, d) => Relational.joinRangeBucketed(s, d)),
+    "join_salted_skew"     -> ((s, d) => Relational.joinSaltedSkew(s, d)),
+    "agg_approx_percentile" -> ((s, d) => Relational.aggApproxPercentile(s, d)),
+    "text_ngram_freq"      -> ((s, d) => TextOps.ngramFreq(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
     "q18_large_orders"     -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "subquery_scalar"      -> ((s, d) => Relational.subqueryScalar(s, d)),

@@ -210,6 +210,26 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_ngram_freq`: corpus-wide top-20 word bigrams — one tokenize
+    * explode + a per-doc `lead` window (adjacent-token pairing without a
+    * positional self-join) + a count aggregate. `concat` (not concat_ws)
+    * so the trailing token's null lead propagates and drops cleanly in
+    * both engines. */
+  def ngramFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .toDF("doc_id", "pos", "tok")
+      .select(concat($"tok", lit(" "), lead($"tok", 1).over(w)).as("bigram"))
+      .filter($"bigram".isNotNull)
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+
   /** `text_clean_normalize`: the standard LLM-corpus cleaning pass —
     * lowercase, strip non-alphanumerics, collapse runs of whitespace,
     * trim — emitted as a content digest + length features rather than

@@ -472,6 +472,42 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** `join_salted_skew`: the hot-key-safe join pattern — salt the fact
+    * side with a deterministic k-way split of each key's rows, replicate
+    * the dimension side k times, join on (key, salt). Same result as the
+    * plain equi-join (oracle-checked), but a key with 10⁹ fact rows
+    * lands on k tasks instead of one. AQE's skew-join split handles the
+    * common cases at runtime; this is the explicit form for when the
+    * build side must also stay shuffled (too big to broadcast). */
+  def joinSaltedSkew(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.orders(spark, sfDir)
+      .withColumn("salt", pmod($"o_orderkey", lit(salts)))
+    val dim = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    fact.join(dim, fact("o_custkey") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(dsum($"o_totalprice"), 4).as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** `agg_approx_percentile`: GK-sketch approximate percentiles next to
+    * the exact `agg_percentiles` — the mergeable sketch is what runs at
+    * 100 TB (exact percentile is a full sort per group). No SQL oracle
+    * (sketch internals are engine-specific); Round2OpsSpec bounds the
+    * estimates against the exact values. */
+  def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_quantity, 0.5D, 1000)"), 4).as("ap50_qty"),
+        round(expr("approx_percentile(l_quantity, 0.95D, 1000)"), 4).as("ap95_qty"),
+        round(expr("approx_percentile(l_extendedprice, 0.5D, 1000)"), 4).as("ap50_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** `window_first_last`: value-navigation window functions — first,
     * last, and 2nd order price within each customer's full history
     * (unbounded frame so last_value/nth_value see the whole partition,

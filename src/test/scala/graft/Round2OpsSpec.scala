@@ -104,6 +104,33 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("agg_approx_percentile tracks the exact percentiles") {
+    val s = spark
+    import s.implicits._
+    val approx = Relational.aggApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    val exact = Relational.aggPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    exact.foreach { case (flag, (p50q, p50p)) =>
+      val (a50q, a50p) = approx(flag)
+      assert(math.abs(a50q - p50q) <= math.max(1.0, p50q * 0.05))
+      assert(math.abs(a50p - p50p) <= p50p * 0.05)
+    }
+  }
+
+  test("join_salted_skew equals the plain join aggregate") {
+    val s = spark
+    import s.implicits._
+    val salted = Relational.joinSaltedSkew(spark, sf).collect()
+    val plain = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    salted.foreach { r =>
+      assert(r.getAs[Long]("n_orders") == plain(r.getAs[String]("c_mktsegment")))
+    }
+  }
+
   test("cdc_stream_dedup: doubled replay collapses to single-copy counts") {
     val s = spark
     import s.implicits._
