@@ -22,6 +22,14 @@ object Oracle {
              FROM events)
        WHERE rn = 1 ORDER BY user_id"""
 
+  private val latestStateDelSql =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+              round(value, 4) AS last_value
+       FROM (SELECT *, row_number() OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"""
+
   private val tumblingSql =
     """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
               count(*) AS n_events,
@@ -50,13 +58,10 @@ object Oracle {
 
     "cdc_latest_state" -> latestStateSql,
 
-    "cdc_latest_state_del" ->
-      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
-                round(value, 4) AS last_value
-         FROM (SELECT *, row_number() OVER
-                 (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-               FROM events)
-         WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
+    "cdc_latest_state_del" -> latestStateDelSql,
+    // incremental MERGE (snapshot + delta) must equal the full-log
+    // rebuild — the gate proves the equivalence through DuckDB.
+    "cdc_merge_upsert"     -> latestStateDelSql,
 
     "cdc_op_counts" ->
       """SELECT CASE WHEN event_type = 'signup' THEN 'c'

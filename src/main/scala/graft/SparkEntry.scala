@@ -37,6 +37,7 @@ object SparkEntry {
     "join_asof_attribution" -> ((s, d) => Changelog.asofAttribution(s, d)),
     "cdc_sessionize"       -> ((s, d) => Changelog.sessionize(s, d)),
     "cdc_scd2_history"     -> ((s, d) => Changelog.scd2History(s, d)),
+    "cdc_merge_upsert"     -> ((s, d) => Changelog.mergeUpsert(s, d)),
     // Group B — relational core
     "scan_filter_project"  -> ((s, d) => Relational.scanFilterProject(s, d)),
     "agg_pricing_summary"  -> ((s, d) => Relational.aggPricingSummary(s, d)),

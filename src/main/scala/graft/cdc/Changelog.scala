@@ -221,6 +221,38 @@ object Changelog {
       .orderBy($"user_id", $"session_start_us")
   }
 
+  /** `cdc_merge_upsert`: MERGE-style incremental materialization — apply
+    * a delta changelog onto a prior snapshot and get the new snapshot:
+    *
+    *   snapshot(t₀)  = latest-wins over events before the cutoff
+    *   merge         = latest-wins over (snapshot rows ∪ delta events),
+    *                   deletes dropping their key
+    *
+    * Equivalent to re-materializing from the full log (it shares the
+    * `cdc_latest_state_del` oracle — the gate proves merge ≡ full
+    * rebuild), but the incremental plan's cost is |snapshot| + |delta|,
+    * not |log|: the nightly-apply pattern every CDC lakehouse runs.
+    * Both phases are one hash shuffle on the key. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type", $"value", $"ts")
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val snapshot = ev.filter($"ts" < cutoff)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    val delta = ev.filter($"ts" >= cutoff)
+    snapshot.union(delta)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .filter(opCol($"event_type") =!= "d")
+      .select(
+        $"user_id",
+        $"event_id".as("last_event_id"),
+        $"event_type".as("last_event_type"),
+        round($"value", 4).as("last_value"))
+      .orderBy($"user_id")
+  }
+
   /** `cdc_scd2_history`: slowly-changing-dimension type-2 history build —
     * every change event becomes a version row with a validity interval
     * [valid_from, valid_to) closed by the key's next change (`lead` over
