@@ -522,6 +522,26 @@ object Oracle {
                      FROM embeddings WHERE vec_id < 10))
          WHERE rk <= 3 ORDER BY vec_id, rk""",
 
+    "text_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         freqs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         tot AS (SELECT count(*)::DOUBLE AS total FROM toks)
+         SELECT doc_id, count(*) AS n_tokens,
+                floor((CAST(sum(CAST(floor((ln(total) - ln(cnt)) * 1e6 + 0.5) / 1e6
+                                     AS DECIMAL(18,10))) AS DOUBLE) / count(*))
+                      * 10000.0 + 0.5) / 10000.0 AS avg_nll
+         FROM toks JOIN freqs USING (tok) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "vec_label_centroids" ->
+      """SELECT label, dim, count(*) AS n_vecs,
+                floor((CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*))
+                      * 10000.0 + 0.5) / 10000.0 AS centroid
+         FROM (SELECT label, unnest(embedding) AS v,
+                      unnest(range(len(embedding))) AS dim
+               FROM embeddings)
+         GROUP BY label, dim ORDER BY label, dim""",
+
     "text_tokenize_counts" ->
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -95,7 +95,9 @@ object SparkEntry {
     "sim_ann_lsh"          -> ((s, d) => EmbedLsh.simAnnLsh(s, d)),
     "sim_ann_ivf"          -> ((s, d) => IvfAnn.simAnnIvf(s, d)),
     "vec_top_dims"         -> ((s, d) => VectorOps.vecTopDims(s, d)),
+    "vec_label_centroids"  -> ((s, d) => VectorOps.vecLabelCentroids(s, d)),
     "text_clean_normalize" -> ((s, d) => TextOps.cleanNormalize(s, d)),
+    "text_unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
     "text_lang_id"         -> ((s, d) => TextOps.langId(s, d)),
     "text_quality_score"   -> ((s, d) => TextOps.qualityScore(s, d)),
     "text_token_regex"     -> ((s, d) => TextOps.tokenRegexCounts(s, d)),

@@ -210,6 +210,32 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_unigram_logprob`: perplexity-proxy quality scoring — each
+    * document's mean negative log-probability under the corpus unigram
+    * model (the classic cheap quality filter: gibberish scores high,
+    * boilerplate scores low). Token counts are one aggregate; the
+    * model join ships only (token, count); `ln` is quantized to 1e-6
+    * BEFORE averaging because libm log may differ by 1 ulp across
+    * engines — quantization buckets make that divergence vanish
+    * (probability ~1e-9/row of straddling a bucket edge) and the
+    * decimal-cast average is then exact and order-insensitive. */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val freqs = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.count().toDouble
+    // -ln p(tok) = ln(total) - ln(cnt), quantized to 1e-6
+    val nll = floor((log(lit(total)) - log($"cnt")) * 1e6 + 0.5) / 1e6
+    toks.join(broadcast(freqs), "tok")
+      .select($"doc_id", nll.cast(DecimalType(18, 10)).as("nllq"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        graft.Det.r4(sum($"nllq").cast(DoubleType) / count(lit(1))).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
   /** `text_ngram_freq`: corpus-wide top-20 word bigrams — one tokenize
     * explode + a per-doc `lead` window (adjacent-token pairing without a
     * positional self-join) + a count aggregate. `concat` (not concat_ws)

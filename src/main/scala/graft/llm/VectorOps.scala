@@ -48,6 +48,25 @@ object VectorOps {
       .orderBy($"label")
   }
 
+  /** `vec_label_centroids`: per-label mean embedding, long form
+    * (label, dim, centroid) — the class-centroid computation behind
+    * nearest-centroid classification and IVF training. posexplode +
+    * grouped decimal average: exact, order-insensitive (floats are
+    * dyadic, so the decimal cast can never land on a rounding-boundary
+    * tie), and the (label, dim) shuffle is map-side combined. */
+  def vecLabelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"label", posexplode($"embedding"))
+      .toDF("label", "dim", "v")
+      .groupBy($"label", $"dim")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        graft.Det.r4(sum($"v".cast(DecimalType(20, 10))).cast(DoubleType) / count(lit(1)))
+          .as("centroid"))
+      .orderBy($"label", $"dim")
+  }
+
   /** `vec_top_dims`: per-vector top-3 dimensions by activation — the
     * posexplode + ranked-window reshape (vector → long form with
     * ordinal) every embedding-inspection pipeline needs. Bounded to the
