@@ -522,6 +522,27 @@ object Oracle {
                      FROM embeddings WHERE vec_id < 10))
          WHERE rk <= 3 ORDER BY vec_id, rk""",
 
+    "sql_catalog_query" ->
+      """SELECT r_name, count(*) AS n_customers,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+         FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "text_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                           len(string_split(text, ' ')) AS n
+                    FROM documents),
+         c AS (SELECT doc_id, toks, n,
+                      unnest(range(CAST(floor((n - 1) / 24) AS BIGINT) + 1)) AS chunk_idx
+               FROM d)
+         SELECT doc_id, chunk_idx,
+                chunk_idx * 24 AS chunk_start,
+                least(32, n - chunk_idx * 24) AS chunk_len,
+                md5(array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx""",
+
     "text_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          freqs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),

@@ -98,6 +98,8 @@ object SparkEntry {
     "vec_label_centroids"  -> ((s, d) => VectorOps.vecLabelCentroids(s, d)),
     "text_clean_normalize" -> ((s, d) => TextOps.cleanNormalize(s, d)),
     "text_unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
+    "text_chunk_windows"   -> ((s, d) => TextOps.chunkWindows(s, d)),
+    "sql_catalog_query"    -> ((s, d) => Relational.sqlCatalogQuery(s, d)),
     "text_lang_id"         -> ((s, d) => TextOps.langId(s, d)),
     "text_quality_score"   -> ((s, d) => TextOps.qualityScore(s, d)),
     "text_token_regex"     -> ((s, d) => TextOps.tokenRegexCounts(s, d)),

@@ -274,6 +274,30 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_chunk_windows`: context-window chunking — each document cut
+    * into fixed-size token windows with overlap (size 32, stride 24),
+    * the shape every training-data tokenization pipeline feeds the
+    * model. One generate-explode per doc; chunk identity is a digest so
+    * the output (and shuffle) stays narrow — a downstream consumer
+    * joins the digest back or re-slices, it never ships chunk text. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+  def chunkWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", toks.as("toks"), size(toks).as("n"))
+      .select($"doc_id", $"toks", $"n",
+        explode(sequence(lit(0),
+          (floor(($"n" - 1) / ChunkStride) + 1).cast("int") - 1)).as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx",
+        ($"chunk_idx" * ChunkStride).as("chunk_start"),
+        least(lit(ChunkSize), $"n" - $"chunk_idx" * ChunkStride).as("chunk_len"),
+        md5(concat_ws(" ",
+          slice($"toks", $"chunk_idx" * ChunkStride + 1, lit(ChunkSize)))).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** `text_lang_stats`: per-language doc count, avg chars, avg tokens.
     * Integer sums keep averages exact (no FP merge-order wobble). */
   def langStats(spark: SparkSession, sfDir: String): DataFrame = {

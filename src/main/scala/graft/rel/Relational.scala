@@ -472,6 +472,23 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** `sql_catalog_query`: the pure-SQL surface — star schema registered
+    * as catalog tables ([[graft.cdc.CatalogDdl]], the reference's
+    * CREATE KEYSPACE/TABLE analogue), then a join+agg written entirely
+    * in SQL. Same Catalyst plan as the DataFrame form; the point is the
+    * catalog path (name resolution, external parquet tables). */
+  def sqlCatalogQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.cdc.CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """SELECT r_name,
+        |       count(*) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        |FROM graft.customer
+        |  JOIN graft.nation ON c_nationkey = n_nationkey
+        |  JOIN graft.region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
   /** `join_salted_skew`: the hot-key-safe join pattern — salt the fact
     * side with a deterministic k-way split of each key's rows, replicate
     * the dimension side k times, join on (key, salt). Same result as the
