@@ -269,6 +269,24 @@ object Oracle {
                FROM orders)
          ORDER BY o_custkey, o_orderkey""",
 
+    "union_by_name_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                coalesce(o_orderpriority, 'LEGACY') AS priority
+         FROM (
+           SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+           FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+           UNION ALL
+           SELECT o_orderkey, o_custkey, NULL AS o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+         ORDER BY o_orderkey""",
+
+    "join_null_safe" ->
+      """SELECT coalesce(n_name, 'NULL_KEY') AS nation, count(*) AS n_customers
+         FROM (SELECT c_custkey, nullif(c_nationkey, 5) AS nk FROM customer) c
+         JOIN (SELECT nullif(n_nationkey, 5) AS nk2, n_name FROM nation) n
+           ON c.nk IS NOT DISTINCT FROM n.nk2
+         GROUP BY 1 ORDER BY nation""",
+
     "join_salted_skew" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue

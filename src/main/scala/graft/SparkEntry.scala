@@ -48,6 +48,8 @@ object SparkEntry {
     "join_outer_coalesce"  -> ((s, d) => Relational.joinOuterCoalesce(s, d)),
     "join_range_bucketed"  -> ((s, d) => Relational.joinRangeBucketed(s, d)),
     "join_salted_skew"     -> ((s, d) => Relational.joinSaltedSkew(s, d)),
+    "join_null_safe"       -> ((s, d) => Relational.joinNullSafe(s, d)),
+    "union_by_name_evolution" -> ((s, d) => Relational.unionByNameEvolution(s, d)),
     "agg_approx_percentile" -> ((s, d) => Relational.aggApproxPercentile(s, d)),
     "text_ngram_freq"      -> ((s, d) => TextOps.ngramFreq(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),

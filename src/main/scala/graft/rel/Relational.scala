@@ -472,6 +472,39 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** `union_by_name_evolution`: schema-evolution union — two extracts of
+    * the same fact stream with different column sets (an old and a new
+    * pipeline version) merged by NAME with missing columns null-filled;
+    * positional union would silently mismatch columns, the lakehouse
+    * schema-drift trap. */
+  def unionByNameEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val v1 = o.filter($"o_orderdate" < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val v2 = o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select($"o_orderkey", $"o_custkey",
+        $"o_totalprice", coalesce($"o_orderpriority", lit("LEGACY")).as("priority"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** `join_null_safe`: null-safe equality (`<=>`) — null keys MATCH each
+    * other instead of vanishing (the standard surprise when joining on a
+    * nullable column). Nulls are synthesized via nullif on a real key. */
+  def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey", nullif($"c_nationkey", lit(5)).as("nk"))
+    val n = Tables.nation(spark, sfDir)
+      .select(nullif($"n_nationkey", lit(5)).as("nk2"), $"n_name")
+    c.join(n, $"nk" <=> $"nk2")
+      .groupBy(coalesce($"n_name", lit("NULL_KEY")).as("nation"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"nation")
+  }
+
   /** `sql_catalog_query`: the pure-SQL surface — star schema registered
     * as catalog tables ([[graft.cdc.CatalogDdl]], the reference's
     * CREATE KEYSPACE/TABLE analogue), then a join+agg written entirely

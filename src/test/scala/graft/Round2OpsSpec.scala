@@ -131,6 +131,18 @@ class Round2OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scale-sensitive join plans avoid nested loops / cartesian products") {
+    Seq(
+      Relational.joinRangeBucketed(spark, sf),
+      Relational.joinSaltedSkew(spark, sf),
+      graft.llm.TextOps.ngramJaccard(spark, sf)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop"), "nested loop join leaked into plan")
+      assert(!plan.contains("CartesianProduct"), "cartesian product leaked into plan")
+    }
+  }
+
   test("cdc_stream_dedup: doubled replay collapses to single-copy counts") {
     val s = spark
     import s.implicits._
