@@ -135,6 +135,61 @@ object StreamingLatest {
       .orderBy($"bucket_ms", $"event_type")
   }
 
+  /** `cdc_stream_sessionize`: streaming session windows — 30-minute-gap
+    * sessions per user computed incrementally, emitted in APPEND mode,
+    * i.e. only once the watermark proves a session can no longer grow
+    * (watermark past session end + gap). The honest streaming contract:
+    * output = the batch `cdc_sessionize` rows whose sessions closed
+    * before the final watermark — asserted exactly in Round2OpsSpec
+    * (subset of batch + completeness bound); sessions still inside the
+    * horizon stay in state awaiting more data, so there is no full-log
+    * oracle by design. State: one (user, open-session) accumulator,
+    * merged on gap-overlap, evicted at emission. */
+  def streamSessionize(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val runDir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
+        "/root/repo/target/stream-tmp"))), "runs")
+    val inDir   = stagedEventLog(spark, sfDir)
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"ts", $"user_id", $"value").schema
+
+    val agg = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 6))).as("sum_dec"))
+
+    val q = agg.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(ckptDir))
+
+    spark.read.parquet(outDir)
+      .select($"user_id",
+        unix_micros($"sw.start").as("session_start_us"),
+        $"n_events",
+        round($"sum_dec".cast("double"), 4).as("sum_value"))
+      .orderBy($"user_id", $"session_start_us")
+  }
+
   /** `cdc_stream_dedup`: streaming exactly-once dedup — the at-least-once
     * delivery repair every CDC consumer needs (the reference worker's
     * offset tracking is at-least-once: connect-standalone.properties:4-5,

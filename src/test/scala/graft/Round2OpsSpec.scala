@@ -143,6 +143,33 @@ class Round2OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_stream_sessionize: closed sessions match batch, completeness bound holds") {
+    val s = spark
+    import s.implicits._
+    val streamed = StreamingLatest.streamSessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // batch sessions with window end, same decimal aggregation
+    val batchSessions = Tables.events(spark, sf)
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double"), 4).as("sum_value"))
+      .select($"user_id", unix_micros($"sw.start").as("start_us"),
+        unix_micros($"sw.end").as("end_us"), $"n_events", $"sum_value")
+      .collect()
+    val batchMap = batchSessions
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4))).toMap
+    // every streamed session is a batch session, values identical
+    streamed.foreach { case (k, v) => assert(batchMap(k) == v) }
+    // completeness: sessions that closed >1h before the stream's end must be emitted
+    val maxTs = Tables.events(spark, sf).agg(max(unix_micros($"ts"))).collect().head.getLong(0)
+    val watermark = maxTs - 3600L * 1000000L
+    batchSessions.filter(_.getLong(2) < watermark).foreach { r =>
+      assert(streamed.contains((r.getLong(0), r.getLong(1))),
+        s"closed session missing from streaming output: user=${r.getLong(0)}")
+    }
+  }
+
   test("cdc_stream_dedup: doubled replay collapses to single-copy counts") {
     val s = spark
     import s.implicits._
