@@ -56,11 +56,17 @@ object Relational {
         round(dsum($"l_quantity"), 4).as("sum_qty"),
         round(dsum($"l_extendedprice"), 4).as("sum_base_price"),
         round(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
-        // 3-factor product carries 6 conceptual decimals: a DECIMAL(18,4)
-        // cast would sit exactly on rounding boundaries (engines disagree);
-        // DECIMAL(28,8) is unambiguous, and the exact sum needs no rounding.
+        // 3-factor product carries 6 conceptual decimals: a per-row
+        // DECIMAL(18,4) cast would sit exactly on rounding boundaries
+        // (engines' double→decimal conversions disagree there), so rows
+        // accumulate at (28,8). The SUM then steps down to scale 4 in
+        // decimal space (exact, HALF_UP in both engines) BEFORE the
+        // double cast: a scale-8 multi-billion total scales past 2^53,
+        // where DuckDB's int128/10^8 double-rounds and drifts 1 ulp off
+        // Spark's correctly-rounded conversion (seen at sf0.1).
         sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
-          .cast(DecimalType(28, 8))).cast(DoubleType).as("sum_charge"),
+          .cast(DecimalType(28, 8))).cast(DecimalType(18, 4))
+          .cast(DoubleType).as("sum_charge"),
         davg($"l_quantity").as("avg_qty"),
         davg($"l_extendedprice").as("avg_price"),
         graft.Det.r4(sum($"l_discount".cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
