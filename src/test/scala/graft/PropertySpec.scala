@@ -45,6 +45,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: WordShingleHashes bit-matches the declarative shingle pipeline") {
+    val s = spark
+    import s.implicits._
+    // arbitrary texts incl. repeated tokens, empties, multi-space runs
+    val tokGen = Gen.oneOf("a", "bb", "ccc", "spark", "x1", "", "the")
+    val textGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tokGen)).map(_.mkString(" "))
+    val texts = samples(Gen.listOfN(25, textGen), 2).flatten.distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val declarative = df.select($"doc_id",
+      transform(MinHash.shinglesCol($"text"), x => xxhash64(x)).as("h"))
+    val fused = df.select($"doc_id", MinHash.shingleHashesCol($"text").as("h"))
+    val diff = declarative.join(fused.withColumnRenamed("h", "h2"), "doc_id")
+      .filter($"h" =!= $"h2").count()
+    assert(diff == 0, "fused shingle hashes diverge from the declarative pipeline")
+  }
+
+  test("property: SortedLongIntersectCount equals size(array_intersect) on sorted sets") {
+    val s = spark
+    import s.implicits._
+    val setGen = Gen.choose(0, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50L, 50L))).map(_.distinct.sorted)
+    val pairs = samples(Gen.listOfN(20, Gen.zip(setGen, setGen)), 2).flatten
+    val df = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    val diff = df.select($"id",
+        graft.functions.ArrayFunctions.sorted_intersect_count($"a", $"b").as("fast"),
+        size(array_intersect($"a", $"b")).as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0, "merge-scan intersect count diverges from array_intersect")
+  }
+
   test("property: estimated Jaccard is within [0,1], symmetric, and 1 on self") {
     val s = spark
     import s.implicits._
