@@ -197,6 +197,19 @@ object Oracle {
            AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
 
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+         FROM region
+           JOIN nation   ON n_regionkey = r_regionkey
+           JOIN customer ON c_nationkey = n_nationkey
+           JOIN orders   ON o_custkey = c_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
     "join_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

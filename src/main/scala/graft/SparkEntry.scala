@@ -44,6 +44,7 @@ object SparkEntry {
     "agg_pricing_summary"  -> ((s, d) => Relational.aggPricingSummary(s, d)),
     "join_broadcast"       -> ((s, d) => Relational.joinBroadcast(s, d)),
     "join_5way_revenue"    -> ((s, d) => Relational.join5WayRevenue(s, d)),
+    "q5_local_supplier"    -> ((s, d) => Relational.q5LocalSupplier(s, d)),
     "join_semi"            -> ((s, d) => Relational.joinSemi(s, d)),
     "join_anti"            -> ((s, d) => Relational.joinAnti(s, d)),
     "join_outer_coalesce"  -> ((s, d) => Relational.joinOuterCoalesce(s, d)),

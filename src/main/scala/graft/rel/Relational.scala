@@ -112,6 +112,33 @@ object Relational {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** `q5_local_supplier`: the FULL TPC-H Q5 shape — revenue from orders
+    * where the supplying supplier sits in the customer's own nation
+    * (`c_nationkey = s_nationkey`), per ASIA nation. Six tables: the
+    * customer-side dimension chain and the supplier table both ride as
+    * broadcasts; the only shuffles are the orders⋈lineitem fact join.
+    * (`join_5way_revenue` keeps the supplier-free 5-way variant.) */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dims = broadcast(
+      Tables.customer(spark, sfDir)
+        .join(Tables.nation(spark, sfDir), $"c_nationkey" === $"n_nationkey")
+        .join(Tables.region(spark, sfDir).filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"c_nationkey", $"n_name"))
+    val sup = broadcast(
+      Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey"))
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              $"o_orderdate" <  lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .join(dims, $"o_custkey" === $"c_custkey")
+      .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg(round(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
   /** `join_semi`: customers having at least one order (EXISTS). */
   def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
