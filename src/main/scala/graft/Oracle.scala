@@ -354,7 +354,9 @@ object Oracle {
                 count(*) AS n_orders,
                 count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
                 count(*) FILTER (WHERE o_orderstatus = 'O' AND o_totalprice < 50000.0) AS n_open_small,
-                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 4) AS sum_finished
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 4) AS sum_finished,
+                CAST(bool_and(o_totalprice > 900.0) AS INT) AS all_above_900,
+                CAST(bool_or(o_totalprice > 400000.0) AS INT) AS any_above_400k
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "subquery_scalar" ->

@@ -724,7 +724,9 @@ object Relational {
         count(lit(1)).as("n_orders"),
         count_if($"o_totalprice" > 200000.0).as("n_big"),
         count_if($"o_orderstatus" === "O" && $"o_totalprice" < 50000.0).as("n_open_small"),
-        round(dsum(when($"o_orderstatus" === "F", $"o_totalprice")), 4).as("sum_finished"))
+        round(dsum(when($"o_orderstatus" === "F", $"o_totalprice")), 4).as("sum_finished"),
+        bool_and($"o_totalprice" > 900.0).cast(IntegerType).as("all_above_900"),
+        bool_or($"o_totalprice" > 400000.0).cast(IntegerType).as("any_above_400k"))
       .orderBy($"o_orderpriority")
   }
 
