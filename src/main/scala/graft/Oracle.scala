@@ -306,6 +306,23 @@ object Oracle {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
+    "agg_bitwise" ->
+      """SELECT event_type,
+                bit_and(user_id) AS uid_and,
+                bit_or(user_id) AS uid_or,
+                bit_xor(event_id) AS eid_xor,
+                count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "explode_outer_tokens" ->
+      """SELECT doc_id, long_tok
+         FROM (SELECT doc_id,
+                 unnest(CASE WHEN len(lt) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE lt END) AS long_tok
+               FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> length(t) >= 8) AS lt
+                     FROM documents))
+         ORDER BY doc_id, long_tok NULLS FIRST""",
+
     "text_ngram_freq" ->
       """WITH toks AS (
            SELECT doc_id,

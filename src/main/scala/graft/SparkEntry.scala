@@ -53,7 +53,9 @@ object SparkEntry {
     "join_null_safe"       -> ((s, d) => Relational.joinNullSafe(s, d)),
     "union_by_name_evolution" -> ((s, d) => Relational.unionByNameEvolution(s, d)),
     "agg_approx_percentile" -> ((s, d) => Relational.aggApproxPercentile(s, d)),
+    "agg_bitwise"          -> ((s, d) => Relational.aggBitwise(s, d)),
     "text_ngram_freq"      -> ((s, d) => TextOps.ngramFreq(s, d)),
+    "explode_outer_tokens" -> ((s, d) => TextOps.explodeOuterTokens(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
     "q18_large_orders"     -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "subquery_scalar"      -> ((s, d) => Relational.subqueryScalar(s, d)),

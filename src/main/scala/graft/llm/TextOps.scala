@@ -210,6 +210,19 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `explode_outer_tokens`: outer-generate semantics — each document's
+    * long tokens (length >= 8) exploded, but documents with NONE keep a
+    * null row instead of vanishing (the explode/explode_outer
+    * distinction that silently drops rows in naive pipelines). Null
+    * ordering is pinned explicitly: the engines' defaults differ. */
+  def explodeOuterTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val longToks = filter(split($"text", " "), t => length(t) >= 8)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode_outer(longToks).as("long_tok"))
+      .orderBy($"doc_id", $"long_tok".asc_nulls_first)
+  }
+
   /** `text_unigram_logprob`: perplexity-proxy quality scoring — each
     * document's mean negative log-probability under the corpus unigram
     * model (the classic cheap quality filter: gibberish scores high,

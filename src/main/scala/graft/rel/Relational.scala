@@ -555,6 +555,21 @@ object Relational {
         |GROUP BY r_name ORDER BY r_name""".stripMargin)
   }
 
+  /** `agg_bitwise`: bitwise aggregates (bit_and/bit_or/bit_xor) — the
+    * flag-mask folds; order-insensitive integer ops, exactly
+    * deterministic with no decimal machinery needed. */
+  def aggBitwise(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        expr("bit_and(user_id)").as("uid_and"),
+        expr("bit_or(user_id)").as("uid_or"),
+        expr("bit_xor(event_id)").as("eid_xor"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
   /** `join_salted_skew`: the hot-key-safe join pattern — salt the fact
     * side with a deterministic k-way split of each key's rows, replicate
     * the dimension side k times, join on (key, salt). Same result as the
