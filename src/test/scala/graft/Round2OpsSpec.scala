@@ -131,6 +131,32 @@ class Round2OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("range-join pushes the event-type filters into the parquet scan") {
+    val plan = Relational.joinRangeBucketed(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(event_type,error)"), "error-side filter not pushed")
+    assert(plan.contains("EqualTo(event_type,click)"), "click-side filter not pushed")
+  }
+
+  test("custom codegen expressions are present in the physical plans") {
+    val cosine = graft.llm.VectorOps.simTopkCosine(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(cosine.contains("vec_dot_f"), "FloatVecDot missing from cosine plan")
+    val jacc = graft.llm.TextOps.ngramJaccard(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(jacc.contains("word_shingle_hashes"), "WordShingleHashes missing from plan")
+    assert(jacc.contains("sorted_intersect_count"), "merge-scan verifier missing from plan")
+    val lsh = graft.llm.EmbedLsh.simAnnLsh(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(lsh.contains("vec_lsh_buckets"), "FloatVecLshBuckets missing from plan")
+  }
+
+  test("q5_local_supplier broadcasts both dimension sides") {
+    val plan = Relational.q5LocalSupplier(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastHashJoin").length >= 3,
+      "expected at least two broadcast joins (dim chain + supplier)")
+    assert(!plan.contains("BroadcastNestedLoop"))
+  }
+
   test("scale-sensitive join plans avoid nested loops / cartesian products") {
     Seq(
       Relational.joinRangeBucketed(spark, sf),
