@@ -113,6 +113,7 @@ object SparkEntry {
     // multimodal plumbing (binary payload + metadata; decode is a stub)
     "mm_binary_meta"       -> ((s, d) => MultiModal.binaryMeta(s, d)),
     "mm_decode_stub"       -> ((s, d) => MultiModal.decodeFeatures(s, d)),
+    "mm_resize_stub"       -> ((s, d) => MultiModal.resizeFeatures(s, d)),
     "mm_frame_sample"      -> ((s, d) => MultiModal.frameSample(s, d))
   )
 

@@ -93,6 +93,44 @@ object MultiModal {
       .orderBy($"media_id")
   }
 
+  case class ResizedMedia(media_id: Long, orig_len: Int, resized_len: Int, resized_md5: String)
+
+  /** STUB resize — deterministic fake standing in for a real image/audio
+    * downsample (no codec libraries in this environment): keep every
+    * `factor`-th byte. A production build swaps the body for a bilinear
+    * resample over the decoded raster; the load-bearing Spark side —
+    * typed Dataset in/out, per-partition execution, digest-only output
+    * so resized payloads never ride a shuffle — is real. */
+  def stubResize(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  /** `mm_resize_stub`: partition-parallel media resize (stub body) —
+    * emits (orig_len, resized_len, md5 of the resized bytes). No SQL
+    * oracle (byte-level blob arithmetic is not sanely expressible in
+    * SQL); MultiModalSpec asserts length arithmetic + determinism. */
+  val ResizeFactor = 4
+  def resizeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
+      .select($"media_id", $"payload").as[MediaRow]
+    media
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { m =>
+          val r = stubResize(m.payload, ResizeFactor)
+          md.reset()
+          val digest = md.digest(r).map("%02x".format(_)).mkString
+          ResizedMedia(m.media_id, m.payload.length, r.length, digest)
+        }
+      }
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   /** `mm_frame_sample`: the declared-query wrapper over [[sampleFrames]];
     * oracle-checked (frame indices and lengths are pure arithmetic over
     * the payload byte length). */

@@ -169,6 +169,17 @@ class Round2OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_resize_stub: length arithmetic exact, deterministic across runs") {
+    val s = spark
+    import s.implicits._
+    val out = graft.mm.MultiModal.resizeFeatures(spark, sf)
+    val bad = out.filter(
+      $"resized_len" =!= ceil($"orig_len" / lit(graft.mm.MultiModal.ResizeFactor.toDouble))
+        .cast("int")).count()
+    assert(bad == 0, "resized length != ceil(orig/factor)")
+    assert(out.collect().toSeq == graft.mm.MultiModal.resizeFeatures(spark, sf).collect().toSeq)
+  }
+
   test("cdc_stream_sessionize: closed sessions match batch, completeness bound holds") {
     val s = spark
     import s.implicits._
