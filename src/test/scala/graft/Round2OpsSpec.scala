@@ -207,6 +207,23 @@ class Round2OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful latest-wins is state-store-agnostic (RocksDB ≡ HDFS-backed)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = StreamingLatest.streamStateful(spark, sf).collect().toSeq
+      val batch = graft.cdc.Changelog.latestState(spark, sf).collect().toSeq
+      assert(rocks == batch, "RocksDB-backed streaming state diverged from batch latest-wins")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("cdc_stream_dedup: doubled replay collapses to single-copy counts") {
     val s = spark
     import s.implicits._
