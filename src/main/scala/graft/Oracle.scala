@@ -314,6 +314,14 @@ object Oracle {
                 count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "sample_split_assign" ->
+      """SELECT lang,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'valid'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs
+         FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+
     "explode_outer_tokens" ->
       """SELECT doc_id, long_tok
          FROM (SELECT doc_id,

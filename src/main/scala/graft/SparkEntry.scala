@@ -56,6 +56,7 @@ object SparkEntry {
     "agg_bitwise"          -> ((s, d) => Relational.aggBitwise(s, d)),
     "text_ngram_freq"      -> ((s, d) => TextOps.ngramFreq(s, d)),
     "explode_outer_tokens" -> ((s, d) => TextOps.explodeOuterTokens(s, d)),
+    "sample_split_assign"  -> ((s, d) => TextOps.sampleSplitAssign(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
     "q18_large_orders"     -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "subquery_scalar"      -> ((s, d) => Relational.subqueryScalar(s, d)),

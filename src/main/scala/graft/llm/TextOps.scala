@@ -210,6 +210,24 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `sample_split_assign`: reproducible train/valid/test assignment —
+    * every training corpus needs a split that is deterministic (re-runs
+    * and engines agree), stable under re-partitioning, and keyed by
+    * content identity, never by row position or RNG state. The split is
+    * the first hex digit of md5(doc_id): 0-b → train (12/16), c-d →
+    * valid (2/16), e-f → test (2/16). Output: per-(lang, split) counts
+    * — the stratification report. */
+  def sampleSplitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = substring(md5($"doc_id".cast(StringType)), 1, 1)
+    val split = when(h <= "b", "train").when(h <= "d", "valid").otherwise("test")
+    Tables.documents(spark, sfDir)
+      .select($"lang", split.as("split"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"split")
+  }
+
   /** `explode_outer_tokens`: outer-generate semantics — each document's
     * long tokens (length >= 8) exploded, but documents with NONE keep a
     * null row instead of vanishing (the explode/explode_outer
