@@ -306,6 +306,16 @@ object Oracle {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
+    "map_type_ops" ->
+      """WITH t AS (SELECT user_id, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT user_id,
+                count(*) AS n_types,
+                CAST(coalesce(sum(n) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS n_clicks,
+                CAST(coalesce(sum(n) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS n_purchases,
+                max(n) AS max_type_count
+         FROM t GROUP BY user_id ORDER BY user_id""",
+
     "agg_bitwise" ->
       """SELECT event_type,
                 bit_and(user_id) AS uid_and,

@@ -54,6 +54,7 @@ object SparkEntry {
     "union_by_name_evolution" -> ((s, d) => Relational.unionByNameEvolution(s, d)),
     "agg_approx_percentile" -> ((s, d) => Relational.aggApproxPercentile(s, d)),
     "agg_bitwise"          -> ((s, d) => Relational.aggBitwise(s, d)),
+    "map_type_ops"         -> ((s, d) => Relational.mapTypeOps(s, d)),
     "text_ngram_freq"      -> ((s, d) => TextOps.ngramFreq(s, d)),
     "explode_outer_tokens" -> ((s, d) => TextOps.explodeOuterTokens(s, d)),
     "sample_split_assign"  -> ((s, d) => TextOps.sampleSplitAssign(s, d)),

@@ -555,6 +555,28 @@ object Relational {
         |GROUP BY r_name ORDER BY r_name""".stripMargin)
   }
 
+  /** `map_type_ops`: MapType construction and access — per user, an
+    * event_type→count map assembled from grouped counts
+    * (map_from_entries over a collected struct list), then map lookups/
+    * size projected back out. The map itself never leaves the query
+    * (map column layouts are engine-specific); the projected scalars
+    * prove its content against a map-free oracle. */
+  def mapTypeOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(collect_list(struct($"event_type", $"n"))).as("m"))
+      .select(
+        $"user_id",
+        size($"m").as("n_types"),
+        coalesce(element_at($"m", "click"), lit(0L)).as("n_clicks"),
+        coalesce(element_at($"m", "purchase"), lit(0L)).as("n_purchases"),
+        array_max(map_values($"m")).as("max_type_count"))
+      .orderBy($"user_id")
+  }
+
   /** `agg_bitwise`: bitwise aggregates (bit_and/bit_or/bit_xor) — the
     * flag-mask folds; order-insensitive integer ops, exactly
     * deterministic with no decimal machinery needed. */
