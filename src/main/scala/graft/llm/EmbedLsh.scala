@@ -64,12 +64,14 @@ object EmbedLsh {
       .filter($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b")
       .dropDuplicates("vec_a", "vec_b")
-    // vectors + precomputed norms join back only for verified candidates
+    // vectors + precomputed norms join back only for verified candidates;
+    // the vector side is one row per id — broadcast keeps verification
+    // map-side (the per-executor vector dictionary at cluster scale)
     val withNorm = emb.select($"vec_id", $"embedding",
       VectorOps.l2Norm($"embedding").as("nrm"))
     pairs
-      .join(withNorm.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"nrm".as("nrm_a")), "vec_a")
-      .join(withNorm.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"nrm".as("nrm_b")), "vec_b")
+      .join(broadcast(withNorm.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"nrm".as("nrm_a"))), "vec_a")
+      .join(broadcast(withNorm.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"nrm".as("nrm_b"))), "vec_b")
       .select($"vec_a", $"vec_b",
         (VectorOps.dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b")).as("cos_raw"))
       .filter($"cos_raw" >= CosineThreshold)
@@ -90,7 +92,7 @@ object EmbedLsh {
       .select($"vec_id").dropDuplicates("vec_id")
     val probeEmb = emb.filter($"vec_id" === 0).select($"embedding".as("probe_emb"))
     candidates
-      .join(emb, "vec_id")
+      .join(emb, "vec_id") // candidate ids are the small side; AQE broadcasts
       .crossJoin(broadcast(probeEmb))
       .select($"vec_id", cosine($"embedding", $"probe_emb").as("cos_raw"))
       .orderBy($"cos_raw".desc, $"vec_id")

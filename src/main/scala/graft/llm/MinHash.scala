@@ -86,9 +86,12 @@ object MinHash {
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    // the signature side is one row per document (bounded, tiny next to
+    // the pair stream) — broadcast it so verification is map-side; at
+    // cluster scale this is the per-executor signature dictionary
     pairs
-      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
-      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .join(broadcast(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a"))), "doc_a")
+      .join(broadcast(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b"))), "doc_b")
       .select($"doc_a", $"doc_b",
         round(estJaccard($"sig_a", $"sig_b"), 4).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)
