@@ -306,6 +306,14 @@ object Oracle {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
+    "agg_histogram" ->
+      """SELECT CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000.0 THEN 13
+                     ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+                count(*) AS n_orders,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+
     "map_type_ops" ->
       """WITH t AS (SELECT user_id, event_type, count(*) AS n
                     FROM events GROUP BY 1, 2)

@@ -55,6 +55,7 @@ object SparkEntry {
     "agg_approx_percentile" -> ((s, d) => Relational.aggApproxPercentile(s, d)),
     "agg_bitwise"          -> ((s, d) => Relational.aggBitwise(s, d)),
     "map_type_ops"         -> ((s, d) => Relational.mapTypeOps(s, d)),
+    "agg_histogram"        -> ((s, d) => Relational.aggHistogram(s, d)),
     "text_ngram_freq"      -> ((s, d) => TextOps.ngramFreq(s, d)),
     "explode_outer_tokens" -> ((s, d) => TextOps.explodeOuterTokens(s, d)),
     "sample_split_assign"  -> ((s, d) => TextOps.sampleSplitAssign(s, d)),

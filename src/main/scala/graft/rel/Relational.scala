@@ -555,6 +555,23 @@ object Relational {
         |GROUP BY r_name ORDER BY r_name""".stripMargin)
   }
 
+  /** `agg_histogram`: equi-width histogram of order values —
+    * `width_bucket` into 12 × 50k bins plus count/revenue per bin (the
+    * one-pass distribution profile; a full sort computes nothing more).
+    * The oracle reproduces width_bucket's exact arithmetic
+    * (`floor(x / binWidth) + 1`, range-clamped) since DuckDB lacks the
+    * function — bin width 50000 is float-exact so the division is the
+    * same IEEE op on both sides. */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy(width_bucket($"o_totalprice", lit(0.0), lit(600000.0), lit(12)).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(dsum($"o_totalprice"), 4).as("sum_value"))
+      .orderBy($"bucket")
+  }
+
   /** `map_type_ops`: MapType construction and access — per user, an
     * event_type→count map assembled from grouped counts
     * (map_from_entries over a collected struct list), then map lookups/
