@@ -61,6 +61,28 @@ class PropertySpec extends AnyFunSuite {
     assert(diff == 0, "fused shingle hashes diverge from the declarative pipeline")
   }
 
+  test("property: SimHashVoteAgg matches the declarative 64-sum bit-vote formulation") {
+    val s = spark
+    import s.implicits._
+    val rowsGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 4L), Gen.choose(Long.MinValue, Long.MaxValue)))
+    samples(rowsGen, 2).foreach { rows =>
+      val df = rows.toDF("gid", "h")
+      val viaAgg = df.groupBy($"gid")
+        .agg(graft.functions.SimHashFunctions.simhash_agg($"h").as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // declarative reference: 64 sums + count, bit set iff ones outnumber zeros
+      val ones = (0 until 64).map(b =>
+        sum(shiftright($"h", b).bitwiseAND(lit(1L))).as(s"c$b"))
+      val agg = df.groupBy($"gid").agg(count(lit(1)).as("n"), ones: _*)
+      val fp = (0 until 64)
+        .map(b => when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val viaSums = agg.select($"gid", fp.as("fp")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaAgg == viaSums, "imperative bit-vote aggregate diverges from 64-sum reference")
+    }
+  }
+
   test("property: SortedLongIntersectCount equals size(array_intersect) on sorted sets") {
     val s = spark
     import s.implicits._
