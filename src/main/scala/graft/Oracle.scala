@@ -402,6 +402,18 @@ object Oracle {
                 CAST(bool_or(o_totalprice > 400000.0) AS INT) AS any_above_400k
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+         FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation   ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
     "subquery_scalar" ->
       """SELECT p_partkey, p_brand, p_retailprice
          FROM part p

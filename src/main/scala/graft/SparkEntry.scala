@@ -61,6 +61,7 @@ object SparkEntry {
     "sample_split_assign"  -> ((s, d) => TextOps.sampleSplitAssign(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
     "q18_large_orders"     -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q10_returned_items"   -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     "subquery_scalar"      -> ((s, d) => Relational.subqueryScalar(s, d)),
     "set_ops_intersect"    -> ((s, d) => Relational.setOpsIntersect(s, d)),
     "window_topk_group"    -> ((s, d) => Relational.windowTopkGroup(s, d)),

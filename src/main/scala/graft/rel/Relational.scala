@@ -258,6 +258,25 @@ object Relational {
       .limit(20)
   }
 
+  /** `q10_returned_items`: TPC-H Q10 shape — revenue lost to returned
+    * items per customer over a quarter, top-20: date-sliced orders ⋈
+    * return-flagged lineitems ⋈ customer ⋈ broadcast nation. */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              $"o_orderdate" <  lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, sfDir).filter($"l_returnflag" === "R")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(round(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
   /** `subquery_scalar`: correlated scalar subquery through SQL — parts
     * priced 5% above their brand average. Catalyst decorrelates this into
     * an aggregate + join; declared through spark.sql to exercise exactly

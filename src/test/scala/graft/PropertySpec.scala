@@ -83,6 +83,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: MinHashSigAgg matches the declarative k-min formulation") {
+    val s = spark
+    import s.implicits._
+    val rowsGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 3L), Gen.choose(Long.MinValue, Long.MaxValue)))
+    samples(rowsGen, 2).foreach { rows =>
+      val df = rows.toDF("gid", "tok")
+      val k = MinHash.NumHashes
+      val viaAgg = df.groupBy($"gid")
+        .agg(graft.functions.MinHashFunctions.minhash_agg($"tok", k).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      // reference = the aggregate's spec computed directly: position i is
+      // min over the group of XXH64.hashLong(tok, seed = i)
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> (0 until k).map(i =>
+          rs.map(r => org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(r._2, i.toLong)).min).toSeq
+      }
+      assert(viaAgg == expected, "imperative k-min aggregate diverges from its spec")
+    }
+  }
+
   test("property: SortedLongIntersectCount equals size(array_intersect) on sorted sets") {
     val s = spark
     import s.implicits._
