@@ -60,6 +60,20 @@ object StreamingLatest {
       import spark.implicits._
       val base = Files.createDirectories(Paths.get(sys.props.getOrElse(
         "graft.stream.tmp", "/root/repo/target/stream-tmp")))
+      // best-effort purge of leftovers from previous JVMs (each run
+      // stages afresh; stale staged/run dirs would otherwise accumulate)
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      try {
+        Files.list(base).forEach { p =>
+          if (Files.isDirectory(p) && Files.getLastModifiedTime(p).toMillis < cutoff) {
+            def rm(q: java.nio.file.Path): Unit = {
+              if (Files.isDirectory(q)) Files.list(q).forEach(rm(_))
+              Files.deleteIfExists(q)
+            }
+            try rm(p) catch { case _: Throwable => () }
+          }
+        }
+      } catch { case _: Throwable => () }
       val inDir = Files.createTempDirectory(base, "staged").toString
       val batch = graft.Tables.events(spark, sfDir)
         .select(StagedCols.map(col): _*)
