@@ -332,6 +332,29 @@ object Oracle {
                 count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // transitive closure via recursive CTE — checks the distributed
+    // min-label-propagation fixpoint against true connected components
+    "dedup_cluster_canonical" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(string_split(text,' ')) - 2, 1)),
+             i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))) AS s
+           FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n, b.n
+           HAVING round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) >= 0.5),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT s, d FROM edges
+                   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         SELECT s AS doc_id,
+                least(s, min(d)) AS cluster_id,
+                CASE WHEN least(s, min(d)) = s THEN 1 ELSE 0 END AS is_canonical
+         FROM reach GROUP BY s ORDER BY doc_id""",
+
     "sample_split_assign" ->
       """SELECT lang,
                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'

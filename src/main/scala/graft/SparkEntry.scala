@@ -100,6 +100,7 @@ object SparkEntry {
     "sim_topk_cosine"      -> ((s, d) => VectorOps.simTopkCosine(s, d)),
     "dedup_fuzzy_minhash"  -> ((s, d) => MinHash.fuzzyDedup(s, d)),
     "dedup_ngram_jaccard"  -> ((s, d) => TextOps.ngramJaccard(s, d)),
+    "dedup_cluster_canonical" -> ((s, d) => TextOps.dedupClusters(s, d)),
     "dedup_simhash"        -> ((s, d) => SimHash.dedupSimhash(s, d)),
     "dedup_embed_cosine"   -> ((s, d) => EmbedLsh.dedupEmbedCosine(s, d)),
     "sim_ann_lsh"          -> ((s, d) => EmbedLsh.simAnnLsh(s, d)),

@@ -117,6 +117,64 @@ object TextOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** `dedup_cluster_canonical`: near-duplicate CLUSTERS from the exact
+    * pair graph — connected components via Pregel-style min-label
+    * propagation (each round every node adopts the smallest label among
+    * itself and its neighbours; fixpoint = component minimum). The
+    * pair list alone under-deduplicates: A~B and B~C puts A and C in
+    * the same cluster only through transitivity. Output: (doc_id,
+    * cluster_id = min doc in component, is_canonical).
+    *
+    * Scale notes: edges are cached for the iterations (the standard
+    * iterative-graph pattern — recomputing the near-dup join per round
+    * would dwarf the propagation); rounds needed = component diameter,
+    * and near-dup components are shallow by construction (docs similar
+    * to a common doc are similar-ish to each other). The DuckDB oracle
+    * recomputes the closure with a recursive CTE — the gate proves the
+    * distributed fixpoint equals true transitive closure. */
+  def dedupClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccard(spark, sfDir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst")
+      .cache()
+    // the propagation frames are |near-dup docs| rows — size the rounds'
+    // shuffles to that, not to the session's scan parallelism (restored
+    // after the fixpoint; at 100 TB this would instead scale with the
+    // edge count)
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, "4")
+    try {
+    var labels = edges.select($"src".as("doc_id"))
+      .distinct()
+      .select($"doc_id", $"doc_id".as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy($"doc_id").agg(min($"label").as("label"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist(false)
+    labels
+      .select($"doc_id", $"label".as("cluster_id"),
+        ($"doc_id" === $"label").cast(IntegerType).as("is_canonical"))
+      .orderBy($"doc_id")
+    } finally spark.conf.set(partKey, prevParts)
+  }
+
   private val StopwordSets: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "es" -> Seq("el", "la", "de", "y", "que"),
