@@ -11,7 +11,8 @@ import graft.Tables
   * exact cosine would be O(n²) and is deliberately not shipped).
   *
   * Determinism: hyperplanes come from a fixed-seed java.util.Random,
-  * materialized as literal arrays in the plan — identical across runs,
+  * carried into the plan as constants of the fused bucket expression
+  * ([[graft.functions.FloatVecLshBuckets]]) — identical across runs,
   * partitions, and cluster layouts.
   *
   * Tuning note (matters at 100 TB): bits-per-table should grow with
