@@ -132,11 +132,18 @@ object TextOps {
     * to a common doc are similar-ish to each other). The DuckDB oracle
     * recomputes the closure with a recursive CTE — the gate proves the
     * distributed fixpoint equals true transitive closure. */
-  def dedupClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame = {
+  def dedupClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame =
+    connectedComponents(spark,
+      ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")), maxIter)
+
+  /** The fixpoint core of [[dedupClusters]], on an arbitrary (doc_a,
+    * doc_b) pair graph — exposed so the propagation logic is unit-
+    * testable on planted graphs (chains, disjoint components). */
+  private[graft] def connectedComponents(
+      spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import spark.implicits._
-    val pairs = ngramJaccard(spark, sfDir).select($"doc_a", $"doc_b")
-    val edges = pairs
-      .union(pairs.select($"doc_b", $"doc_a"))
+    val edges = pairs.toDF("doc_a", "doc_b")
+      .union(pairs.toDF("doc_a", "doc_b").select($"doc_b", $"doc_a"))
       .toDF("src", "dst")
       .cache()
     // the propagation frames are |near-dup docs| rows — size the rounds'
@@ -147,31 +154,31 @@ object TextOps {
     val prevParts = spark.conf.get(partKey)
     spark.conf.set(partKey, "4")
     try {
-    var labels = edges.select($"src".as("doc_id"))
-      .distinct()
-      .select($"doc_id", $"doc_id".as("label"))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(edges("src").as("doc_id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy($"doc_id").agg(min($"label").as("label"))
-        .cache()
-      val changed = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      labels.unpersist(false)
-      labels = next
-      converged = changed == 0
-      i += 1
-    }
-    edges.unpersist(false)
-    labels
-      .select($"doc_id", $"label".as("cluster_id"),
-        ($"doc_id" === $"label").cast(IntegerType).as("is_canonical"))
-      .orderBy($"doc_id")
+      var labels = edges.select($"src".as("doc_id"))
+        .distinct()
+        .select($"doc_id", $"doc_id".as("label"))
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+          .select(edges("src").as("doc_id"), col("label"))
+        val next = labels.union(prop)
+          .groupBy($"doc_id").agg(min($"label").as("label"))
+          .cache()
+        val changed = next.as("n")
+          .join(labels.as("o"), "doc_id")
+          .filter(col("n.label") =!= col("o.label"))
+          .count()
+        labels.unpersist(false)
+        labels = next
+        converged = changed == 0
+        i += 1
+      }
+      edges.unpersist(false)
+      labels
+        .select($"doc_id", $"label".as("cluster_id"),
+          ($"doc_id" === $"label").cast(IntegerType).as("is_canonical"))
+        .orderBy($"doc_id")
     } finally spark.conf.set(partKey, prevParts)
   }
 

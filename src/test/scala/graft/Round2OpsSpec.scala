@@ -169,6 +169,17 @@ class Round2OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: planted chains collapse transitively, components stay disjoint") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (never directly paired end to end), island 10-11, singleton pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val out = TextOps.connectedComponents(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("mm_resize_stub: length arithmetic exact, deterministic across runs") {
     val s = spark
     import s.implicits._
