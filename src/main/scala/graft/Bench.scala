@@ -18,10 +18,12 @@ object Bench {
     // cost — warm both the scan path and the parquet-write path (commit
     // protocol + writer codegen otherwise land on whichever streaming
     // query happens to run first)
+    // warm-up artifacts live in a per-run temp dir (and are deleted
+    // below) so concurrent bench runs can't clobber each other
+    val warmDir = java.nio.file.Files.createTempDirectory("bench-warmup")
     val warm = spark.read.parquet(s"$sfDir/region.parquet")
     warm.count()
-    warm.limit(1).write.mode("overwrite")
-      .parquet("/root/repo/target/bench-warmup.parquet")
+    warm.limit(1).write.mode("overwrite").parquet(s"$warmDir/wu.parquet")
     // Pre-build the shared staged event log (harness scaffolding for the
     // file stream source): a production consumer reads an EXISTING
     // topic/CDC log — copying the source into file-source layout is not
@@ -34,11 +36,11 @@ object Bench {
     // doesn't land on whichever streaming query runs first.
     try {
       val wq = spark.readStream.schema(warm.schema)
-        .parquet("/root/repo/target/bench-warmup.parquet")
+        .parquet(s"$warmDir/wu.parquet")
         .dropDuplicates()
         .writeStream.format("noop")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", "/root/repo/target/bench-warmup-ckpt")
+        .option("checkpointLocation", s"$warmDir/ckpt")
         .start()
       wq.awaitTermination()
     } catch { case _: Throwable => () }
@@ -48,7 +50,7 @@ object Bench {
           java.nio.file.Files.list(p).forEach(rm(_))
         java.nio.file.Files.deleteIfExists(p)
       }
-      rm(java.nio.file.Paths.get("/root/repo/target/bench-warmup-ckpt"))
+      rm(warmDir)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -396,8 +396,8 @@ object Oracle {
 
     "agg_min_max_by" ->
       """SELECT c_mktsegment,
-                arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest,
-                arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS poorest,
+                arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1099511627776 + c_custkey) AS richest,
+                arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1099511627776 + c_custkey) AS poorest,
                 round(max(c_acctbal), 4) AS max_bal,
                 round(min(c_acctbal), 4) AS min_bal
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",

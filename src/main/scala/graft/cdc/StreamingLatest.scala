@@ -47,6 +47,17 @@ object StreamingLatest {
   private val StagedCols = Seq("event_id", "ts", "user_id", "event_type", "value")
   private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Fresh temp dir under this JVM's namespace (`<base>/jvm-<pid>/`) —
+    * all staged/run/checkpoint dirs live here so the purge in
+    * [[stagedEventLog]] can identify abandoned dirs by owner liveness. */
+  private def jvmTmpDir(prefix: String): java.nio.file.Path = {
+    val root = Files.createDirectories(Paths.get(sys.props.getOrElse(
+      "graft.stream.tmp", "/root/repo/target/stream-tmp")))
+    val base = Files.createDirectories(
+      root.resolve(s"jvm-${ProcessHandle.current().pid()}"))
+    Files.createTempDirectory(base, prefix)
+  }
+
   /** The CDC-log surrogate every streaming query replays: the events
     * table staged as two parquet files split at the time midpoint,
     * oldest written first, so file-mtime replay order = event-time order
@@ -58,14 +69,21 @@ object StreamingLatest {
   private[graft] def stagedEventLog(spark: SparkSession, sfDir: String): String =
     stagedDirs.computeIfAbsent(sfDir, { _ =>
       import spark.implicits._
-      val base = Files.createDirectories(Paths.get(sys.props.getOrElse(
+      val root = Files.createDirectories(Paths.get(sys.props.getOrElse(
         "graft.stream.tmp", "/root/repo/target/stream-tmp")))
-      // best-effort purge of leftovers from previous JVMs (each run
-      // stages afresh; stale staged/run dirs would otherwise accumulate)
-      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      // Staged/run dirs are namespaced per JVM (jvm-<pid>, see jvmTmpDir)
+      // so this purge can tell live owners from dead ones: a concurrent
+      // bench or test JVM's staged log must never be yanked from under
+      // its active streaming queries. Purge = delete only jvm-* dirs
+      // whose owning process is gone (/proc/<pid> absent), best-effort.
+      val myPid = ProcessHandle.current().pid()
       try {
-        Files.list(base).forEach { p =>
-          if (Files.isDirectory(p) && Files.getLastModifiedTime(p).toMillis < cutoff) {
+        Files.list(root).forEach { p =>
+          val name = p.getFileName.toString
+          val ownerGone = name.startsWith("jvm-") &&
+            name.stripPrefix("jvm-").toLongOption.exists(pid =>
+              pid != myPid && !Files.isDirectory(Paths.get(s"/proc/$pid")))
+          if (Files.isDirectory(p) && ownerGone) {
             def rm(q: java.nio.file.Path): Unit = {
               if (Files.isDirectory(q)) Files.list(q).forEach(rm(_))
               Files.deleteIfExists(q)
@@ -74,7 +92,7 @@ object StreamingLatest {
           }
         }
       } catch { case _: Throwable => () }
-      val inDir = Files.createTempDirectory(base, "staged").toString
+      val inDir = jvmTmpDir("staged").toString
       val batch = graft.Tables.events(spark, sfDir)
         .select(StagedCols.map(col): _*)
       val mm = batch.agg(unix_micros(min($"ts")), unix_micros(max($"ts"))).first()
@@ -107,9 +125,7 @@ object StreamingLatest {
   def streamWindowed(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val runDir = Files.createTempDirectory(
-      Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
-        "/root/repo/target/stream-tmp"))), "runw")
+    val runDir = jvmTmpDir("runw")
     val inDir   = stagedEventLog(spark, sfDir)
     val outDir  = s"$runDir/out"
     val ckptDir = s"$runDir/ckpt"
@@ -162,9 +178,7 @@ object StreamingLatest {
   def streamSessionize(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val runDir = Files.createTempDirectory(
-      Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
-        "/root/repo/target/stream-tmp"))), "runs")
+    val runDir = jvmTmpDir("runs")
     val inDir   = stagedEventLog(spark, sfDir)
     val outDir  = s"$runDir/out"
     val ckptDir = s"$runDir/ckpt"
@@ -218,9 +232,7 @@ object StreamingLatest {
     * single-copy log). */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
     import spark.implicits._
-    val runDir = Files.createTempDirectory(
-      Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
-        "/root/repo/target/stream-tmp"))), "rund")
+    val runDir = jvmTmpDir("rund")
     val inDir   = s"$runDir/in"
     val outDir  = s"$runDir/out"
     val ckptDir = s"$runDir/ckpt"
@@ -283,9 +295,7 @@ object StreamingLatest {
     * state — so the streaming result shares an exact batch oracle. */
   def streamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
     import spark.implicits._
-    val runDir = Files.createTempDirectory(
-      Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
-        "/root/repo/target/stream-tmp"))), "runj")
+    val runDir = jvmTmpDir("runj")
     val inDir   = stagedEventLog(spark, sfDir)
     val outDir  = s"$runDir/out"
     val ckptDir = s"$runDir/ckpt"
@@ -352,9 +362,7 @@ object StreamingLatest {
     * additionally asserts the equivalence in-process at smoke scale). */
   def streamStateful(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
     import spark.implicits._
-    val runDir = Files.createTempDirectory(
-      Files.createDirectories(Paths.get(sys.props.getOrElse("graft.stream.tmp",
-        "/root/repo/target/stream-tmp"))), "run")
+    val runDir = jvmTmpDir("run")
     val inDir   = stagedEventLog(spark, sfDir)
     val outDir  = s"$runDir/out"
     val ckptDir = s"$runDir/ckpt"

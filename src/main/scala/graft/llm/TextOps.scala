@@ -174,11 +174,21 @@ object TextOps {
         converged = changed == 0
         i += 1
       }
-      edges.unpersist(false)
-      labels
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponents exited after maxIter=$maxIter without convergence; " +
+            "labels may not be a fixpoint")
+      // Materialize off the cached lineage (localCheckpoint blocks are
+      // reclaimed by the ContextCleaner on GC) so the last iteration's
+      // cache can be dropped here instead of leaking for the session.
+      val out = labels
         .select($"doc_id", $"label".as("cluster_id"),
           ($"doc_id" === $"label").cast(IntegerType).as("is_canonical"))
         .orderBy($"doc_id")
+        .localCheckpoint(true)
+      labels.unpersist(false)
+      edges.unpersist(false)
+      out
     } finally spark.conf.set(partKey, prevParts)
   }
 

@@ -689,8 +689,10 @@ object Relational {
     // unique ranking key: acctbal (2 decimals, < 10^5) in cents, then
     // custkey; round BEFORE the long cast — Spark's double→long cast
     // truncates while DuckDB's rounds, and 2-dp money in binary sits a
-    // hair below its integer cent value
-    val rank = (round($"c_acctbal" * 100).cast(LongType) * 10000000L + $"c_custkey")
+    // hair below its integer cent value. Cents shifted by 2^40 (cents
+    // fit ~21 bits; custkey < 2^40 up to SF ~7M) so keys stay unique
+    // at any realistic scale — a 10^7 multiplier collides at SF~67.
+    val rank = (round($"c_acctbal" * 100).cast(LongType) * (1L << 40) + $"c_custkey")
     Tables.customer(spark, sfDir)
       .groupBy($"c_mktsegment")
       .agg(
