@@ -37,11 +37,39 @@ object StreamingLatest {
     * ~170 hour-windows here), not the session's CPU count — at 32
     * partitions most state tasks carry near-empty stores and the per-batch
     * fixed cost dominates. Restored after the stream completes. */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    withConf(spark,
+      (("spark.sql.shuffle.partitions" -> n.toString) +: fastCheckpointConf): _*)(body)
+
+  /** Skip the trailing no-data micro-batch for queries whose output is
+    * fully emitted by the data batches themselves. Inner stream-stream
+    * joins, update-mode flatMapGroupsWithState (NoTimeout), append-mode
+    * dropDuplicatesWithinWatermark and complete-mode aggregates all emit
+    * on data arrival — the extra watermark-only batch exists to evict
+    * state / fire timeouts, which a finite AvailableNow replay that ends
+    * with query shutdown doesn't need. Session windows in append mode DO
+    * need it (emission happens when the watermark closes the session), so
+    * streamSessionize must not use this. */
+  private def withoutNoDataBatch[T](spark: SparkSession)(body: => T): T =
+    withConf(spark, "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")(body)
+
+  /** Checkpoint-file checksums (Spark 4.x, on by default) double the
+    * WAL/commit file writes per micro-batch to guard long-lived
+    * checkpoints against disk corruption. These queries run a finite
+    * AvailableNow replay and delete the checkpoint on completion, so the
+    * corruption window the checksums defend is the seconds the query is
+    * live — not worth 2x the per-batch commit I/O. A long-lived
+    * production deployment should leave the default on. */
+  private def fastCheckpointConf = Seq(
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+
+  private def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   private val StagedCols = Seq("event_id", "ts", "user_id", "event_type", "value")
@@ -122,7 +150,7 @@ object StreamingLatest {
     * bounded final state is the full answer) — the streaming twin of the
     * batch `cdc_stream_tumbling`, sharing its oracle SQL: the gate checks
     * streaming/batch equivalence through DuckDB. */
-  def streamWindowed(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
+  def streamWindowed(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val runDir = jvmTmpDir("runw")
@@ -163,7 +191,7 @@ object StreamingLatest {
         $"event_type", $"n_events",
         round($"sum_dec".cast("double"), 4).as("sum_value"))
       .orderBy($"bucket_ms", $"event_type")
-  }
+  } }
 
   /** `cdc_stream_sessionize`: streaming session windows — 30-minute-gap
     * sessions per user computed incrementally, emitted in APPEND mode,
@@ -222,7 +250,9 @@ object StreamingLatest {
     * delivery repair every CDC consumer needs (the reference worker's
     * offset tracking is at-least-once: connect-standalone.properties:4-5,
     * re-delivery on crash replays events). The staged input is the event
-    * log TWICE (two files, so the replay arrives in a later micro-batch);
+    * log TWICE (the replayed copies carry later mtimes, so with
+    * maxFilesPerTrigger = half-count the whole replay arrives in a later
+    * micro-batch than every original);
     * `dropDuplicatesWithinWatermark` on the record key keeps state only
     * within the watermark horizon — bounded state at 100 TB, unlike plain
     * dropDuplicates whose key state grows forever. A replayed record is
@@ -230,7 +260,7 @@ object StreamingLatest {
     * late (behind it) — both paths erase the duplicate, which is why the
     * result can share the exact batch oracle (per-type counts of the
     * single-copy log). */
-  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
     import spark.implicits._
     val runDir = jvmTmpDir("rund")
     val inDir   = s"$runDir/in"
@@ -256,7 +286,7 @@ object StreamingLatest {
 
     val deduped = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", staged.size.toString)
       .parquet(inDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -281,7 +311,7 @@ object StreamingLatest {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"))
       .orderBy($"event_type")
-  }
+  } }
 
   /** `cdc_stream_join`: watermarked stream-stream interval join — each
     * purchase joined to the same user's clicks from the preceding hour,
@@ -293,7 +323,7 @@ object StreamingLatest {
     * provably never races a pending match — every batch-2 purchase
     * needs clicks newer than (watermark − 1 h), which are still in
     * state — so the streaming result shares an exact batch oracle. */
-  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
     import spark.implicits._
     val runDir = jvmTmpDir("runj")
     val inDir   = stagedEventLog(spark, sfDir)
@@ -334,7 +364,7 @@ object StreamingLatest {
 
     spark.read.parquet(outDir)
       .orderBy($"purchase_event_id", $"click_event_id")
-  }
+  } }
 
   /** Keep the max-(ts_us, event_id) record per key; emit the new latest on
     * every update (OutputMode.Update). */
@@ -360,7 +390,7 @@ object StreamingLatest {
     * watermark can never drop a key's winning event (the SIGMOD'18
     * batch/streaming-equivalence argument, PAPERS.md; StreamingSpec
     * additionally asserts the equivalence in-process at smoke scale). */
-  def streamStateful(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
+  def streamStateful(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
     import spark.implicits._
     val runDir = jvmTmpDir("run")
     val inDir   = stagedEventLog(spark, sfDir)
@@ -414,5 +444,5 @@ object StreamingLatest {
       .select($"user_id", $"last_event_id", $"last_event_type",
         round($"last_value", 4).as("last_value"), $"last_ts_us")
       .orderBy($"user_id")
-  }
+  } }
 }

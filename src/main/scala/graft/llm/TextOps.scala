@@ -146,10 +146,13 @@ object TextOps {
       .union(pairs.toDF("doc_a", "doc_b").select($"doc_b", $"doc_a"))
       .toDF("src", "dst")
       .cache()
-    // the propagation frames are |near-dup docs| rows — size the rounds'
-    // shuffles to that, not to the session's scan parallelism (restored
-    // after the fixpoint; at 100 TB this would instead scale with the
-    // edge count)
+    // materialize the edge cache BEFORE shrinking shuffle partitions:
+    // the pair-graph build (the near-dup join) is the expensive part and
+    // wants the session's full scan/shuffle parallelism — only the
+    // propagation rounds below are small enough to size to the near-dup
+    // doc count (restored after the fixpoint; at 100 TB this would
+    // instead scale with the edge count)
+    edges.count()
     val partKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(partKey)
     spark.conf.set(partKey, "4")
@@ -173,6 +176,8 @@ object TextOps {
         labels = next
         converged = changed == 0
         i += 1
+        if (sys.env.contains("GRAFT_DEV_STREAMPROFILE"))
+          println(s"[ccprofile] iter=$i changed=$changed")
       }
       if (!converged)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
