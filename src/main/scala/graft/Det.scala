@@ -15,4 +15,20 @@ import org.apache.spark.sql.functions.floor
   */
 object Det {
   def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  /** Signed HALF_UP (round half away from zero) at 4dp — the same
+    * identical-IEEE construction for columns that can be negative:
+    * sign·floor(|x|·1e4 + 0.5)/1e4. Mirror in oracle SQL as
+    * `sign(x) * floor(abs(x)*10000.0 + 0.5) / 10000.0`. */
+  def r4s(c: Column): Column = {
+    import org.apache.spark.sql.functions.{abs => fabs, signum}
+    signum(c) * (floor(fabs(c) * 10000.0 + 0.5) / 10000.0)
+  }
+
+  /** Same, 6dp — for small-magnitude signed quantities (quantization
+    * scales, logprobs) where 4dp would flatten the signal. */
+  def r6s(c: Column): Column = {
+    import org.apache.spark.sql.functions.{abs => fabs, signum}
+    signum(c) * (floor(fabs(c) * 1000000.0 + 0.5) / 1000000.0)
+  }
 }

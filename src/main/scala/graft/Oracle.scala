@@ -770,6 +770,284 @@ object Oracle {
                 (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0) p
            WHERE e.vec_id <> 0
            ORDER BY cos_raw DESC, e.vec_id LIMIT 10)
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+
+    // ── TPC-H classic shapes (round 3; TpchShapes.scala) ──────────────
+    "q6_forecast_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                year(l_shipdate) AS l_year,
+                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+         FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND n1.n_name IN ('NATION_3','NATION_8') AND n2.n_name IN ('NATION_3','NATION_8')
+           AND n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+                floor((CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE))
+                  * 10000.0 + 0.5) / 10000.0 AS mkt_share
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           JOIN region ON n2.n_regionkey = r_regionkey
+         WHERE p_name LIKE '%widget%' AND r_name = 'EUROPE'
+         GROUP BY 1 ORDER BY o_year""",
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_profit
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+
+    "q12_priority_shipping" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q13_order_counts" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+               GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    "q14_promo_revenue" ->
+      """SELECT floor((100.0 *
+                  CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE))
+                  * 10000.0 + 0.5) / 10000.0 AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'""",
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+                  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+
+    "q17_small_qty_orders" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     WHERE p_brand = 'Brand#1'),
+            a AS (SELECT l_partkey AS a_partkey,
+                         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+                  FROM li GROUP BY l_partkey)
+         SELECT floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0)
+                  * 10000.0 + 0.5) / 10000.0 AS avg_yearly
+         FROM li JOIN a ON l_partkey = a_partkey
+         WHERE l_quantity < 0.5 * avg_qty""",
+
+    "q19_discounted_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_quantity >= 1 AND l_quantity <= 40 AND (
+               (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 10 AND l_quantity BETWEEN 1  AND 15)
+            OR (p_brand = 'Brand#13' AND p_size BETWEEN 5  AND 20 AND l_quantity BETWEEN 10 AND 25)
+            OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 40))""",
+
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                            FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    // ── Function-surface widening (round 3; FuncSurface/TextOps/VectorOps) ──
+    "agg_regression" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice/1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(l_quantity*(l_extendedprice/1000.0) AS DECIMAL(28,8))) AS DECIMAL(28,4)) AS DOUBLE) AS sxy,
+             CAST(CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,8))) AS DECIMAL(28,4)) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST((l_extendedprice/1000.0)*(l_extendedprice/1000.0) AS DECIMAL(28,8))) AS DECIMAL(28,4)) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           sign((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx))
+             * floor(abs((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)) * 10000.0 + 0.5) / 10000.0 AS slope,
+           sign((sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx) / CAST(n AS DOUBLE))
+             * floor(abs((sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx) / CAST(n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS intercept,
+           floor(((CAST(n AS DOUBLE)*sxy - sx*sy) * (CAST(n AS DOUBLE)*sxy - sx*sy)
+             / ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy))) * 10000.0 + 0.5) / 10000.0 AS r2
+         FROM m ORDER BY l_returnflag""",
+
+    "cond_null_funcs" ->
+      """SELECT p_partkey,
+           sign(coalesce(p_retailprice / nullif(CAST(p_size - 5 AS DOUBLE), 0.0), -1.0))
+             * floor(abs(coalesce(p_retailprice / nullif(CAST(p_size - 5 AS DOUBLE), 0.0), -1.0)) * 10000.0 + 0.5) / 10000.0 AS price_per_size,
+           nullif(p_size, 10) AS size_or_null,
+           greatest(least(p_size, 40), 5) AS size_clamped,
+           coalesce(nullif(p_brand, 'Brand#1'), p_type) AS brand_or_type
+         FROM part ORDER BY p_partkey""",
+
+    "ts_format_funcs" ->
+      """SELECT event_id,
+           strftime(ts, '%Y-%m-%d') AS day_str,
+           strftime(ts, '%Y-%m') AS month_str,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(minute(ts) AS INTEGER) AS m,
+           CAST(second(ts) AS INTEGER) AS s,
+           epoch_us(ts) // 1000000 AS epoch_s
+         FROM events ORDER BY event_id""",
+
+    "array_basic_ops" ->
+      """SELECT vec_id,
+           len(embedding) AS n_dims,
+           len(list_distinct(embedding)) AS n_distinct,
+           sign(mx) * floor(abs(mx) * 10000.0 + 0.5) / 10000.0 AS max_v,
+           sign(mn) * floor(abs(mn) * 10000.0 + 0.5) / 10000.0 AS min_v,
+           sign(h4) * floor(abs(h4) * 10000.0 + 0.5) / 10000.0 AS head4_sum
+         FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mx,
+                 list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+                 list_aggregate(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)), 'sum') AS h4
+               FROM embeddings)
+         ORDER BY vec_id""",
+
+    "text_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+            c AS (SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
+         SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS bin,
+                count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+                floor((CAST(sum(n_tok) AS DOUBLE) / 2048.0) * 10000.0 + 0.5) / 10000.0 AS fill_ratio
+         FROM c GROUP BY lang, CAST(cum_before // 2048 AS BIGINT)
+         ORDER BY lang, bin""",
+
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+            m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                    sum(CAST(CAST(c AS DOUBLE) * (floor(ln(c) * 1000000.0 + 0.5) / 1000000.0)
+                        AS DECIMAL(28,10))) AS clnc
+                  FROM cnt GROUP BY doc_id)
+         SELECT doc_id, n AS n_tokens,
+           floor(((floor(ln(n) * 1000000.0 + 0.5) / 1000000.0)
+                  - CAST(clnc AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS entropy_nats
+         FROM m ORDER BY doc_id""",
+
+    "embed_quantize" ->
+      """WITH v AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+            sc AS (SELECT vec_id, vd,
+                     list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale FROM v)
+         SELECT vec_id,
+           floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale_q,
+           CAST(list_aggregate(list_transform(vd, x -> CAST(floor(x / scale + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS q_sum,
+           CAST(list_min(list_transform(vd, x -> CAST(floor(x / scale + 0.5) AS INTEGER))) AS INTEGER) AS q_min,
+           CAST(list_max(list_transform(vd, x -> CAST(floor(x / scale + 0.5) AS INTEGER))) AS INTEGER) AS q_max
+         FROM sc WHERE scale > 0 ORDER BY vec_id""",
+
+    "q2_min_cost_supplier" ->
+      """WITH avgp AS (
+           SELECT l_partkey, l_suppkey,
+                  floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+                    * 10000.0 + 0.5) / 10000.0 AS avg_price
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_size BETWEEN 10 AND 20
+           GROUP BY l_partkey, l_suppkey),
+         minp AS (SELECT l_partkey AS m_partkey, min(avg_price) AS min_price
+                  FROM avgp GROUP BY l_partkey)
+         SELECT l_partkey AS p_partkey, s_suppkey, s_name, avg_price
+         FROM avgp
+           JOIN minp ON l_partkey = m_partkey AND avg_price = min_price
+           JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY p_partkey, s_suppkey""",
+
+    "q21_late_suppliers" ->
+      """WITH flags AS (
+           SELECT l_orderkey, l_suppkey,
+                  max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS is_late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY l_orderkey, l_suppkey),
+         per_order AS (
+           SELECT l_orderkey AS f_orderkey, count(*) AS n_supp,
+                  CAST(sum(is_late) AS BIGINT) AS n_late
+           FROM flags GROUP BY l_orderkey)
+         SELECT s_suppkey, s_name, numwait FROM (
+           SELECT l_suppkey, count(*) AS numwait
+           FROM flags JOIN per_order
+             ON l_orderkey = f_orderkey AND n_supp > 1 AND n_late = 1
+           WHERE is_late = 1
+           GROUP BY l_suppkey)
+           JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    "string_pad_funcs" ->
+      """SELECT p_partkey,
+                lpad(p_brand, 12, '*') AS brand_lpad,
+                rpad(p_type, 10, '.') AS type_rpad,
+                left(p_name, 4) AS name_left,
+                right(p_name, 3) AS name_right,
+                split_part(p_name, ' ', 1) AS first_word,
+                translate(p_type, 'AEO', 'aeo') AS type_translated,
+                repeat(p_brand, 2) AS brand_twice,
+                reverse(p_name) AS name_rev
+         FROM part ORDER BY p_partkey""",
+
+    "window_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+                floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE))
+                      * 10000.0 + 0.5) / 10000.0 AS mov_avg
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "agg_count_distinct_multi" ->
+      """SELECT c_mktsegment,
+                count(DISTINCT c_nationkey) AS n_nations,
+                count(DISTINCT floor(c_acctbal / 1000.0)) AS n_bal_buckets,
+                count(*) AS n_cust
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

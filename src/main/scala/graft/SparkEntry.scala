@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.cdc.{Changelog, Envelope, StreamingLatest}
 import graft.llm.{EmbedLsh, IvfAnn, MinHash, SimHash, TextOps, VectorOps}
 import graft.mm.MultiModal
-import graft.rel.Relational
+import graft.rel.{FuncSurface, Relational, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every key in `queries` is an implemented operator from SURVEY.md §2.2;
@@ -62,6 +62,27 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
     "q18_large_orders"     -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "q10_returned_items"   -> ((s, d) => Relational.q10ReturnedItems(s, d)),
+    "q6_forecast_revenue"  -> ((s, d) => TpchShapes.q6ForecastRevenue(s, d)),
+    "q4_order_priority"    -> ((s, d) => TpchShapes.q4OrderPriority(s, d)),
+    "q7_volume_shipping"   -> ((s, d) => TpchShapes.q7VolumeShipping(s, d)),
+    "q8_market_share"      -> ((s, d) => TpchShapes.q8MarketShare(s, d)),
+    "q9_product_profit"    -> ((s, d) => TpchShapes.q9ProductProfit(s, d)),
+    "q12_priority_shipping" -> ((s, d) => TpchShapes.q12PriorityShipping(s, d)),
+    "q13_order_counts"     -> ((s, d) => TpchShapes.q13OrderCounts(s, d)),
+    "q14_promo_revenue"    -> ((s, d) => TpchShapes.q14PromoRevenue(s, d)),
+    "q15_top_supplier"     -> ((s, d) => TpchShapes.q15TopSupplier(s, d)),
+    "q17_small_qty_orders" -> ((s, d) => TpchShapes.q17SmallQtyOrders(s, d)),
+    "q19_discounted_revenue" -> ((s, d) => TpchShapes.q19DiscountedRevenue(s, d)),
+    "q22_idle_customers"   -> ((s, d) => TpchShapes.q22IdleCustomers(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => TpchShapes.q2MinCostSupplier(s, d)),
+    "q21_late_suppliers"   -> ((s, d) => TpchShapes.q21LateSuppliers(s, d)),
+    "agg_regression"       -> ((s, d) => FuncSurface.aggRegression(s, d)),
+    "string_pad_funcs"     -> ((s, d) => FuncSurface.stringPadFuncs(s, d)),
+    "window_moving_avg"    -> ((s, d) => FuncSurface.windowMovingAvg(s, d)),
+    "agg_count_distinct_multi" -> ((s, d) => FuncSurface.aggCountDistinctMulti(s, d)),
+    "cond_null_funcs"      -> ((s, d) => FuncSurface.condNullFuncs(s, d)),
+    "ts_format_funcs"      -> ((s, d) => FuncSurface.tsFormatFuncs(s, d)),
+    "array_basic_ops"      -> ((s, d) => FuncSurface.arrayBasicOps(s, d)),
     "subquery_scalar"      -> ((s, d) => Relational.subqueryScalar(s, d)),
     "set_ops_intersect"    -> ((s, d) => Relational.setOpsIntersect(s, d)),
     "window_topk_group"    -> ((s, d) => Relational.windowTopkGroup(s, d)),
@@ -93,6 +114,9 @@ object SparkEntry {
     "agg_hll_sketch"       -> ((s, d) => Relational.aggHllSketch(s, d)),
     // Group C — LLM data-pipeline ops
     "dedup_exact"          -> ((s, d) => TextOps.dedupExact(s, d)),
+    "text_pack_sequences"  -> ((s, d) => TextOps.packSequences(s, d)),
+    "text_entropy"         -> ((s, d) => TextOps.tokenEntropy(s, d)),
+    "embed_quantize"       -> ((s, d) => VectorOps.embedQuantize(s, d)),
     "dedup_exact_hash"     -> ((s, d) => TextOps.dedupExactHash(s, d)),
     "text_tokenize_counts" -> ((s, d) => TextOps.tokenizeCounts(s, d)),
     "text_lang_stats"      -> ((s, d) => TextOps.langStats(s, d)),

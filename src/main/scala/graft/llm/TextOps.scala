@@ -160,6 +160,11 @@ object TextOps {
       var labels = edges.select($"src".as("doc_id"))
         .distinct()
         .select($"doc_id", $"doc_id".as("label"))
+      // Convergence check without a per-round diff join: min-propagation
+      // only ever DECREASES labels, so Σlabel is strictly monotone until
+      // the fixpoint — equal consecutive sums ⟺ no label changed. The
+      // 1-row sum action doubles as the cache materialization.
+      var prevSum = Option.empty[Long]
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
@@ -168,16 +173,15 @@ object TextOps {
         val next = labels.union(prop)
           .groupBy($"doc_id").agg(min($"label").as("label"))
           .cache()
-        val changed = next.as("n")
-          .join(labels.as("o"), "doc_id")
-          .filter(col("n.label") =!= col("o.label"))
-          .count()
+        val sumNow = Option(next.agg(sum($"label")).first().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         labels.unpersist(false)
         labels = next
-        converged = changed == 0
+        converged = prevSum.contains(sumNow)
+        prevSum = Some(sumNow)
         i += 1
         if (sys.env.contains("GRAFT_DEV_STREAMPROFILE"))
-          println(s"[ccprofile] iter=$i changed=$changed")
+          println(s"[ccprofile] iter=$i sum=$sumNow")
       }
       if (!converged)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -411,6 +415,52 @@ object TextOps {
 
   /** `text_lang_stats`: per-language doc count, avg chars, avg tokens.
     * Integer sums keep averages exact (no FP merge-order wobble). */
+  /** `text_pack_sequences`: greedy context-window packing — the
+    * training-data step that concatenates documents into fixed-size token
+    * windows. Docs are packed per language shard in doc_id order: a doc's
+    * bin is floor(cumulative-tokens-before-it / 2048), i.e. sequential
+    * first-fit with document splitting allowed at bin boundaries. Per
+    * bin: doc count, token sum, fill ratio. Scale notes: the running sum
+    * partitions by the shard key (never a single global window), exactly
+    * how a 100 TB corpus would pack — per shard, in a stable order.
+    * Ref: the packing shape of training pipelines; the reference itself
+    * has no analogue (extension per BASELINE.json:6). */
+  def packSequences(spark: SparkSession, sfDir: String, binTokens: Int = 2048): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", size(split($"text", " ")).cast(LongType).as("n_tok"))
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("bin", ($"cum_before" / binTokens).cast(LongType))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tok_sum"),
+        graft.Det.r4(sum($"n_tok").cast(DoubleType) / binTokens.toDouble).as("fill_ratio"))
+      .orderBy($"lang", $"bin")
+  }
+
+  /** `text_entropy`: per-document token Shannon entropy (nats) — the
+    * vocabulary-diversity quality signal: H = ln n − (Σ c·ln c)/n over
+    * per-doc token counts. `ln` is quantized to 1e-6 before the decimal
+    * sum (same rule as unigramLogprob: libm ln differs by 1 ulp across
+    * engines; quantization buckets make the divergence vanish). One
+    * explode + two grouped passes, all partitioned by doc. */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def qln(c: org.apache.spark.sql.Column) = floor(log(c) * 1e6 + 0.5) / 1e6
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n"),
+        sum(($"c".cast(DoubleType) * qln($"c")).cast(DecimalType(28, 10))).as("clnc"))
+      .select($"doc_id", $"n".as("n_tokens"),
+        graft.Det.r4(qln($"n") - $"clnc".cast(DoubleType) / $"n".cast(DoubleType))
+          .as("entropy_nats"))
+      .orderBy($"doc_id")
+  }
+
   def langStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)

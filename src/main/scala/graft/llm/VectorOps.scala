@@ -90,6 +90,28 @@ object VectorOps {
     * cosine. Probe is a 1-row broadcast; ranking is on the raw cosine
     * (vec_id tie-break), output is rounded and re-sorted by vec_id so the
     * result is hash-stable. */
+  /** `embed_quantize`: per-vector symmetric int8 quantization — the
+    * storage/serving compression step of an embedding pipeline: scale =
+    * max|v|/127, q_i = round-half-up(v_i/scale) ∈ [−127,127]. Rounding is
+    * the explicit floor(x+0.5) form (identical IEEE on both engines;
+    * round-half-toward-+inf). Output: the scale and quantized summary
+    * stats, all per vector — embarrassingly parallel, no shuffle. */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val asD = transform($"embedding", x => x.cast(DoubleType))
+    val maxAbs = array_max(transform(asD, v => abs(v)))
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id", asD.as("v"), (maxAbs / 127.0).as("scale"))
+      .filter($"scale" > 0.0)
+      .select($"vec_id", graft.Det.r6s($"scale").as("scale_q"),
+        transform($"v", x => floor(x / $"scale" + 0.5).cast(IntegerType)).as("q"))
+      .select($"vec_id", $"scale_q",
+        aggregate($"q", lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min($"q").as("q_min"),
+        array_max($"q").as("q_max"))
+      .orderBy($"vec_id")
+  }
+
   def simTopkCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)

@@ -1,0 +1,157 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Scalar/aggregate function surface widening (round 3): regression
+  * aggregates, null-safety scalars, timestamp formatting, array ops.
+  * Determinism per Relational.scala rules (decimal moments, Det.r4,
+  * total order).
+  */
+object FuncSurface {
+
+  /** `agg_regression`: least-squares slope/intercept/r² of extendedprice
+    * (in thousands) on quantity, per returnflag — the regr_slope/
+    * regr_intercept/regr_r2 family computed from EXACT decimal moments
+    * (Σx, Σy, Σxy, Σx², Σy², n) instead of Spark's streaming double
+    * accumulators: the moments are partial+final mergeable in one grouped
+    * pass (same shuffle shape as regr_*), but bit-stable across partition
+    * orders AND engines, which the floating accumulators are not.
+    * Price is scaled to thousands so every decimal sum stays below 2^53
+    * unscaled at bench scale (the Oracle.scala conversion-divergence
+    * bound); the final arithmetic is identical IEEE double on both sides. */
+  def aggRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"l_quantity"
+    val y = $"l_extendedprice" / lit(1000.0)
+    val m = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 4))).cast(DoubleType).as("sx"),
+        sum(y.cast(DecimalType(18, 6))).cast(DoubleType).as("sy"),
+        sum((x * y).cast(DecimalType(28, 8))).cast(DecimalType(28, 4)).cast(DoubleType).as("sxy"),
+        sum((x * x).cast(DecimalType(28, 8))).cast(DecimalType(28, 4)).cast(DoubleType).as("sxx"),
+        sum((y * y).cast(DecimalType(28, 8))).cast(DecimalType(28, 4)).cast(DoubleType).as("syy"))
+    val n = $"n".cast(DoubleType)
+    val covn  = n * $"sxy" - $"sx" * $"sy"   // n·cov
+    val varxn = n * $"sxx" - $"sx" * $"sx"   // n·var(x)
+    val varyn = n * $"syy" - $"sy" * $"sy"
+    m.select(
+        $"l_returnflag", $"n",
+        graft.Det.r4s(covn / varxn).as("slope"),
+        graft.Det.r4s(($"sy" - (covn / varxn) * $"sx") / n).as("intercept"),
+        graft.Det.r4((covn * covn) / (varxn * varyn)).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** `cond_null_funcs`: the null-safety scalar family — try_divide
+    * (ANSI-safe division-by-zero → null), nullif, coalesce, greatest/
+    * least — in one projection. At 100 TB these are what keep one dirty
+    * row from killing a job (same rationale as try_cast in json_extract). */
+  def condNullFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select(
+        $"p_partkey",
+        // p_size = 5 → divide by zero → null (not an exception, not inf)
+        graft.Det.r4s(coalesce(try_divide($"p_retailprice", ($"p_size" - 5).cast(DoubleType)),
+          lit(-1.0))).as("price_per_size"),
+        expr("nullif(p_size, 10)").as("size_or_null"),
+        greatest(least($"p_size", lit(40)), lit(5)).as("size_clamped"),
+        coalesce(expr("nullif(p_brand, 'Brand#1')"), $"p_type").as("brand_or_type"))
+      .orderBy($"p_partkey")
+  }
+
+  /** `ts_format_funcs`: timestamp→string formatting and clock-field
+    * extraction on the event stream (the reference's three-clock envelope
+    * makes these the everyday projections: README.md ts_ms/ts_us). */
+  def tsFormatFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        date_format($"ts", "yyyy-MM-dd").as("day_str"),
+        date_format($"ts", "yyyy-MM").as("month_str"),
+        hour($"ts").as("h"),
+        minute($"ts").as("m"),
+        second($"ts").as("s"),
+        unix_timestamp($"ts").as("epoch_s"))
+      .orderBy($"event_id")
+  }
+
+  /** `string_pad_funcs`: the padding/slicing string family — lpad/rpad,
+    * left/right, split_part, translate, repeat, reverse — one codegen'd
+    * projection, no shuffle. */
+  def stringPadFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select(
+        $"p_partkey",
+        lpad($"p_brand", 12, "*").as("brand_lpad"),
+        rpad($"p_type", 10, ".").as("type_rpad"),
+        expr("left(p_name, 4)").as("name_left"),
+        expr("right(p_name, 3)").as("name_right"),
+        expr("split_part(p_name, ' ', 1)").as("first_word"),
+        translate($"p_type", "AEO", "aeo").as("type_translated"),
+        repeat($"p_brand", 2).as("brand_twice"),
+        reverse($"p_name").as("name_rev"))
+      .orderBy($"p_partkey")
+  }
+
+  /** `window_moving_avg`: ROWS-frame sliding mean — each order's price
+    * averaged with the customer's previous three orders (frame pinned by
+    * a (date, orderkey) total order; decimal sum / frame count so the
+    * mean is exact). Complements window_range_days' RANGE frame. */
+  def windowMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(-3, 0)
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("mov_avg", graft.Det.r4(
+        sum($"o_totalprice".cast(DecimalType(18, 4))).over(w).cast(DoubleType) /
+          count(lit(1)).over(w).cast(DoubleType)))
+      .select($"o_custkey", $"o_orderkey", $"mov_avg")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** `agg_count_distinct_multi`: several DISTINCT aggregates in one
+    * grouped pass — Catalyst plans this with Expand (one row replicated
+    * per distinct column, then de-dup per group), the multi-distinct
+    * shape every SQL engine needs. */
+  def aggCountDistinctMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .groupBy($"c_mktsegment")
+      .agg(
+        countDistinct($"c_nationkey").as("n_nations"),
+        countDistinct(floor($"c_acctbal" / 1000.0)).as("n_bal_buckets"),
+        count(lit(1)).as("n_cust"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** `array_basic_ops`: the array-function family over the embedding
+    * column — size/distinct/min/max/slice-sum, plus set ops against a
+    * constant token array on documents is covered in TextOps; here the
+    * numeric side. Float elements are cast to double before arithmetic
+    * (float→double is exact) so both engines sum identically. */
+  def arrayBasicOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val asD = transform($"embedding", x => x.cast(DoubleType))
+    Tables.embeddings(spark, sfDir)
+      .select(
+        $"vec_id",
+        size($"embedding").as("n_dims"),
+        size(array_distinct($"embedding")).as("n_distinct"),
+        graft.Det.r4s(array_max(asD)).as("max_v"),
+        graft.Det.r4s(array_min(asD)).as("min_v"),
+        graft.Det.r4s(aggregate(slice(asD, 1, 4), lit(0.0), (acc, v) => acc + v))
+          .as("head4_sum"))
+      .orderBy($"vec_id")
+  }
+}

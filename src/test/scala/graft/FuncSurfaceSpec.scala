@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.rel.FuncSurface
+import graft.llm.{TextOps, VectorOps}
+
+/** Specs for the round-3 function-surface ops: regression-from-moments,
+  * null-safety scalars, ts formatting, array ops, sequence packing,
+  * token entropy, int8 quantization. */
+class FuncSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.Sf
+
+  test("agg_regression: decimal-moment slope/r2 track Spark's native regr_* closely") {
+    val s = spark
+    import s.implicits._
+    val got = FuncSurface.aggRegression(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("slope"), r.getAs[Double]("r2"))).toMap
+    val native = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice/1000.0, l_quantity)").as("sl"),
+        expr("regr_r2(l_extendedprice/1000.0, l_quantity)").as("r2"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got.foreach { case (flag, (slope, r2)) =>
+      assert(math.abs(slope - native(flag)._1) < 1e-3, s"slope mismatch for $flag")
+      assert(math.abs(r2 - native(flag)._2) < 1e-3, s"r2 mismatch for $flag")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("cond_null_funcs: try_divide nulls exactly the p_size=5 rows") {
+    val s = spark
+    import s.implicits._
+    val df = FuncSurface.condNullFuncs(spark, sf).cache()
+    val nullDiv = df.filter($"price_per_size" === -1.0).count()
+    val sizeFive = Tables.part(spark, sf).filter($"p_size" === 5).count()
+    assert(nullDiv == sizeFive, "divide-by-zero must null exactly size-5 parts")
+    assert(df.filter($"size_or_null".isNull).count() ==
+      Tables.part(spark, sf).filter($"p_size" === 10).count())
+    val range = df.agg(min($"size_clamped"), max($"size_clamped")).collect().head
+    assert(range.getInt(0) >= 5 && range.getInt(1) <= 40)
+    df.unpersist()
+  }
+
+  test("ts_format_funcs: formatted day string round-trips the epoch") {
+    val s = spark
+    import s.implicits._
+    val row = FuncSurface.tsFormatFuncs(spark, sf).limit(1).collect().head
+    val fromEpoch = java.time.Instant.ofEpochSecond(row.getAs[Long]("epoch_s"))
+      .toString.substring(0, 10)
+    assert(row.getAs[String]("day_str") == fromEpoch)
+    assert(row.getAs[Int]("h") >= 0 && row.getAs[Int]("h") <= 23)
+  }
+
+  test("array_basic_ops: dims fixed at 64, min <= max, distinct <= dims") {
+    val s = spark
+    import s.implicits._
+    val rows = FuncSurface.arrayBasicOps(spark, sf).collect()
+    assert(rows.forall(_.getAs[Int]("n_dims") == 64))
+    assert(rows.forall(r => r.getAs[Int]("n_distinct") <= 64))
+    assert(rows.forall(r => r.getAs[Double]("min_v") <= r.getAs[Double]("max_v")))
+  }
+
+  test("text_pack_sequences: packing conserves tokens and respects bin order") {
+    val s = spark
+    import s.implicits._
+    val df = TextOps.packSequences(spark, sf).cache()
+    val packedTokens = df.agg(sum($"tok_sum")).collect().head.getLong(0)
+    val corpusTokens = Tables.documents(spark, sf)
+      .select(size(split($"text", " ")).cast("long").as("n"))
+      .agg(sum($"n")).collect().head.getLong(0)
+    assert(packedTokens == corpusTokens, "every token lands in exactly one bin")
+    // bins are contiguous from 0 within each lang
+    val bad = df.groupBy($"lang")
+      .agg(min($"bin").as("mn"), max($"bin").as("mx"), count(lit(1)).as("k"))
+      .filter($"mn" =!= 0 || $"mx" =!= $"k" - 1).count()
+    assert(bad == 0, "bins must be contiguous 0..k-1 per lang")
+    df.unpersist()
+  }
+
+  test("text_entropy: uniform-token doc has zero entropy; bounds hold") {
+    val s = spark
+    import s.implicits._
+    val ent = TextOps.tokenEntropy(spark, sf).cache()
+    // entropy in [0, ln n]
+    val bad = ent.filter($"entropy_nats" < -1e-9 ||
+      $"entropy_nats" > log($"n_tokens".cast("double")) + 1e-4).count()
+    assert(bad == 0)
+    // a doc that is one token repeated must score exactly 0
+    val single = Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size(array_distinct($"toks")) === 1)
+      .select($"doc_id").limit(1).collect()
+    single.foreach { r =>
+      val e = ent.filter($"doc_id" === r.getLong(0)).collect().head.getAs[Double]("entropy_nats")
+      assert(e == 0.0)
+    }
+    ent.unpersist()
+  }
+
+  test("string_pad_funcs: pad widths and split_part agree with raw string ops") {
+    val s = spark
+    import s.implicits._
+    val row = FuncSurface.stringPadFuncs(spark, sf).limit(1).collect().head
+    assert(row.getAs[String]("brand_lpad").length == 12)
+    assert(row.getAs[String]("type_rpad").length == 10)
+    val name = Tables.part(spark, sf).orderBy($"p_partkey").limit(1)
+      .collect().head.getAs[String]("p_name")
+    assert(row.getAs[String]("first_word") == name.split(" ").head)
+    assert(row.getAs[String]("name_rev") == name.reverse)
+  }
+
+  test("window_moving_avg: first row per customer equals its own price") {
+    val s = spark
+    import s.implicits._
+    val df = FuncSurface.windowMovingAvg(spark, sf)
+    val firsts = Tables.orders(spark, sf)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")))
+      .filter($"rn" === 1)
+      .select($"o_orderkey", $"o_totalprice")
+    val joined = df.join(firsts, "o_orderkey")
+      .filter(abs($"mov_avg" - $"o_totalprice") > 1e-3).count()
+    assert(joined == 0, "a 1-row frame's average is the row itself")
+  }
+
+  test("agg_count_distinct_multi: distinct nation count bounded by 25") {
+    val s = spark
+    import s.implicits._
+    val rows = FuncSurface.aggCountDistinctMulti(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("n_nations") <= 25))
+    assert(rows.forall(r => r.getAs[Long]("n_nations") <= r.getAs[Long]("n_cust")))
+  }
+
+  test("embed_quantize: quantized values stay in int8 range, scale positive") {
+    val s = spark
+    import s.implicits._
+    val rows = VectorOps.embedQuantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Double]("scale_q") > 0))
+    assert(rows.forall(r => r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_max") <= 127))
+    // max|q| must hit 127 for at least the dominant dimension (by construction
+    // scale = max|v|/127, so one element quantizes to ±127)
+    assert(rows.forall(r => r.getAs[Int]("q_max") == 127 || r.getAs[Int]("q_min") == -127))
+  }
+}
