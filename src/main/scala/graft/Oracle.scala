@@ -1008,15 +1008,12 @@ object Oracle {
                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS is_late
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            GROUP BY l_orderkey, l_suppkey),
-         per_order AS (
-           SELECT l_orderkey AS f_orderkey, count(*) AS n_supp,
-                  CAST(sum(is_late) AS BIGINT) AS n_late
-           FROM flags GROUP BY l_orderkey)
+         w AS (SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                      sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+               FROM flags)
          SELECT s_suppkey, s_name, numwait FROM (
            SELECT l_suppkey, count(*) AS numwait
-           FROM flags JOIN per_order
-             ON l_orderkey = f_orderkey AND n_supp > 1 AND n_late = 1
-           WHERE is_late = 1
+           FROM w WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
            GROUP BY l_suppkey)
            JOIN supplier ON l_suppkey = s_suppkey
          ORDER BY numwait DESC, s_name LIMIT 20""",
@@ -1048,6 +1045,26 @@ object Oracle {
                 count(DISTINCT c_nationkey) AS n_nations,
                 count(DISTINCT floor(c_acctbal / 1000.0)) AS n_bal_buckets,
                 count(*) AS n_cust
-         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "table_profile_stats" ->
+      """WITH melted AS (
+           SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority' AS col_name, CAST(o_orderpriority AS VARCHAR) AS v FROM orders)
+         SELECT col_name, count(*) AS n_rows,
+                CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                count(DISTINCT v) AS n_distinct,
+                min(v) AS min_v, max(v) AS max_v
+         FROM melted GROUP BY col_name ORDER BY col_name""",
+
+    "text_vocab_ids" ->
+      """SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS INTEGER) AS vocab_id,
+                tok, cnt
+         FROM (SELECT tok, count(*) AS cnt
+               FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+               GROUP BY tok)
+         QUALIFY vocab_id < 100
+         ORDER BY vocab_id"""
   )
 }

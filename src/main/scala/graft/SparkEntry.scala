@@ -80,6 +80,8 @@ object SparkEntry {
     "string_pad_funcs"     -> ((s, d) => FuncSurface.stringPadFuncs(s, d)),
     "window_moving_avg"    -> ((s, d) => FuncSurface.windowMovingAvg(s, d)),
     "agg_count_distinct_multi" -> ((s, d) => FuncSurface.aggCountDistinctMulti(s, d)),
+    "table_profile_stats"  -> ((s, d) => FuncSurface.tableProfileStats(s, d)),
+    "text_vocab_ids"       -> ((s, d) => TextOps.vocabIds(s, d)),
     "cond_null_funcs"      -> ((s, d) => FuncSurface.condNullFuncs(s, d)),
     "ts_format_funcs"      -> ((s, d) => FuncSurface.tsFormatFuncs(s, d)),
     "array_basic_ops"      -> ((s, d) => FuncSurface.arrayBasicOps(s, d)),

@@ -461,6 +461,26 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_vocab_ids`: vocabulary construction — the tokenizer-training
+    * primitive: corpus token counts, ranked (count desc, token asc), the
+    * top 100 assigned contiguous ids from 0. The ranking window runs
+    * over the AGGREGATED counts (vocab cardinality, not corpus
+    * cardinality), so the single-partition window is over a frame that
+    * is small by construction at any corpus size. */
+  def vocabIds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("vocab_id",
+        row_number().over(Window.orderBy($"cnt".desc, $"tok")) - 1)
+      .filter($"vocab_id" < 100)
+      .select($"vocab_id", $"tok", $"cnt")
+      .orderBy($"vocab_id")
+  }
+
   def langStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)

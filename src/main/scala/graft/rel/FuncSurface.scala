@@ -135,6 +135,31 @@ object FuncSurface {
       .orderBy($"c_mktsegment")
   }
 
+  /** `table_profile_stats`: ANALYZE-style column profiling — null count,
+    * exact distinct count, min/max per profiled column, all in ONE pass
+    * over the table (the melt-then-group shape: each row contributes one
+    * (column, value) pair per profiled column). The engine-side answer
+    * to "what does this table look like" before planning a 100 TB job;
+    * at scale the exact distinct swaps for approx_count_distinct, same
+    * plan shape. */
+  def tableProfileStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.orders(spark, sfDir)
+    val profiled = Seq("o_orderstatus", "o_orderpriority")
+    val melted = li.select(
+      explode(array(profiled.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast(StringType).as("v"))): _*)).as("p"))
+      .select($"p.col_name", $"p.v")
+    melted.groupBy($"col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct($"v").as("n_distinct"),
+        min($"v").as("min_v"),
+        max($"v").as("max_v"))
+      .orderBy($"col_name")
+  }
+
   /** `array_basic_ops`: the array-function family over the embedding
     * column — size/distinct/min/max/slice-sum, plus set ops against a
     * constant token array on documents is covered in TextOps; here the

@@ -276,22 +276,24 @@ object TpchShapes {
   /** `q21_late_suppliers` (TPC-H Q21 shape; "late" = shipped >90 days
     * after the order date): suppliers who were the ONLY late supplier in
     * a multi-supplier order. The EXISTS/NOT-EXISTS pair decorrelates to
-    * two grouped passes over one scan — per (order, supplier) late flags,
-    * then per-order supplier/late counts — and a qualifying join; no
-    * per-row subquery execution anywhere. */
+    * ONE grouped pass — per (order, supplier) late flags — with the
+    * per-order supplier/late counts taken as window aggregates over the
+    * same frame: a self-join formulation would evaluate the fact join
+    * and aggregation twice (verified in the plan), doubling the
+    * workload's biggest shuffle at scale. Per-order groups are tiny, so
+    * the window is skew-free. */
   def q21LateSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val flags = Tables.lineitem(spark, sfDir)
+    val wOrd = Window.partitionBy($"l_orderkey")
+    Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate"),
         $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"), 1L)
         .otherwise(0L)).as("is_late"))
-    val perOrder = flags.groupBy($"l_orderkey".as("f_orderkey"))
-      .agg(count(lit(1)).as("n_supp"), sum($"is_late").as("n_late"))
-    flags.filter($"is_late" === 1L)
-      .join(perOrder, $"l_orderkey" === $"f_orderkey" &&
-        $"n_supp" > 1L && $"n_late" === 1L)
+      .withColumn("n_supp", count(lit(1)).over(wOrd))
+      .withColumn("n_late", sum($"is_late").over(wOrd))
+      .filter($"is_late" === 1L && $"n_supp" > 1L && $"n_late" === 1L)
       .groupBy($"l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")),

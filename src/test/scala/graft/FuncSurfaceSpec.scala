@@ -136,6 +136,31 @@ class FuncSurfaceSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("n_nations") <= r.getAs[Long]("n_cust")))
   }
 
+  test("table_profile_stats: profile agrees with direct per-column queries") {
+    val s = spark
+    import s.implicits._
+    val rows = FuncSurface.tableProfileStats(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val orders = Tables.orders(spark, sf)
+    assert(rows("o_orderstatus").getAs[Long]("n_rows") == orders.count())
+    assert(rows("o_orderstatus").getAs[Long]("n_distinct") ==
+      orders.select($"o_orderstatus").distinct().count())
+    assert(rows("o_orderpriority").getAs[Long]("n_null") == 0)
+    assert(rows("o_orderpriority").getAs[String]("min_v") == "1-URGENT")
+  }
+
+  test("text_vocab_ids: ids are contiguous and counts non-increasing") {
+    val s = spark
+    import s.implicits._
+    val vocabSize = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t")).distinct().count().toInt
+    val rows = TextOps.vocabIds(spark, sf).collect()
+    assert(rows.length == math.min(100, vocabSize))
+    assert(rows.map(_.getAs[Int]("vocab_id")).sameElements(0 until rows.length))
+    val counts = rows.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("embed_quantize: quantized values stay in int8 range, scale positive") {
     val s = spark
     import s.implicits._
