@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-inventory plan lint: every declared batch query's physical plan
+  * is checked for the shapes that silently stop scaling — accidental
+  * cartesian/nested-loop joins and interpreted (non-codegen) projections
+  * where a codegen path exists. A query that passes its oracle but plans
+  * a cross join at sf0.01 would melt at 100 TB; this suite makes that a
+  * test failure instead of a production incident.
+  *
+  * Exclusions, each deliberate:
+  *  - streaming queries (cdc_stream_*): constructing the DataFrame runs
+  *    the whole streaming job; their returned plan is just the output
+  *    read. Their plan properties are asserted in StreamingSpec.
+  *  - join_cross_dims: the one intentional cartesian (two broadcastable
+  *    dims) — asserted to stay a BROADCAST nested loop, never a
+  *    shuffle-based CartesianProduct.
+  *  - dedup_cluster_canonical: iterative — runs jobs during
+  *    construction; its core is audited via dedup_ngram_jaccard (same
+  *    pair-graph build) and unit tests on the propagation.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.Sf
+
+  private val skip = Set("dedup_cluster_canonical") ++
+    SparkEntry.queries.keys.filter(_.startsWith("cdc_stream_"))
+
+  /** Queries that INTENTIONALLY broadcast a one-row (or dim-sized) frame
+    * against everything — the scalar-subquery / probe-vector pattern. A
+    * BroadcastNestedLoopJoin over a 1-row build side is a constant-fold,
+    * not a quadratic join, and stays safe at any fact size. A shuffle
+    * CartesianProduct is still banned for them (second test). */
+  private val broadcastConstOk = Set("join_cross_dims", "q22_idle_customers",
+    "sim_ann_ivf", "sim_ann_lsh", "sim_topk_cosine")
+
+  test("no declared batch query plans an accidental cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skip(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+          .filter(plan.contains)
+          .filterNot(p => p == "BroadcastNestedLoopJoin" && broadcastConstOk(name))
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
+      }
+    assert(offenders.isEmpty,
+      s"queries with non-equi join physical plans:\n${offenders.mkString("\n")}")
+  }
+
+  test("the one intentional cartesian stays broadcast, never a shuffle cartesian") {
+    val plan = SparkEntry.queries("join_cross_dims")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"),
+      "cross of two dims must ride a broadcast, not a shuffle cartesian")
+  }
+}
