@@ -73,6 +73,18 @@ object TextOps {
     * frequent shingle a quadratic bucket. */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
+    // the declared query adds the total output order; consumers that
+    // immediately repartition (dedupClusters' edge build) use the
+    // sort-free core below so the optimizer never plans the useless
+    // global range-sort exchange
+    ngramJaccardPairs(spark, sfDir, threshold).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[ngramJaccard]] without the final global sort — the verified,
+    * deduplicated near-dup pair set in arbitrary order. */
+  private[graft] def ngramJaccardPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
     // canonical set order = ascending hash (sorted inside the shingle
     // expression); a global frequency ordering would tighten prefixes
     // further on Zipfian corpora, but this corpus's shingle frequencies
@@ -114,7 +126,6 @@ object TextOps {
         round($"inter" / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
       .filter($"jaccard" >= threshold)
       .dropDuplicates("doc_a", "doc_b")
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** `dedup_cluster_canonical`: near-duplicate CLUSTERS from the exact
@@ -134,7 +145,7 @@ object TextOps {
     * distributed fixpoint equals true transitive closure. */
   def dedupClusters(spark: SparkSession, sfDir: String, maxIter: Int = 20): DataFrame =
     connectedComponents(spark,
-      ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")), maxIter)
+      ngramJaccardPairs(spark, sfDir).select(col("doc_a"), col("doc_b")), maxIter)
 
   /** The fixpoint core of [[dedupClusters]], on an arbitrary (doc_a,
     * doc_b) pair graph — exposed so the propagation logic is unit-
