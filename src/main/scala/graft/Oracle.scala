@@ -1065,6 +1065,34 @@ object Oracle {
                FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
                GROUP BY tok)
          QUALIFY vocab_id < 100
-         ORDER BY vocab_id"""
+         ORDER BY vocab_id""",
+
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+           SELECT CAST('1995-01-01' AS DATE)
+           UNION ALL
+           SELECT m + INTERVAL 1 MONTH FROM months WHERE m < CAST('2001-08-01' AS DATE)),
+         per_month AS (
+           SELECT date_trunc('month', o_orderdate) AS om, count(*) AS n
+           FROM orders GROUP BY 1)
+         SELECT epoch_ms(CAST(m AS TIMESTAMP)) AS month_start_ms,
+                coalesce(n, 0) AS n_orders
+         FROM months LEFT JOIN per_month ON CAST(m AS TIMESTAMP) = om
+         ORDER BY month_start_ms""",
+
+    "join_lateral_topk" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer,
+           LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE o_custkey = c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 1)
+         WHERE c_mktsegment = 'BUILDING'
+         ORDER BY c_custkey""",
+
+    "sort_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 10 OFFSET 20"""
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.cdc.{Changelog, Envelope, StreamingLatest}
 import graft.llm.{EmbedLsh, IvfAnn, MinHash, SimHash, TextOps, VectorOps}
 import graft.mm.MultiModal
-import graft.rel.{FuncSurface, Relational, TpchShapes}
+import graft.rel.{FuncSurface, Relational, SqlSurface, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every key in `queries` is an implemented operator from SURVEY.md §2.2;
@@ -81,6 +81,9 @@ object SparkEntry {
     "window_moving_avg"    -> ((s, d) => FuncSurface.windowMovingAvg(s, d)),
     "agg_count_distinct_multi" -> ((s, d) => FuncSurface.aggCountDistinctMulti(s, d)),
     "table_profile_stats"  -> ((s, d) => FuncSurface.tableProfileStats(s, d)),
+    "sql_recursive_cte"    -> ((s, d) => SqlSurface.recursiveCte(s, d)),
+    "join_lateral_topk"    -> ((s, d) => SqlSurface.lateralTopk(s, d)),
+    "sort_limit_offset"    -> ((s, d) => SqlSurface.sortLimitOffset(s, d)),
     "text_vocab_ids"       -> ((s, d) => TextOps.vocabIds(s, d)),
     "cond_null_funcs"      -> ((s, d) => FuncSurface.condNullFuncs(s, d)),
     "ts_format_funcs"      -> ((s, d) => FuncSurface.tsFormatFuncs(s, d)),

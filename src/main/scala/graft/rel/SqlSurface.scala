@@ -1,0 +1,68 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.cdc.CatalogDdl
+
+/** Pure-SQL engine surface beyond basic DML (round 3): recursive CTEs,
+  * LATERAL subqueries, LIMIT/OFFSET pagination — all run through
+  * `spark.sql` against the catalog-registered star schema, proving the
+  * whole engine is reachable from SQL text alone (the claim a user
+  * switching from any SQL front end cares about).
+  */
+object SqlSurface {
+
+  /** `sql_recursive_cte`: calendar densification — a recursive month
+    * series from 1995-01 through 2001-08 LEFT JOINed to per-month order
+    * counts, zero-filled. The classic "no rows ≠ no month" reporting
+    * fix; the recursion depth is the calendar length (80 rows), not the
+    * data size, so the recursive part is driver-trivial while the
+    * aggregation stays distributed. */
+  def recursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST('1995-01-01' AS DATE)
+        |  UNION ALL
+        |  SELECT add_months(m, 1) FROM months WHERE m < CAST('2001-08-01' AS DATE)
+        |),
+        |per_month AS (
+        |  SELECT date_trunc('month', o_orderdate) AS om, count(*) AS n
+        |  FROM graft.orders GROUP BY 1
+        |)
+        |SELECT unix_millis(CAST(m AS TIMESTAMP)) AS month_start_ms,
+        |       coalesce(n, 0) AS n_orders
+        |FROM months LEFT JOIN per_month ON CAST(m AS TIMESTAMP) = om
+        |ORDER BY month_start_ms""".stripMargin)
+  }
+
+  /** `join_lateral_topk`: per qualifying customer, the single most
+    * expensive order via a correlated LATERAL subquery (ORDER BY ...
+    * LIMIT 1) — Catalyst decorrelates it to a ranked join, not a
+    * per-row subquery execution. The DataFrame twin of this shape is
+    * window_topk_group; this entry pins the SQL surface. */
+  def lateralTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM graft.customer,
+        |  LATERAL (SELECT o_orderkey, o_totalprice FROM graft.orders
+        |           WHERE o_custkey = c_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1)
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** `sort_limit_offset`: keyset-free pagination — page 3 of the global
+    * price ordering (OFFSET 20 LIMIT 10, tie-broken by key). Spark plans
+    * a single TakeOrdered of offset+limit rows then drops the prefix:
+    * constant memory at any input size. */
+  def sortLimitOffset(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft.orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 20""".stripMargin)
+  }
+}
