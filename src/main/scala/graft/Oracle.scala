@@ -1089,6 +1089,13 @@ object Oracle {
          WHERE c_mktsegment = 'BUILDING'
          ORDER BY c_custkey""",
 
+    "sample_group_hash_topk" ->
+      """SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, h FROM (
+           SELECT lang, doc_id, md5(text) AS h,
+                  row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 3 ORDER BY lang, rk""",
+
     "sort_limit_offset" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders

@@ -85,6 +85,7 @@ object SparkEntry {
     "join_lateral_topk"    -> ((s, d) => SqlSurface.lateralTopk(s, d)),
     "sort_limit_offset"    -> ((s, d) => SqlSurface.sortLimitOffset(s, d)),
     "text_vocab_ids"       -> ((s, d) => TextOps.vocabIds(s, d)),
+    "sample_group_hash_topk" -> ((s, d) => TextOps.sampleGroupHashTopk(s, d)),
     "cond_null_funcs"      -> ((s, d) => FuncSurface.condNullFuncs(s, d)),
     "ts_format_funcs"      -> ((s, d) => FuncSurface.tsFormatFuncs(s, d)),
     "array_basic_ops"      -> ((s, d) => FuncSurface.arrayBasicOps(s, d)),

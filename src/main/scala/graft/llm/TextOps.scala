@@ -492,6 +492,26 @@ object TextOps {
       .orderBy($"vocab_id")
   }
 
+  /** `sample_group_hash_topk`: deterministic per-group sampling — for
+    * each language, the 3 documents with the smallest md5 content hash.
+    * Hash-rank sampling is the distributed answer to "give me a uniform
+    * sample per group that is reproducible across engines, runs and
+    * partitionings": RNG samplers (df.sample, reservoir) are
+    * engine-specific, while the content hash induces one global
+    * pseudo-random order both Spark and the oracle agree on. One window
+    * pass partitioned by the group key. */
+  def sampleGroupHashTopk(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", md5($"text").as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"lang", $"rk", $"doc_id", $"h")
+      .orderBy($"lang", $"rk")
+  }
+
   def langStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)

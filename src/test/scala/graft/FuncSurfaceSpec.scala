@@ -161,6 +161,17 @@ class FuncSurfaceSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("sample_group_hash_topk: k rows per group, stable across recomputation") {
+    val s = spark
+    import s.implicits._
+    val a = TextOps.sampleGroupHashTopk(spark, sf).collect()
+    val b = TextOps.sampleGroupHashTopk(spark, sf).collect()
+    assert(a.sameElements(b), "hash-rank sample must be run-deterministic")
+    val perGroup = TextOps.sampleGroupHashTopk(spark, sf)
+      .groupBy($"lang").count().collect()
+    assert(perGroup.forall(_.getAs[Long]("count") <= 3))
+  }
+
   test("embed_quantize: quantized values stay in int8 range, scale positive") {
     val s = spark
     import s.implicits._
