@@ -20,18 +20,29 @@ object CatalogDdl {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // last (session, db) -> sfDir registered, so the several SQL-surface
+  // queries in one session don't re-run 10 DROP+CREATE DDLs each — the
+  // registration is idempotent per (session, db, sfDir) and only
+  // re-executes when the data directory actually changes
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+
   /** CREATE DATABASE + one external parquet table per test-data file. */
   def registerStarSchema(spark: SparkSession, sfDir: String,
       db: String = Database): Unit = {
+    val key = (System.identityHashCode(spark.sharedState), db)
+    if (registered.get(key) == sfDir) return
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     TableNames.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $db.$t")
       spark.sql(
         s"CREATE TABLE $db.$t USING parquet LOCATION '$sfDir/$t.parquet'")
     }
+    registered.put(key, sfDir)
   }
 
   def dropAll(spark: SparkSession, db: String = Database): Unit = {
+    registered.remove((System.identityHashCode(spark.sharedState), db))
     TableNames.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
     spark.sql(s"DROP DATABASE IF EXISTS $db")
   }

@@ -350,7 +350,10 @@ object TextOps {
     val toks = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
     val freqs = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-    val total = toks.count().toDouble
+    // corpus size without an explode pass: sum of per-doc token counts
+    val total = Tables.documents(spark, sfDir)
+      .select(size(split($"text", " ")).cast("long").as("n"))
+      .agg(sum($"n")).first().getLong(0).toDouble
     // -ln p(tok) = ln(total) - ln(cnt), quantized to 1e-6
     val nll = floor((log(lit(total)) - log($"cnt")) * 1e6 + 0.5) / 1e6
     toks.join(broadcast(freqs), "tok")
