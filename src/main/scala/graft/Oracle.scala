@@ -1089,6 +1089,15 @@ object Oracle {
          WHERE c_mktsegment = 'BUILDING'
          ORDER BY c_custkey""",
 
+    // stream-static joins are stateless: streaming result == batch join,
+    // so the oracle is the direct batch recomputation.
+    "cdc_stream_static_join" ->
+      """SELECT event_id, user_id, first_us, epoch_us(ts) - first_us AS since_first_us
+         FROM events JOIN (SELECT user_id AS d_user, epoch_us(min(ts)) AS first_us
+                           FROM events GROUP BY user_id)
+           ON user_id = d_user
+         ORDER BY event_id""",
+
     "sample_group_hash_topk" ->
       """SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, h FROM (
            SELECT lang, doc_id, md5(text) AS h,

@@ -35,6 +35,7 @@ object SparkEntry {
     "cdc_stream_dedup"     -> ((s, d) => StreamingLatest.streamDedup(s, d)),
     "cdc_stream_join"      -> ((s, d) => StreamingLatest.streamJoin(s, d)),
     "cdc_stream_sessionize" -> ((s, d) => StreamingLatest.streamSessionize(s, d)),
+    "cdc_stream_static_join" -> ((s, d) => StreamingLatest.streamStaticJoin(s, d)),
     "join_asof_attribution" -> ((s, d) => Changelog.asofAttribution(s, d)),
     "cdc_sessionize"       -> ((s, d) => Changelog.sessionize(s, d)),
     "cdc_scd2_history"     -> ((s, d) => Changelog.scd2History(s, d)),

@@ -366,6 +366,58 @@ object StreamingLatest {
       .orderBy($"purchase_event_id", $"click_event_id")
   } }
 
+  /** `cdc_stream_static_join`: stream-static enrichment join — the
+    * streaming side (the replayed CDC log) joined per micro-batch
+    * against a STATIC dimension computed once in batch (each user's
+    * first-seen event time). Stream-static inner joins are STATELESS in
+    * Structured Streaming — the static side is just re-planned into
+    * every micro-batch, no watermark, no join state — which is what
+    * makes them the scale-safe way to enrich a CDC stream with dimension
+    * data (vs. a stream-stream join that must hold state). Because the
+    * join is stateless and append-only, the result is EXACTLY the batch
+    * join: the DuckDB oracle recomputes it directly. */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
+    import spark.implicits._
+    val runDir = jvmTmpDir("runsj")
+    val inDir   = stagedEventLog(spark, sfDir)
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").schema
+
+    // the static dimension: per-user first activity, computed in batch
+    val firstSeen = graft.Tables.events(spark, sfDir)
+      .groupBy($"user_id".as("d_user"))
+      .agg(unix_micros(min($"ts")).as("first_us"))
+
+    val enriched = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .join(broadcast(firstSeen), $"user_id" === $"d_user")
+      .select($"event_id", $"user_id", $"first_us",
+        (unix_micros($"ts") - $"first_us").as("since_first_us"))
+
+    val q = enriched.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(ckptDir))
+
+    spark.read.parquet(outDir)
+      .orderBy($"event_id")
+  } }
+
   /** Keep the max-(ts_us, event_id) record per key; emit the new latest on
     * every update (OutputMode.Update). */
   private[graft] def updateKey(userId: Long, it: Iterator[Ev],

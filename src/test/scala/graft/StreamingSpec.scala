@@ -10,6 +10,22 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sf = SparkFixture.Sf
 
+  test("cdc_stream_static_join equals the batch enrichment join exactly") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    val stream = StreamingLatest.streamStaticJoin(spark, sf).collect().toSeq
+    val first = Tables.events(spark, sf)
+      .groupBy($"user_id".as("d_user"))
+      .agg(unix_micros(min($"ts")).as("first_us"))
+    val batch = Tables.events(spark, sf)
+      .join(first, $"user_id" === $"d_user")
+      .select($"event_id", $"user_id", $"first_us",
+        (unix_micros($"ts") - $"first_us").as("since_first_us"))
+      .orderBy($"event_id").collect().toSeq
+    assert(stream == batch, "stateless stream-static join must equal the batch join")
+  }
+
   test("cdc_stream_stateful final state equals batch cdc_latest_state") {
     val streamRows = StreamingLatest.streamStateful(spark, sf).collect().toSeq
     val batchRows  = Changelog.latestState(spark, sf).collect().toSeq
