@@ -1098,6 +1098,29 @@ object Oracle {
            ON user_id = d_user
          ORDER BY event_id""",
 
+    "join_full_outer" ->
+      """SELECT epoch_ms(coalesce(om, sm)) AS month_ms,
+                coalesce(n_orders, 0) AS n_orders,
+                coalesce(n_ship_lines, 0) AS n_ship_lines
+         FROM (SELECT date_trunc('month', o_orderdate) AS om, count(*) AS n_orders
+               FROM orders GROUP BY 1) o
+           FULL OUTER JOIN
+              (SELECT date_trunc('month', l_shipdate) AS sm, count(*) AS n_ship_lines
+               FROM lineitem GROUP BY 1) l
+           ON om = sm
+         ORDER BY month_ms""",
+
+    "set_ops_all" ->
+      """WITH b AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+            m AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+            ea AS (SELECT c_nationkey FROM b EXCEPT ALL SELECT c_nationkey FROM m),
+            ia AS (SELECT c_nationkey FROM b INTERSECT ALL SELECT c_nationkey FROM m)
+         SELECT op, c_nationkey, n FROM (
+           SELECT 'except_all' AS op, c_nationkey, count(*) AS n FROM ea GROUP BY 2
+           UNION ALL
+           SELECT 'intersect_all' AS op, c_nationkey, count(*) AS n FROM ia GROUP BY 2)
+         ORDER BY op, c_nationkey""",
+
     "sample_group_hash_topk" ->
       """SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, h FROM (
            SELECT lang, doc_id, md5(text) AS h,

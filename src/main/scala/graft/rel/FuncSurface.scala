@@ -160,6 +160,49 @@ object FuncSurface {
       .orderBy($"col_name")
   }
 
+  /** `join_full_outer`: FULL OUTER join of two independently aggregated
+    * monthly series — order counts vs. shipment counts per month; months
+    * present in either side survive with the other side null-filled
+    * (then coalesced to 0). The full-outer sort-merge path is its own
+    * physical join shape, distinct from the left/semi/anti family. */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ordered = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", $"o_orderdate").as("om"))
+      .agg(count(lit(1)).as("n_orders"))
+    val shipped = Tables.lineitem(spark, sfDir)
+      .groupBy(date_trunc("month", $"l_shipdate").as("sm"))
+      .agg(count(lit(1)).as("n_ship_lines"))
+    ordered.join(shipped, $"om" === $"sm", "full_outer")
+      .select(
+        unix_millis(coalesce($"om", $"sm")).as("month_ms"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_ship_lines", lit(0L)).as("n_ship_lines"))
+      .orderBy($"month_ms")
+  }
+
+  /** `set_ops_all`: bag-semantics set operations — EXCEPT ALL keeps
+    * multiplicity (a key appearing 3 times minus 1 occurrence survives
+    * twice), INTERSECT ALL keeps the min multiplicity. Distinct plan
+    * machinery from the DISTINCT-semantics set_ops (no dedup pass);
+    * projected to per-key counts so the output has a stable total order. */
+  def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val building = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_nationkey")
+    val machinery = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "MACHINERY").select($"c_nationkey")
+    val exceptAll = building.exceptAll(machinery)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val intersectAll = building.intersectAll(machinery)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    exceptAll.unionByName(intersectAll)
+      .select($"op", $"c_nationkey", $"n")
+      .orderBy($"op", $"c_nationkey")
+  }
+
   /** `array_basic_ops`: the array-function family over the embedding
     * column — size/distinct/min/max/slice-sum, plus set ops against a
     * constant token array on documents is covered in TextOps; here the

@@ -172,6 +172,32 @@ class FuncSurfaceSpec extends AnyFunSuite {
     assert(perGroup.forall(_.getAs[Long]("count") <= 3))
   }
 
+  test("join_full_outer: keeps months present on either side, counts conserve") {
+    val s = spark
+    import s.implicits._
+    val df = FuncSurface.joinFullOuter(spark, sf).cache()
+    assert(df.agg(sum($"n_orders")).collect().head.getLong(0) ==
+      Tables.orders(spark, sf).count())
+    assert(df.agg(sum($"n_ship_lines")).collect().head.getLong(0) ==
+      Tables.lineitem(spark, sf).count())
+    // shipdates run past the last orderdate month: some rows must be
+    // order-less (the full-outer right side surviving)
+    assert(df.filter($"n_orders" === 0).count() > 0)
+    df.unpersist()
+  }
+
+  test("set_ops_all: bag semantics — except_all + intersect_all = left multiplicity") {
+    val s = spark
+    import s.implicits._
+    val df = FuncSurface.setOpsAll(spark, sf)
+    val byOp = df.groupBy($"op").agg(sum($"n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val building = Tables.customer(spark, sf)
+      .filter($"c_mktsegment" === "BUILDING").count()
+    assert(byOp.getOrElse("except_all", 0L) + byOp.getOrElse("intersect_all", 0L)
+      == building, "every BUILDING row lands in exactly one of except_all/intersect_all")
+  }
+
   test("embed_quantize: quantized values stay in int8 range, scale positive") {
     val s = spark
     import s.implicits._
