@@ -1098,6 +1098,15 @@ object Oracle {
            ON user_id = d_user
          ORDER BY event_id""",
 
+    "math_extended_funcs" ->
+      """SELECT c_custkey,
+                CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+                CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+                CAST(sign(c_acctbal) AS INTEGER) AS bal_sign,
+                CAST(((c_custkey % 7) + 7) % 7 AS BIGINT) AS key_mod7,
+                floor(sqrt(abs(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS bal_sqrt
+         FROM customer ORDER BY c_custkey""",
+
     "join_full_outer" ->
       """SELECT epoch_ms(coalesce(om, sm)) AS month_ms,
                 coalesce(n_orders, 0) AS n_orders,

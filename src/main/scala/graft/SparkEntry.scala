@@ -82,6 +82,7 @@ object SparkEntry {
     "window_moving_avg"    -> ((s, d) => FuncSurface.windowMovingAvg(s, d)),
     "agg_count_distinct_multi" -> ((s, d) => FuncSurface.aggCountDistinctMulti(s, d)),
     "join_full_outer"      -> ((s, d) => FuncSurface.joinFullOuter(s, d)),
+    "math_extended_funcs"  -> ((s, d) => FuncSurface.mathExtendedFuncs(s, d)),
     "set_ops_all"          -> ((s, d) => FuncSurface.setOpsAll(s, d)),
     "table_profile_stats"  -> ((s, d) => FuncSurface.tableProfileStats(s, d)),
     "sql_recursive_cte"    -> ((s, d) => SqlSurface.recursiveCte(s, d)),

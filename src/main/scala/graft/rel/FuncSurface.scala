@@ -203,6 +203,24 @@ object FuncSurface {
       .orderBy($"op", $"c_nationkey")
   }
 
+  /** `math_extended_funcs`: the exact-math scalar family — ceil/floor,
+    * sign, pmod (non-negative modulus, unlike %), sqrt (IEEE 754
+    * correctly-rounded, so cross-engine safe — unlike exp/log10/cbrt
+    * which libms round differently and are deliberately excluded from
+    * oracle-checked outputs). */
+  def mathExtendedFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .select(
+        $"c_custkey",
+        ceil($"c_acctbal").cast(LongType).as("bal_ceil"),
+        floor($"c_acctbal").cast(LongType).as("bal_floor"),
+        signum($"c_acctbal").cast(IntegerType).as("bal_sign"),
+        pmod($"c_custkey", lit(7)).as("key_mod7"),
+        graft.Det.r4(sqrt(abs($"c_acctbal"))).as("bal_sqrt"))
+      .orderBy($"c_custkey")
+  }
+
   /** `array_basic_ops`: the array-function family over the embedding
     * column — size/distinct/min/max/slice-sum, plus set ops against a
     * constant token array on documents is covered in TextOps; here the

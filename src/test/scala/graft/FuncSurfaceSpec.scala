@@ -198,6 +198,15 @@ class FuncSurfaceSpec extends AnyFunSuite {
       == building, "every BUILDING row lands in exactly one of except_all/intersect_all")
   }
 
+  test("math_extended_funcs: ceil/floor bracket the value, pmod non-negative") {
+    val s = spark
+    import s.implicits._
+    val df = FuncSurface.mathExtendedFuncs(spark, sf)
+    assert(df.filter($"bal_ceil" < $"bal_floor").count() == 0)
+    assert(df.filter($"key_mod7" < 0 || $"key_mod7" > 6).count() == 0)
+    assert(df.filter($"bal_sqrt" < 0).count() == 0)
+  }
+
   test("embed_quantize: quantized values stay in int8 range, scale positive") {
     val s = spark
     import s.implicits._
