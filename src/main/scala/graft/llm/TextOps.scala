@@ -91,11 +91,19 @@ object TextOps {
     // are flat (measured: df-ordering cut candidates only 1.27M -> 310k
     // while costing 3 extra shuffles; hash order + the positional filter
     // below does strictly better with none)
+    // Materialize the tokenized corpus ONCE: the pair pipeline consumes
+    // `sets` four times (both prefix-explode sides + both verify
+    // broadcasts) and recomputing the shingle hashing per consumer is
+    // the dominant redundant work. localCheckpoint stores the computed
+    // blocks (memory+disk) and cuts the lineage; blocks are reclaimed by
+    // the ContextCleaner when the frame is GC'd. A 100 TB pipeline would
+    // stage the tokenized corpus to parquet instead — same idea.
     val sets = Tables.documents(spark, sfDir)
       .select($"doc_id",
         graft.functions.ShingleFunctions
           .word_shingle_hashes($"text", MinHash.ShingleSize, sorted = true).as("toks"))
       .select($"doc_id", $"toks", size($"toks").as("n"))
+      .localCheckpoint()
     val prefixLen = ($"n" - ceil($"n" * lit(threshold)) + 1).cast("int")
     val prefixes = sets
       .select($"doc_id", $"n", posexplode(slice($"toks", lit(1), prefixLen)))

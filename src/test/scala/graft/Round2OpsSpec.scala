@@ -143,8 +143,16 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(cosine.contains("vec_dot_f"), "FloatVecDot missing from cosine plan")
     val jacc = graft.llm.TextOps.ngramJaccard(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(jacc.contains("word_shingle_hashes"), "WordShingleHashes missing from plan")
     assert(jacc.contains("sorted_intersect_count"), "merge-scan verifier missing from plan")
+    // the shingle hashing now runs once BEHIND the pair pipeline's
+    // localCheckpoint (materialized at construction), so assert it on the
+    // tokenization projection itself
+    val s2 = spark
+    import s2.implicits._
+    val sets = Tables.documents(spark, sf).select(
+      graft.functions.ShingleFunctions.word_shingle_hashes($"text", 3, sorted = true).as("t"))
+    assert(sets.queryExecution.executedPlan.toString.contains("word_shingle_hashes"),
+      "WordShingleHashes missing from tokenization plan")
     val lsh = graft.llm.EmbedLsh.simAnnLsh(spark, sf)
       .queryExecution.executedPlan.toString
     assert(lsh.contains("vec_lsh_buckets"), "FloatVecLshBuckets missing from plan")
