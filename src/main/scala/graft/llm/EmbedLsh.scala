@@ -58,7 +58,9 @@ object EmbedLsh {
   def dedupEmbedCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
-    val banded = withBuckets(emb)
+    // materialize the banded id table once — both candidate join sides
+    // consume it (hyperplane hashing ×2 otherwise)
+    val banded = withBuckets(emb).localCheckpoint()
     val a = banded.select($"vec_id".as("vec_a"), $"table_id", $"bucket")
     val b = banded.select($"vec_id".as("vec_b"), $"table_id", $"bucket")
     val pairs = a.join(b, Seq("table_id", "bucket"))
@@ -86,7 +88,9 @@ object EmbedLsh {
   def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
-    val banded = withBuckets(emb)
+    // materialize the banded id table once — both candidate join sides
+    // consume it (hyperplane hashing ×2 otherwise)
+    val banded = withBuckets(emb).localCheckpoint()
     val probe = banded.filter($"vec_id" === 0).select($"table_id", $"bucket")
     val candidates = banded.filter($"vec_id" =!= 0)
       .join(broadcast(probe), Seq("table_id", "bucket"))

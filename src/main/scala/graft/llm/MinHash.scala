@@ -75,7 +75,11 @@ object MinHash {
     * at estimated-Jaccard >= threshold. Output: (doc_a, doc_b, est_jaccard). */
   def fuzzyDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
-    val sigs = signatures(Tables.documents(spark, sfDir))
+    // materialize the signature table once: it feeds both band-join sides
+    // and both verification broadcasts (4 consumers), and each re-derivation
+    // repeats the explode + signature shuffle. Same staging rationale as
+    // the tokenized corpus in TextOps.ngramJaccardPairs.
+    val sigs = signatures(Tables.documents(spark, sfDir)).localCheckpoint()
     // candidate generation on (doc_id, band, band_hash) only — the 32-long
     // signature arrays do not ride through the band join's shuffle; they
     // are joined back just for the verification of the (few) candidates.

