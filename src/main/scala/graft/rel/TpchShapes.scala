@@ -197,10 +197,13 @@ object TpchShapes {
     * plan is identical at any supplier cardinality. */
   def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // materialized once: both the max aggregate and the equality join
+    // consume the revenue CTE (the lineitem scan+agg would run twice)
     val revenue = Tables.lineitem(spark, sfDir)
       .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1996-04-01"))
       .groupBy($"l_suppkey")
       .agg(round(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("total_revenue"))
+      .localCheckpoint()
     val top = revenue.agg(max($"total_revenue").as("max_revenue"))
     revenue
       .join(broadcast(top), $"total_revenue" === $"max_revenue")
@@ -258,11 +261,14 @@ object TpchShapes {
     import spark.implicits._
     val mid = broadcast(Tables.part(spark, sfDir)
       .filter($"p_size".between(10, 20)).select($"p_partkey"))
+    // materialized once: the per-part min and the winners join both
+    // consume this aggregate (the fact scan+agg would run twice)
     val avgPrice = Tables.lineitem(spark, sfDir)
       .join(mid, $"l_partkey" === $"p_partkey")
       .groupBy($"l_partkey", $"l_suppkey")
       .agg(graft.Det.r4(sum($"l_extendedprice".cast(DecimalType(18, 4)))
         .cast(DoubleType) / count(lit(1))).as("avg_price"))
+      .localCheckpoint()
     val minPrice = avgPrice.groupBy($"l_partkey".as("m_partkey"))
       .agg(min($"avg_price").as("min_price"))
     avgPrice
