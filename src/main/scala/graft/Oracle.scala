@@ -1107,6 +1107,26 @@ object Oracle {
                 floor(sqrt(abs(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS bal_sqrt
          FROM customer ORDER BY c_custkey""",
 
+    "join_right_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_urgent
+         FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+           RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "csv_line_roundtrip" ->
+      """SELECT event_id,
+                concat_ws(',', event_id, user_id, event_type) AS line,
+                user_id AS rt_user_id,
+                event_type AS rt_event_type
+         FROM events ORDER BY event_id""",
+
+    "binary_codec_funcs" ->
+      """SELECT doc_id,
+                to_base64(encode(text)) AS b64,
+                octet_length(encode(text)) AS byte_len,
+                octet_length(from_base64(to_base64(encode(text)))) AS rt_byte_len
+         FROM documents ORDER BY doc_id""",
+
     "join_full_outer" ->
       """SELECT epoch_ms(coalesce(om, sm)) AS month_ms,
                 coalesce(n_orders, 0) AS n_orders,

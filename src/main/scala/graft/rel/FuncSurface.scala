@@ -221,6 +221,59 @@ object FuncSurface {
       .orderBy($"c_custkey")
   }
 
+  /** `join_right_outer`: the RIGHT OUTER physical path — urgent orders
+    * right-joined to customers so every customer survives (zero-filled
+    * count). Semantically the mirror of a left join; declared because
+    * the planner's RightOuter build/stream side selection is its own
+    * code path an engine must get right. */
+  def joinRightOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey", $"o_orderkey")
+      .join(Tables.customer(spark, sfDir).select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "right_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_urgent"))
+      .orderBy($"c_custkey")
+  }
+
+  /** `csv_line_roundtrip`: CSV (de)serialization surface next to the JSON
+    * round-trip — struct → to_csv line → from_csv(explicit schema) →
+    * fields. Integer/string fields only: float formatting is
+    * engine-specific, ids and enums are not. */
+  def csvLineRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type")
+      .withColumn("line", to_csv(struct($"event_id", $"user_id", $"event_type")))
+      .withColumn("rt", from_csv($"line",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, event_type STRING"),
+        Map.empty[String, String]))
+      .select($"event_id", $"line",
+        $"rt.user_id".as("rt_user_id"),
+        $"rt.event_type".as("rt_event_type"))
+      .orderBy($"event_id")
+  }
+
+  /** `binary_codec_funcs`: binary transport codecs — UTF-8 encode,
+    * base64 both ways, byte lengths proving a lossless round-trip. */
+  def binaryCodecFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payload = encode($"text", "UTF-8")
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        // Spark's base64 MIME-chunks long output at 76 chars (legacy
+        // behavior, conf-dependent); strip the line breaks so the value
+        // is the canonical unchunked encoding on any session config
+        regexp_replace(base64(payload), "[\r\n]", "").as("b64"),
+        octet_length(payload).as("byte_len"),
+        octet_length(unbase64(base64(payload))).as("rt_byte_len"))
+      .orderBy($"doc_id")
+  }
+
   /** `array_basic_ops`: the array-function family over the embedding
     * column — size/distinct/min/max/slice-sum, plus set ops against a
     * constant token array on documents is covered in TextOps; here the

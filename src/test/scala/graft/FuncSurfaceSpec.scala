@@ -207,6 +207,33 @@ class FuncSurfaceSpec extends AnyFunSuite {
     assert(df.filter($"bal_sqrt" < 0).count() == 0)
   }
 
+  test("join_right_outer: every customer appears exactly once") {
+    val s = spark
+    import s.implicits._
+    val df = FuncSurface.joinRightOuter(spark, sf)
+    assert(df.count() == Tables.customer(spark, sf).count())
+    assert(df.filter($"n_urgent" === 0).count() > 0, "orderless customers survive")
+  }
+
+  test("csv_line_roundtrip: parsed fields equal the originals") {
+    val s = spark
+    import s.implicits._
+    val bad = FuncSurface.csvLineRoundtrip(spark, sf)
+      .join(Tables.events(spark, sf).select($"event_id", $"user_id", $"event_type"),
+        "event_id")
+      .filter($"rt_user_id" =!= $"user_id" || $"rt_event_type" =!= $"event_type")
+      .count()
+    assert(bad == 0)
+  }
+
+  test("binary_codec_funcs: base64 round-trip is lossless") {
+    val s = spark
+    import s.implicits._
+    val bad = FuncSurface.binaryCodecFuncs(spark, sf)
+      .filter($"byte_len" =!= $"rt_byte_len").count()
+    assert(bad == 0)
+  }
+
   test("embed_quantize: quantized values stay in int8 range, scale positive") {
     val s = spark
     import s.implicits._
