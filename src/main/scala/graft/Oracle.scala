@@ -1107,6 +1107,11 @@ object Oracle {
                 floor(sqrt(abs(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS bal_sqrt
          FROM customer ORDER BY c_custkey""",
 
+    "map_explode_entries" ->
+      """SELECT user_id, event_type AS etype, count(*) AS n_events
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, etype""",
+
     "join_right_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_urgent
          FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o

@@ -274,6 +274,23 @@ object FuncSurface {
       .orderBy($"doc_id")
   }
 
+  /** `map_explode_entries`: the Generate-over-map path — a per-user
+    * event-type→count map built by aggregation, then exploded BACK to
+    * (user, key, value) rows. Map build + map explode round-trips the
+    * grouped counts, which is exactly what the oracle recomputes
+    * map-free; the declared point is the map-typed Generate, the last
+    * generator variant next to array explode/posexplode. */
+  def mapExplodeEntries(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(collect_list(struct($"event_type", $"n"))).as("m"))
+      .select($"user_id", explode($"m").as(Seq("etype", "n_events")))
+      .orderBy($"user_id", $"etype")
+  }
+
   /** `array_basic_ops`: the array-function family over the embedding
     * column — size/distinct/min/max/slice-sum, plus set ops against a
     * constant token array on documents is covered in TextOps; here the

@@ -234,6 +234,15 @@ class FuncSurfaceSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("map_explode_entries: map round-trip conserves event counts") {
+    val s = spark
+    import s.implicits._
+    val total = FuncSurface.mapExplodeEntries(spark, sf)
+      .agg(sum($"n_events")).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sf).count(),
+      "build-map-then-explode must conserve every grouped count")
+  }
+
   test("embed_quantize: quantized values stay in int8 range, scale positive") {
     val s = spark
     import s.implicits._
