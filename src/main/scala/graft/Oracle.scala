@@ -890,6 +890,27 @@ object Oracle {
             OR (p_brand = 'Brand#13' AND p_size BETWEEN 5  AND 20 AND l_quantity BETWEEN 10 AND 25)
             OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 40))""",
 
+    "q16_parts_supplier" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel
+           JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 10 AND 30
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q11_important_stock" ->
+      """WITH per_part AS (
+           SELECT l_partkey,
+                  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS part_value
+           FROM lineitem GROUP BY l_partkey)
+         SELECT l_partkey AS p_partkey, part_value
+         FROM per_part
+         WHERE part_value > (SELECT CAST(sum(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE) * 0.0005
+                             FROM per_part)
+         ORDER BY part_value DESC, p_partkey""",
+
     "q22_idle_customers" ->
       """SELECT c_nationkey, count(*) AS numcust,
                 round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS totacctbal

@@ -309,6 +309,57 @@ object TpchShapes {
       .limit(20)
   }
 
+  /** `q16_parts_supplier` (TPC-H Q16 shape; lineitem supplies the
+    * part↔supplier relation in place of partsupp): distinct supplier
+    * count per (brand, type, size) for mid-size non-Brand#1 parts,
+    * excluding negative-balance suppliers via NOT IN — which Catalyst
+    * plans as a null-aware anti join, a DIFFERENT physical path from the
+    * NOT EXISTS anti join in `join_anti` (null-aware = one extra
+    * broadcast to prove the subquery has no NULLs). */
+  def q16PartsSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, sfDir)
+      .filter($"p_brand" =!= "Brand#1" && $"p_size".between(10, 30))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val badSupp = Tables.supplier(spark, sfDir)
+      .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    val rel = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      // NOT IN (null-aware anti): spelled via the SQL operator so the
+      // planner exercises the same path as the oracle's NOT IN
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+    rel.createOrReplaceTempView("graft_q16_rel")
+    badSupp.createOrReplaceTempView("graft_q16_bad")
+    spark.sql(
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM graft_q16_rel
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM graft_q16_bad)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** `q11_important_stock` (TPC-H Q11 shape; revenue stands in for
+    * partsupp stock value): parts whose revenue exceeds a fixed fraction
+    * of the GLOBAL total — the aggregate gated by a scalar aggregate of
+    * itself. The per-part aggregate is materialized once and consumed by
+    * both the global sum and the filter (same staging rule as Q15/Q2);
+    * the threshold rides in as a broadcast 1-row cross join. */
+  def q11ImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perPart = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_partkey")
+      .agg(round(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("part_value"))
+      .localCheckpoint()
+    val thr = perPart.agg(
+      (sum($"part_value".cast(DecimalType(18, 4))).cast(DoubleType) * lit(0.0005))
+        .as("threshold"))
+    perPart.crossJoin(broadcast(thr))
+      .filter($"part_value" > $"threshold")
+      .select($"l_partkey".as("p_partkey"), $"part_value")
+      .orderBy($"part_value".desc, $"p_partkey")
+  }
+
   /** `q22_idle_customers` (TPC-H Q22 shape; nation stands in for the
     * missing phone prefix): customers richer than the positive-balance
     * average with no orders since 2000 — scalar-subquery threshold

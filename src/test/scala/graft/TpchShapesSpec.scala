@@ -142,6 +142,28 @@ class TpchShapesSpec extends AnyFunSuite {
     assert(waits.sameElements(waits.sorted.reverse))
   }
 
+  test("q16: NOT IN plans null-aware and excluded suppliers never appear") {
+    val s = spark
+    import s.implicits._
+    val df = TpchShapes.q16PartsSupplier(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT IN should plan as an anti join: $plan")
+    val maxSupp = Tables.supplier(spark, sf).count()
+    assert(df.collect().forall(_.getAs[Long]("supplier_cnt") <= maxSupp))
+  }
+
+  test("q11: every kept part exceeds the global-fraction threshold") {
+    val s = spark
+    import s.implicits._
+    val df = TpchShapes.q11ImportantStock(spark, sf).cache()
+    val total = Tables.lineitem(spark, sf)
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).collect().head.getDouble(0)
+    val minKept = df.agg(min($"part_value")).collect().head.getDouble(0)
+    assert(minKept > total * 0.0005 * 0.99, "kept parts sit above the threshold")
+    assert(df.count() > 0)
+    df.unpersist()
+  }
+
   test("q9/q12: grouped outputs are complete and deterministic") {
     val q9 = TpchShapes.q9ProductProfit(spark, sf).collect()
     assert(q9.nonEmpty)
