@@ -1128,6 +1128,20 @@ object Oracle {
                 floor(sqrt(abs(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS bal_sqrt
          FROM customer ORDER BY c_custkey""",
 
+    "posexplode_outer_tokens" ->
+      """SELECT doc_id,
+                CASE WHEN long_tok IS NULL THEN NULL
+                     ELSE CAST(pos1 - 1 AS INTEGER) END AS pos,
+                long_tok
+         FROM (SELECT doc_id,
+                 unnest(CASE WHEN len(lt) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE lt END) AS long_tok,
+                 unnest(CASE WHEN len(lt) = 0 THEN [CAST(NULL AS BIGINT)]
+                        ELSE range(1, len(lt) + 1) END) AS pos1
+               FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> length(t) >= 8) AS lt
+                     FROM documents))
+         ORDER BY doc_id, pos NULLS FIRST""",
+
     "map_explode_entries" ->
       """SELECT user_id, event_type AS etype, count(*) AS n_events
          FROM events GROUP BY user_id, event_type

@@ -344,6 +344,20 @@ object TextOps {
       .orderBy($"doc_id", $"long_tok".asc_nulls_first)
   }
 
+  /** `posexplode_outer_tokens`: the positional outer generator — like
+    * [[explodeOuterTokens]] but each surviving token also carries its
+    * 0-based position in the filtered array, and empty-array documents
+    * keep one (null, null) row. Positions are what chunking/packing
+    * downstream consumers key on, which is why the positional variant is
+    * its own generator path. */
+  def posexplodeOuterTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val longToks = filter(split($"text", " "), t => length(t) >= 8)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", posexplode_outer(longToks).as(Seq("pos", "long_tok")))
+      .orderBy($"doc_id", $"pos".asc_nulls_first)
+  }
+
   /** `text_unigram_logprob`: perplexity-proxy quality scoring — each
     * document's mean negative log-probability under the corpus unigram
     * model (the classic cheap quality filter: gibberish scores high,

@@ -243,6 +243,20 @@ class FuncSurfaceSpec extends AnyFunSuite {
       "build-map-then-explode must conserve every grouped count")
   }
 
+  test("posexplode_outer_tokens: positions contiguous per doc, empty docs keep a null row") {
+    val s = spark
+    import s.implicits._
+    val df = TextOps.posexplodeOuterTokens(spark, sf).cache()
+    assert(df.select($"doc_id").distinct().count() ==
+      Tables.documents(spark, sf).count(), "outer generate keeps every document")
+    val badPos = df.filter($"pos".isNotNull)
+      .groupBy($"doc_id").agg(min($"pos").as("mn"), max($"pos").as("mx"), count(lit(1)).as("k"))
+      .filter($"mn" =!= 0 || $"mx" =!= $"k" - 1).count()
+    assert(badPos == 0, "positions are 0..k-1 per document")
+    assert(df.filter($"pos".isNull && $"long_tok".isNotNull).count() == 0)
+    df.unpersist()
+  }
+
   test("embed_quantize: quantized values stay in int8 range, scale positive") {
     val s = spark
     import s.implicits._
