@@ -1201,6 +1201,119 @@ object Oracle {
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders
          ORDER BY o_totalprice DESC, o_orderkey
-         LIMIT 10 OFFSET 20"""
+         LIMIT 10 OFFSET 20""",
+
+    // ── round 4: Spark-4-era surface ──────────────────────────────────
+    // streaming RocksDB variant shares the batch latest-state oracle —
+    // the gate proves the state-store provider is semantics-neutral
+    "cdc_stream_stateful_rocksdb" -> latestStateSql,
+
+    "agg_listagg" ->
+      """SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+                count(*) AS n_nations
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY r.r_name""",
+
+    "agg_percentile_disc" ->
+      """SELECT l_returnflag,
+                quantile_disc(l_quantity, 0.25) AS p25_qty,
+                quantile_disc(l_quantity, 0.50) AS p50_qty,
+                quantile_disc(l_quantity, 0.95) AS p95_qty,
+                quantile_disc(l_extendedprice, 0.50) AS p50_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // the bitmap two-level plan must equal plain count(DISTINCT ...)
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderpriority,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "json_variant_ops" ->
+      """SELECT event_type, count(*) AS n, count(k) AS n_k,
+                min(k) AS min_k, max(k) AS max_k,
+                CAST(sum(k) AS BIGINT) AS sum_k
+         FROM (SELECT event_type, TRY_CAST(props->>'$.k' AS INTEGER) AS k FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+
+    // collation-aware grouping of the case-mangled copy ≡ grouping the
+    // clean column
+    "string_collation_ci" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "ts_interval_arith" ->
+      """SELECT event_id,
+                epoch_ms(ts + INTERVAL 90 DAY) AS plus_90d_ms,
+                epoch_ms(ts - INTERVAL 6 HOUR) AS minus_6h_ms,
+                epoch_ms(ts + INTERVAL 1 DAY + INTERVAL 12 HOUR) AS plus_36h_ms,
+                epoch_ms(ts + INTERVAL 30 MINUTE) AS plus_30m_ms
+         FROM events ORDER BY event_id""",
+
+    // map-free recomputation of the map_filter/transform_values/
+    // map_zip_with scalars (map layouts are engine-specific)
+    "map_transform_ops" ->
+      """WITH t AS (SELECT user_id, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT user_id,
+                count(*) AS n_types,
+                count(*) FILTER (WHERE n >= 3) AS n_hot_types,
+                CAST(2 * coalesce(sum(n) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS clicks_x2,
+                CAST(2 * coalesce(sum(n) FILTER (WHERE event_type = 'view'), 0) AS BIGINT) AS views_x2
+         FROM t GROUP BY user_id ORDER BY user_id""",
+
+    // no re-parse: each part recomputed from the source columns, so the
+    // gate proves parse_url inverts the construction exactly
+    "url_parse_funcs" ->
+      """SELECT doc_id,
+                'https' AS proto,
+                'cdn.example.com' AS host,
+                '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+                source AS q_src
+         FROM documents ORDER BY doc_id""",
+
+    "text_edit_distance" ->
+      """SELECT doc_id,
+                string_split(text, ' ')[1]  AS tok_first,
+                string_split(text, ' ')[-1] AS tok_last,
+                CAST(levenshtein(string_split(text, ' ')[1], string_split(text, ' ')[-1]) AS INTEGER) AS lev_fl,
+                CAST(levenshtein(string_split(text, ' ')[1], 'spark') AS INTEGER) AS lev_probe
+         FROM documents ORDER BY doc_id""",
+
+    "text_regexp_funcs" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INTEGER) AS n_long,
+                coalesce(nullif(regexp_extract(text, '[a-z]{6,}'), ''), '-') AS first_long,
+                CAST(CASE WHEN regexp_matches(text, 'table|spark')
+                          THEN strpos(text, regexp_extract(text, 'table|spark'))
+                          ELSE 0 END AS INTEGER) AS pos_lit
+         FROM documents ORDER BY doc_id""",
+
+    "gen_inline_zip" ->
+      """SELECT tok, len, n FROM (
+           SELECT tok, CAST(max(length(tok)) AS BIGINT) AS len, count(*) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           WHERE length(tok) >= 6
+           GROUP BY tok ORDER BY n DESC, tok LIMIT 20)
+         ORDER BY tok""",
+
+    "sim_knn_join" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb
+                    FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS cand_id, embedding FROM embeddings),
+            s AS (SELECT p.probe_id, c.cand_id,
+                    list_aggregate(list_transform(list_zip(c.embedding, p.p_emb),
+                      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), 'sum')
+                    / (sqrt(list_aggregate(list_transform(c.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                       * sqrt(list_aggregate(list_transform(p.p_emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos_raw
+                  FROM c, p WHERE c.cand_id <> p.probe_id)
+         SELECT probe_id, CAST(rk AS INTEGER) AS rk, cand_id,
+                round(cos_raw, 4) AS cos_sim
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY probe_id ORDER BY cos_raw DESC, cand_id) AS rk
+               FROM s)
+         WHERE rk <= 3 ORDER BY probe_id, rk"""
   )
 }

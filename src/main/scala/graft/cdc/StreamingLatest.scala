@@ -442,6 +442,18 @@ object StreamingLatest {
     * watermark can never drop a key's winning event (the SIGMOD'18
     * batch/streaming-equivalence argument, PAPERS.md; StreamingSpec
     * additionally asserts the equivalence in-process at smoke scale). */
+  /** `cdc_stream_stateful_rocksdb`: [[streamStateful]] with the state
+    * store swapped to RocksDB — the provider a 100 TB deployment runs,
+    * because keyed CDC state grows with key cardinality and an on-heap
+    * HDFS-backed store OOMs long before the disk does. Identical query,
+    * identical result (it shares the batch latest-state oracle), so the
+    * gate proves the state-store choice is a pure capacity knob, not a
+    * semantics change. */
+  def streamStatefulRocksDb(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(
+      streamStateful(spark, sfDir))
+
   def streamStateful(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
     import spark.implicits._
     val runDir = jvmTmpDir("run")

@@ -537,6 +537,64 @@ object TextOps {
       .orderBy($"lang", $"rk")
   }
 
+  /** `text_edit_distance`: Levenshtein edit distance — per doc, the
+    * distance between its first and last token plus the distance of the
+    * first token to a fixed probe word. The classic DP is O(|a|·|b|) per
+    * pair on short tokens: a pure projection, embarrassingly parallel
+    * (the fuzzy-match primitive next to the set-based Jaccard family). */
+  def textEditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        element_at(toks, 1).as("tok_first"),
+        element_at(toks, -1).as("tok_last"))
+      .select($"doc_id", $"tok_first", $"tok_last",
+        levenshtein($"tok_first", $"tok_last").as("lev_fl"),
+        levenshtein($"tok_first", lit("spark")).as("lev_probe"))
+      .orderBy($"doc_id")
+  }
+
+  /** `text_regexp_funcs`: the regexp analytics trio — regexp_count
+    * (non-overlapping match count), regexp_substr (first match, null→'-'),
+    * regexp_instr (1-based position of first match, 0 if none). Patterns
+    * are kept in the dialect intersection of Java regex and RE2 (plain
+    * classes + literal alternation) so the oracle can recompute them;
+    * the instr oracle uses strpos of the first extracted match, which is
+    * exact for these patterns (any occurrence of the matched string is
+    * itself a match). */
+  def textRegexpFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        regexp_count($"text", lit("[a-z]{6,}")).as("n_long"),
+        coalesce(regexp_substr($"text", lit("[a-z]{6,}")), lit("-")).as("first_long"),
+        regexp_instr($"text", lit("table|spark")).as("pos_lit"))
+      .orderBy($"doc_id")
+  }
+
+  /** `gen_inline_zip`: the `inline` generator over a zipped
+    * array<struct> — tokens paired with their lengths via zip_with,
+    * exploded by inline (one generate, two output columns), then the
+    * corpus top-20 among tokens of length ≥ 6. Same flat-map scaling as
+    * explode; the struct zip is what carries multiple parallel arrays
+    * through a single generate at 100 TB instead of N self-joins. */
+  def inlineTokenPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val pairs = zip_with(toks, transform(toks, t => length(t)),
+      (t, l) => struct(t.as("tok"), l.as("len")))
+    Tables.documents(spark, sfDir)
+      .select(inline(pairs))
+      .filter($"len" >= 6)
+      .groupBy($"tok")
+      .agg(max($"len").cast(LongType).as("len"), count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok")
+      .limit(20)
+      .orderBy($"tok")
+  }
+
   def langStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)

@@ -127,4 +127,30 @@ object VectorOps {
       .select($"vec_id", round($"cos_raw", 4).as("cos_sim"))
       .orderBy($"vec_id")
   }
+
+  /** `sim_knn_join`: brute-force k-NN JOIN — for each probe vector
+    * (vec_id < 5), its top-3 nearest neighbours by cosine among all other
+    * vectors. The probe side is a broadcast (tiny, by construction): the
+    * candidate scan streams once past every probe — linear in the corpus,
+    * embarrassingly parallel, with a per-probe window top-k instead of a
+    * global sort. This is the exact baseline the ANN paths (sim_ann_lsh /
+    * sim_ann_ivf) approximate; at 100 TB you run those, and this shape on
+    * a sampled panel to measure their recall. */
+  def simKnnJoin(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos_raw".desc, $"cand_id")
+    e.select($"vec_id".as("cand_id"), $"embedding")
+      .join(broadcast(probes), $"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cand_id",
+        (dot($"embedding", $"p_emb") /
+          (l2Norm($"embedding") * l2Norm($"p_emb"))).as("cos_raw"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"probe_id", $"rk", $"cand_id", round($"cos_raw", 4).as("cos_sim"))
+      .orderBy($"probe_id", $"rk")
+  }
 }

@@ -1,0 +1,179 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Round-4 surface widening: the Spark-4-era operator families — ordered
+  * string aggregation (listagg), SQL-standard discrete percentiles,
+  * bitmap-backed exact distinct counting, the VARIANT semi-structured
+  * type, collation-aware grouping, interval arithmetic, map higher-order
+  * transforms, and URL decomposition.
+  *
+  * Determinism rules are Relational.scala's: every query ends in a total
+  * order, doubles go through Det rounding or exact integer/decimal paths,
+  * and each oracle twin (graft.Oracle) mirrors the arithmetic literally.
+  */
+object Modern {
+
+  /** `agg_listagg`: ordered string aggregation — per region, the
+    * comma-joined list of its nations, ordered WITHIN GROUP by name
+    * (SQL:2016 listagg; Spark 4 ships it natively). The deterministic
+    * cousin of collect_list: the WITHIN GROUP order makes the output
+    * hash-stable under any partitioning, which is what makes it usable
+    * at scale at all (an unordered listagg is a flaky test away from
+    * nondeterminism). Dim⋈dim join stays broadcast. */
+  def aggListagg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy($"r_name")
+  }
+
+  /** `agg_percentile_disc`: SQL-standard DISCRETE percentiles (smallest
+    * value whose cumulative distribution ≥ p) per group. Unlike the
+    * interpolating percentile_cont (agg_percentiles), disc returns an
+    * actual data value — no float arithmetic, so the output is exact and
+    * needs no rounding; ties with DuckDB's quantile_disc by construction. */
+  def aggPercentileDisc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25_qty"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)").as("p95_qty"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** `agg_bitmap_distinct`: EXACT distinct counting via mergeable bitmap
+    * sketches — group by (key, bitmap_bucket_number(id)), OR the per-bucket
+    * bit positions into a bitmap, then sum bitmap_count per key. Same
+    * result as count(DISTINCT ...) (the oracle) but the partial state is a
+    * fixed-size bitmap instead of a hash set of ids: at 100 TB this is the
+    * difference between a bounded two-level shuffle and an Expand plan
+    * carrying every distinct id to the reducer. */
+  def aggBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority", expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+      .agg(
+        expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"),
+        count(lit(1)).as("n"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(expr("bitmap_count(bm)")).as("n_cust"),
+        sum($"n").as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** `json_variant_ops`: the VARIANT semi-structured path (Spark 4) —
+    * parse_json once, then typed variant_get extraction. Functionally the
+    * json_extract twin, but the parse cost is paid once per row and every
+    * downstream access is a binary-encoded field read, not a re-parse:
+    * the schema-on-read shape a 100 TB JSON event lake needs. Aggregates
+    * are exact integer sums. */
+  def jsonVariantOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_type",
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count($"k").as("n_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        sum($"k").as("sum_k"))
+      .orderBy($"event_type")
+  }
+
+  /** `string_collation_ci`: collation-aware grouping (Spark 4) — a
+    * deterministically case-mangled copy of `lang` grouped under
+    * UTF8_LCASE compares case-insensitively INSIDE the hash aggregate
+    * (collation-aware hashing), so 'EN' and 'en' land in one group with
+    * no normalizing projection. Output keys are re-collated to binary so
+    * the result file carries plain strings. Oracle: the same counts from
+    * grouping the clean column. */
+  def stringCollationCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        when($"doc_id" % 2 === 0, upper($"lang")).otherwise($"lang").as("lang_mixed"),
+        $"n_chars")
+      .groupBy(expr("collate(lang_mixed, 'UTF8_LCASE')").as("k"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .select(expr("collate(lower(k), 'UTF8_BINARY')").as("lang"),
+        $"n_docs", $"sum_chars")
+      .orderBy($"lang")
+  }
+
+  /** `ts_interval_arith`: event-time interval arithmetic — day/hour/
+    * minute offsets and a mixed DAY TO HOUR interval on the ns-precision
+    * event clock, projected to epoch millis (the envelope's native unit,
+    * SURVEY §1.2). Pure projection: embarrassingly parallel, no shuffle. */
+  def tsIntervalArith(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        unix_millis($"ts" + expr("INTERVAL '90' DAY")).as("plus_90d_ms"),
+        unix_millis($"ts" - expr("INTERVAL '6' HOUR")).as("minus_6h_ms"),
+        unix_millis($"ts" + expr("INTERVAL '1 12' DAY TO HOUR")).as("plus_36h_ms"),
+        unix_millis($"ts" + expr("INTERVAL '30' MINUTE")).as("plus_30m_ms"))
+      .orderBy($"event_id")
+  }
+
+  /** `map_transform_ops`: the map higher-order family — map_filter,
+    * transform_values, map_zip_with — over the per-user event-type→count
+    * map (built exactly as map_type_ops does). Map layouts are
+    * engine-specific, so outputs are scalars extracted from the
+    * transformed maps; the oracle recomputes them map-free with FILTER
+    * aggregates. */
+  def mapTransformOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(array_sort(collect_list(struct($"event_type", $"n"))))
+        .as("m"))
+      .select(
+        $"user_id",
+        size($"m").cast(LongType).as("n_types"),
+        size(map_filter($"m", (_, v) => v >= 3)).cast(LongType).as("n_hot_types"),
+        coalesce(element_at(transform_values($"m", (_, v) => v * 2), "click"), lit(0L))
+          .as("clicks_x2"),
+        coalesce(element_at(map_zip_with($"m", $"m", (_, a, b) => a + b), "view"), lit(0L))
+          .as("views_x2"))
+      .orderBy($"user_id")
+  }
+
+  /** `url_parse_funcs`: URL decomposition — parse_url PROTOCOL/HOST/PATH
+    * and keyed QUERY extraction over URLs assembled from document
+    * attributes. The oracle doesn't re-parse: it recomputes each part
+    * directly from the source columns, so the gate proves parse_url
+    * exactly inverts the construction. */
+  def urlParseFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val url = concat(lit("https://cdn.example.com/"), $"lang", lit("/doc/"),
+      $"doc_id".cast(StringType), lit("?src="), $"source", lit("&v=2"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", url.as("url"))
+      .select(
+        $"doc_id",
+        parse_url($"url", lit("PROTOCOL")).as("proto"),
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY"), lit("src")).as("q_src"))
+      .orderBy($"doc_id")
+  }
+}
