@@ -1314,6 +1314,45 @@ object Oracle {
          FROM (SELECT *, row_number() OVER
                  (PARTITION BY probe_id ORDER BY cos_raw DESC, cand_id) AS rk
                FROM s)
-         WHERE rk <= 3 ORDER BY probe_id, rk"""
+         WHERE rk <= 3 ORDER BY probe_id, rk""",
+
+    // round 5 — nested-JSON shred, deterministic mode, TF-IDF
+    "json_nested_shred" ->
+      """SELECT l_orderkey AS o_orderkey,
+                count(*) AS n_items,
+                min(l_linenumber) AS first_ln,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+                CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+         FROM lineitem WHERE l_orderkey < 1000
+         GROUP BY 1 ORDER BY 1""",
+
+    "agg_mode_freq" ->
+      """SELECT o_orderstatus,
+                arg_max(o_orderpriority,
+                        cnt * 1048576 - CAST(substr(o_orderpriority, 1, 1) AS BIGINT)) AS mode_priority,
+                max(cnt) AS mode_n,
+                CAST(sum(cnt) AS BIGINT) AS n_orders
+         FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+               FROM orders GROUP BY 1, 2)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "text_tfidf" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+              tokall AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+              dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tokall GROUP BY tok),
+              tf AS (SELECT doc_id, len(toks) AS len, unnest(toks) AS tok
+                     FROM docs WHERE doc_id < 50),
+              cnts AS (SELECT doc_id, tok, len, count(*) AS cnt FROM tf GROUP BY 1, 2, 3),
+              scored AS (SELECT c.doc_id, c.tok,
+                                floor(CAST(c.cnt AS DOUBLE) / c.len
+                                      * (floor(ln((SELECT n FROM nd) / f.df) * 1000000.0 + 0.5) / 1000000.0)
+                                      * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+                         FROM cnts c JOIN dfreq f USING (tok))
+         SELECT doc_id, tok, tfidf
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+               FROM scored)
+         WHERE rn <= 5 ORDER BY doc_id, tfidf DESC, tok"""
   )
 }

@@ -595,6 +595,42 @@ object TextOps {
       .orderBy($"tok")
   }
 
+  /** `text_tfidf`: per-document TF-IDF over the whitespace vocabulary —
+    * tf = term count / doc length, idf = ln(N / docfreq) quantized to
+    * 1e-6 BEFORE the product (the [[unigramLogprob]] cross-engine log
+    * rule), top-5 terms per document for the first 50 docs, ties broken
+    * by term. The docfreq table is computed over the FULL corpus (that's
+    * what makes it TF-IDF) while the per-doc side prunes to the output
+    * docs at the scan — at 100 TB the vocabulary docfreq side is the
+    * classic broadcast dimension (vocab ≪ corpus) and the expensive
+    * explode only runs over the slice being scored. */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val dfreq = toks.groupBy($"tok")
+      .agg(countDistinct($"doc_id").as("df"))
+      .select($"tok",
+        (floor(log(lit(nDocs.toDouble) / $"df") * 1e6 + 0.5) / 1e6).as("idf"))
+    val tf = docs.filter($"doc_id" < 50)
+      .select($"doc_id", size(split($"text", " ")).as("len"), $"text")
+      .select($"doc_id", $"len", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok", $"len")
+      .agg(count(lit(1)).as("cnt"))
+    val scored = tf.join(broadcast(dfreq), "tok")
+      .select($"doc_id", $"tok",
+        (floor($"cnt".cast(DoubleType) / $"len" * $"idf" * 1e6 + 0.5) / 1e6)
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok")
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"doc_id", $"tok", $"tfidf")
+      .orderBy($"doc_id", $"tfidf".desc, $"tok")
+  }
+
   def langStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)

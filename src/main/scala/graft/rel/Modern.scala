@@ -157,6 +157,68 @@ object Modern {
       .orderBy($"user_id")
   }
 
+  /** `json_nested_shred`: nested-document round trip — orders nested with
+    * their lineitem array (collect_list of structs, ordered by linenumber
+    * so the JSON bytes are partition-independent), serialized with
+    * to_json, re-parsed with an EXPLICIT schema (never inference in the
+    * engine path, SURVEY §1.2 R15), exploded back out and re-aggregated.
+    * The gate proves deep shred fidelity: the oracle computes the same
+    * aggregates straight from the relational tables, so any loss in the
+    * nested array (element order, null handling, int/double coercion)
+    * hash-mismatches. The build is one shuffle (groupBy orderkey); the
+    * parse side is embarrassingly parallel — the schema-on-read shape of
+    * a 100 TB JSON document lake. */
+  def jsonNestedShred(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val itemSchema = ArrayType(new StructType()
+      .add("ln", IntegerType).add("qty", DoubleType).add("flag", StringType))
+    val docSchema = new StructType()
+      .add("o", LongType).add("items", itemSchema)
+    val doc = Tables.lineitem(spark, sfDir)
+      .filter($"l_orderkey" < 1000)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list(struct(
+        $"l_linenumber".as("ln"), $"l_quantity".as("qty"),
+        $"l_returnflag".as("flag")))).as("items"))
+      .select(to_json(struct($"l_orderkey".as("o"), $"items")).as("js"))
+    doc
+      .select(from_json($"js", docSchema).as("d"))
+      .select($"d.o".as("o_orderkey"), explode($"d.items").as("it"))
+      .groupBy($"o_orderkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        min($"it.ln").as("first_ln"),
+        round(sum($"it.qty"), 4).as("sum_qty"),
+        sum(when($"it.flag" === "R", 1L).otherwise(0L)).as("n_returned"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** `agg_mode_freq`: deterministic mode — the most frequent order
+    * priority per order status. Spark 4's `mode()` leaves ties
+    * engine-defined, so this computes the count table and arg-maxes a
+    * packed (count, key-rank) long instead: cnt·2^20 − dense key rank,
+    * making "highest count, then alphabetically-first priority" the
+    * unique winner on any engine and any partitioning. Two small hash
+    * aggregates; the count table (statuses × priorities) is bounded by
+    * the key-domain product, not the row count, so the final argmax is
+    * effectively free at any scale. */
+  def aggModeFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    // key rank: priorities are '1-URGENT'..'5-LOW'; the leading digit is
+    // a ready-made dense rank (cnt < 2^20·scale before the pack matters)
+    val rank = $"cnt" * 1048576L - substring($"o_orderpriority", 1, 1).cast(LongType)
+    counts
+      .groupBy($"o_orderstatus")
+      .agg(
+        max_by($"o_orderpriority", rank).as("mode_priority"),
+        max($"cnt").as("mode_n"),
+        sum($"cnt").as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** `url_parse_funcs`: URL decomposition — parse_url PROTOCOL/HOST/PATH
     * and keyed QUERY extraction over URLs assembled from document
     * attributes. The oracle doesn't re-parse: it recomputes each part

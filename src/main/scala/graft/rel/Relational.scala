@@ -832,6 +832,26 @@ object Relational {
       .orderBy($"err_id")
   }
 
+  /** `sample_tablesample`: fraction sampling (df.sample / SQL
+    * TABLESAMPLE) — seeded Bernoulli sample of lineitem, aggregated per
+    * return flag. The per-row accept draw is seed-deterministic given the
+    * partitioning but engine-specific (Spark XORShift vs DuckDB's RNG),
+    * so no SQL oracle — rows-only; the statistical contract (fraction
+    * ±tolerance, per-partition independence) is property-tested in
+    * RelationalSpec. For splits that must be REPRODUCIBLE across engines
+    * and repartitionings, use content-keyed hashing instead
+    * (sample_split_assign / sample_group_hash_topk). */
+  def sampleTablesample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        round(sum($"l_quantity"), 4).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** `agg_approx_distinct`: HLL++ approximate distinct users per type (no
     * SQL oracle — approximate; bounds are property-tested vs the exact
     * count in RelationalSpec). */

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.TextOps
+import graft.rel.{Modern, Relational}
+
+/** Specs for the round-5 operator additions (SURVEY.md §2.2): nested-JSON
+  * shred round-trip, deterministic mode, per-document TF-IDF, and seeded
+  * fraction sampling. */
+class Round5OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.Sf
+
+  test("json_nested_shred round-trip equals the relational aggregates") {
+    val s = spark
+    import s.implicits._
+    val viaJson = Modern.jsonNestedShred(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val direct = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" < 1000)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 4).as("q"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(viaJson == direct, "JSON shred lost rows or values")
+  }
+
+  test("json_nested_shred: array survives serialization ordered by linenumber") {
+    val s = spark
+    import s.implicits._
+    // first_ln must equal the relational min — proves element-level fidelity
+    val firstLn = Modern.jsonNestedShred(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val minLn = Tables.lineitem(spark, sf).filter($"l_orderkey" < 1000)
+      .groupBy($"l_orderkey").agg(min($"l_linenumber").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(firstLn == minLn)
+  }
+
+  test("agg_mode_freq picks the true per-status maximum count") {
+    val s = spark
+    import s.implicits._
+    val modes = Modern.aggModeFreq(spark, sf).collect()
+    assert(modes.nonEmpty)
+    val counts = Tables.orders(spark, sf)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    modes.foreach { r =>
+      val (status, pri, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(counts((status, pri)) == n)
+      val best = counts.collect { case ((s2, _), c) if s2 == status => c }.max
+      assert(n == best, s"$status: mode count $n != max $best")
+      // tie-break: among priorities at the max count, the alphabetically first
+      val tied = counts.collect { case ((s2, p), c) if s2 == status && c == best => p }
+      assert(pri == tied.min, s"$status: tie not broken alphabetically")
+    }
+  }
+
+  test("text_tfidf: 5 terms per doc, rare terms outrank common ones") {
+    val rows = TextOps.tfidf(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty && byDoc.values.forall(_.length <= 5))
+    byDoc.values.foreach { rs =>
+      val scores = rs.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse, "per-doc rows not sorted by tfidf desc")
+      assert(scores.forall(v => v >= 0.0), "idf of df<=N must be non-negative")
+    }
+  }
+
+  test("sample_tablesample: seeded sample is stable and near the fraction") {
+    val s = spark
+    import s.implicits._
+    val a = Relational.sampleTablesample(spark, sf).collect().toSeq
+    val b = Relational.sampleTablesample(spark, sf).collect().toSeq
+    assert(a == b, "same seed + same partitioning must reproduce")
+    val total = Tables.lineitem(spark, sf).count().toDouble
+    val sampled = a.map(_.getLong(1)).sum.toDouble
+    assert(sampled > total * 0.05 && sampled < total * 0.15,
+      s"sample fraction ${sampled / total} far from 0.1")
+  }
+}
