@@ -1353,6 +1353,39 @@ object Oracle {
          FROM (SELECT *, row_number() OVER
                  (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
                FROM scored)
-         WHERE rn <= 5 ORDER BY doc_id, tfidf DESC, tok"""
+         WHERE rn <= 5 ORDER BY doc_id, tfidf DESC, tok""",
+
+    "text_pii_redact" ->
+      """WITH p AS (SELECT doc_id, length(text) AS text_len,
+                           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@mail.example.com call +1-555-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii
+                    FROM documents),
+              r AS (SELECT doc_id, text_len,
+                           regexp_replace(regexp_replace(pii,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                               '\+1-555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS redacted
+                    FROM p)
+         SELECT doc_id,
+                substring(redacted, text_len + 1) AS redacted_tail,
+                CAST(length(redacted) - text_len AS INTEGER) AS tail_len,
+                CAST(len(regexp_extract_all(redacted,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_residual_email,
+                CAST(len(regexp_extract_all(redacted,
+                    '\+1-555-[0-9][0-9][0-9][0-9]')) AS INTEGER) AS n_residual_phone
+         FROM r ORDER BY doc_id""",
+
+    "text_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents WHERE len(string_split(text, ' ')) >= 8),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+8], ' ') AS shingle
+                     FROM docs, unnest(range(len(toks) - 7)) t(i)),
+              bench AS (SELECT shingle, doc_id AS bench_doc FROM sh WHERE doc_id % 50 = 0)
+         SELECT s.doc_id,
+                count(DISTINCT s.shingle) AS n_shingles,
+                count(DISTINCT b.bench_doc) AS n_bench_docs
+         FROM sh s JOIN bench b USING (shingle)
+         WHERE s.doc_id % 50 <> 0
+         GROUP BY s.doc_id ORDER BY s.doc_id"""
   )
 }

@@ -631,6 +631,72 @@ object TextOps {
       .orderBy($"doc_id", $"tfidf".desc, $"tok")
   }
 
+  /** `text_pii_redact`: PII scrubbing — the pre-training hygiene pass.
+    * The corpus has no real PII, so each doc gets a synthetic email +
+    * phone tail built FROM its own columns; the redactor then masks
+    * every email/phone with regexp_replace (Spark replaces all matches;
+    * the DuckDB twin needs the 'g' flag). The gate proves redaction
+    * exactly inverts the construction: the redacted tail must collapse
+    * to the constant " contact <EMAIL> call <PHONE>" for every row and
+    * the residual-match count must be zero. Patterns stay in the
+    * Java∩RE2 dialect intersection (character classes, no lookaround).
+    * Pure projection — embarrassingly parallel at any scale. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val PhoneRe = "\\+1-555-[0-9][0-9][0-9][0-9]"
+    val pii = concat($"text",
+      lit(" contact user"), $"doc_id".cast(StringType),
+      lit("@mail.example.com call +1-555-"),
+      lpad(pmod($"doc_id", lit(10000)).cast(StringType), 4, "0"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", pii.as("pii"))
+      .select($"doc_id",
+        regexp_replace(regexp_replace($"pii", EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"),
+        length($"text").as("text_len"))
+      .select(
+        $"doc_id",
+        expr("substring(redacted, text_len + 1)").as("redacted_tail"),
+        (length($"redacted") - $"text_len").as("tail_len"),
+        regexp_count($"redacted", lit(EmailRe)).as("n_residual_email"),
+        regexp_count($"redacted", lit(PhoneRe)).as("n_residual_phone"))
+      .orderBy($"doc_id")
+  }
+
+  /** `text_decontaminate`: benchmark decontamination — flag training
+    * docs sharing any 8-token shingle with a held-out "benchmark" slice
+    * (doc_id % 50 == 0 stands in for the eval set). Per contaminated
+    * doc: distinct overlapping shingles + distinct benchmark docs hit.
+    * The benchmark shingle set is the classic broadcast side (eval
+    * suites are MBs; the corpus is the 100 TB side), so the probe is a
+    * map-side hash join over the training shingles with no big-side
+    * shuffle; at real scale the join key would be xxhash64(shingle)
+    * to keep the broadcast compact. Docs shorter than the shingle
+    * width are clean by definition. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 8), i -> array_join(slice(toks, i + 1, 8), ' '))"))
+        .as("shingle"))
+    val docs = Tables.documents(spark, sfDir)
+    // bench side: distinct to shrink the broadcast; probe side needs no
+    // corpus-wide dedup — both final counts are DISTINCT aggregates, so
+    // join multiplicity cancels and the big side never shuffles early
+    val bench = shingles(docs.filter($"doc_id" % 50 === 0))
+      .select($"shingle", $"doc_id".as("bench_doc")).distinct()
+    shingles(docs.filter($"doc_id" % 50 =!= 0))
+      .join(broadcast(bench), "shingle")
+      .groupBy($"doc_id")
+      .agg(
+        countDistinct($"shingle").as("n_shingles"),
+        countDistinct($"bench_doc").as("n_bench_docs"))
+      .orderBy($"doc_id")
+  }
+
   def langStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)

@@ -50,6 +50,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"queries with non-equi join physical plans:\n${offenders.mkString("\n")}")
   }
 
+  test("selective filters reach the parquet scan and unused columns are pruned") {
+    // raise the metadata print cap so PushedFilters/ReadSchema aren't "..."-cut
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "2000")
+    try {
+      def plan(n: String) =
+        SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      // q6: range predicates pushed; scan reads exactly the 4 needed columns
+      val q6 = plan("q6_forecast_revenue")
+      assert(q6.contains("GreaterThanOrEqual(l_shipdate"), "q6 shipdate filter not pushed")
+      assert(q6.contains(
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+        "q6 scan reads more than the 4 needed lineitem columns")
+      // nested-JSON shred: key range pushed; wide money columns pruned
+      val js = plan("json_nested_shred")
+      assert(js.contains("LessThan(l_orderkey,1000)"), "orderkey filter not pushed")
+      assert(!js.contains("l_extendedprice"), "shred scan reads pruned-out columns")
+      // tfidf: the per-doc slice prunes at the scan; the docfreq side doesn't
+      val tf = plan("text_tfidf")
+      assert(tf.contains("LessThan(doc_id,50)"), "tfidf doc slice not pushed to scan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("the one intentional cartesian stays broadcast, never a shuffle cartesian") {
     val plan = SparkEntry.queries("join_cross_dims")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -69,6 +69,36 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_pii_redact leaves no residual PII and a constant masked tail") {
+    val rows = TextOps.piiRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("redacted_tail") == " contact <EMAIL> call <PHONE>")
+      assert(r.getAs[Int]("n_residual_email") == 0)
+      assert(r.getAs[Int]("n_residual_phone") == 0)
+    }
+  }
+
+  test("text_decontaminate flags exactly the docs sharing an 8-gram with the bench slice") {
+    val s = spark
+    import s.implicits._
+    val flagged = TextOps.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0)).toSet
+    // brute-force recompute on the driver at sf0.001 (500 docs)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def grams(toks: Seq[String]) =
+      if (toks.length < 8) Set.empty[String]
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    val benchGrams = docs.collect { case (id, t) if id % 50 == 0 => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = docs.collect {
+      case (id, t) if id % 50 != 0 && grams(t).exists(benchGrams) => id
+    }.toSet
+    assert(flagged == expected)
+  }
+
   test("sample_tablesample: seeded sample is stable and near the fraction") {
     val s = spark
     import s.implicits._
