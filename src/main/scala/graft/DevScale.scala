@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale-slope harness: replicate the sf0.1 star schema M× with
+  * consistently shifted keys into `target/scaleM/`, then time a
+  * representative query subset at 1× and M× and print the per-query
+  * ratio. Evidence for the would-it-survive-100× question: a plan that
+  * scales with data shows a near-M slope on aggregate/join work (or ~1
+  * on fixed-output probes); a super-linear slope exposes a quadratic or
+  * skew bug the sf0.1 bench can't see.
+  *
+  * Replicas are self-contained: every foreign key is shifted by the same
+  * per-replica offset as its primary key, so replica i's customers only
+  * own replica i's orders and all join fan-outs keep their 1× shape.
+  * `user_id` and event timestamps are NOT shifted — 10× events per user
+  * deliberately stresses per-key streaming/window state depth.
+  *
+  * Usage: `runMain graft.DevScale [multiplier]` (default 10). Queries
+  * whose OUTPUT semantics are quadratic in replication (near-dup pair
+  * mining over a corpus replicated verbatim) are excluded: their blow-up
+  * is an artifact of cloned text, not plan quality.
+  */
+object DevScale {
+  private val Base = "/root/testdata/sf0.1"
+
+  private val QuerySubset = Seq(
+    "agg_pricing_summary", "q3_shipping_priority", "join_5way_revenue",
+    "q21_late_suppliers", "window_topk_group", "agg_cube",
+    "cdc_latest_state", "cdc_sessionize", "cdc_merge_upsert",
+    "dedup_exact_hash", "text_tokenize_counts", "text_tfidf",
+    "text_quality_score", "sample_split_assign", "sim_topk_cosine",
+    "vec_label_centroids")
+
+  def main(args: Array[String]): Unit = {
+    val m = args.headOption.map(_.toInt).getOrElse(10)
+    val out = s"/root/repo/target/scale$m"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shifts: Map[String, Map[String, Long]] = Map(
+      "region"   -> Map("r_regionkey" -> 100L),
+      "nation"   -> Map("n_nationkey" -> 100L, "n_regionkey" -> 100L),
+      "customer" -> Map("c_custkey" -> 10000000L, "c_nationkey" -> 100L),
+      "supplier" -> Map("s_suppkey" -> 10000000L, "s_nationkey" -> 100L),
+      "part"     -> Map("p_partkey" -> 10000000L),
+      "orders"   -> Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L),
+      "lineitem" -> Map("l_orderkey" -> 100000000L, "l_partkey" -> 10000000L,
+                        "l_suppkey" -> 10000000L),
+      "events"   -> Map("event_id" -> 1000000000L),
+      "documents" -> Map("doc_id" -> 1000000L),
+      "embeddings" -> Map("vec_id" -> 1000000L))
+
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      println(s"[scale] generating $m x replica of sf0.1 at $out")
+      shifts.foreach { case (table, keyShifts) =>
+        val src = spark.read.parquet(s"$Base/$table.parquet")
+        val replicas = (0 until m).map { i =>
+          keyShifts.foldLeft(src) { case (df, (k, span)) =>
+            df.withColumn(k, (col(k) + lit(i * span)).cast(df.schema(k).dataType))
+          }
+        }
+        replicas.reduce(_.union(_))
+          .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      }
+    }
+
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      fn(spark, dir).count() // warm plan+codegen
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm both scan paths
+    spark.read.parquet(s"$Base/region.parquet").count()
+    spark.read.parquet(s"$out/region.parquet").count()
+    println(f"${"query"}%-24s ${"1x_sec"}%8s ${s"${m}x_sec"}%8s ${"slope"}%6s")
+    QuerySubset.foreach { q =>
+      val t1 = time(q, Base)
+      val tm = time(q, out)
+      println(f"$q%-24s $t1%8.3f $tm%8.3f ${tm / t1}%6.2f")
+    }
+    spark.stop()
+  }
+}
