@@ -107,7 +107,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // full per-query detail (humans / round notes; too long for the
+    // driver's 2000-char stdout tail to hold in one piece)
+    println(s"""{"metric":"total_per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // machine-readable line LAST and COMPACT: the driver keeps only a
+    // ~2000-char tail of stdout (plus sbt's epilogue line), so the line
+    // it parses must fit entirely inside that window — emit the total,
+    // the query count, and only the slowest queries at 3 decimals.
+    // (Double.toString always uses '.': no Locale hazard.)
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val slow = results.sortBy(-_._2).take(40)
+    val qsCompact = slow.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

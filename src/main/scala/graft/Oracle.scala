@@ -36,6 +36,47 @@ object Oracle {
               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type"""
 
+  /** `graph_pagerank` twin: the same 6 PageRank iterations as
+    * GraphOps.pageRank, unrolled as chained CTEs (standard SQL forbids
+    * aggregation inside a recursive term, and the iteration count is a
+    * fixed literal anyway). All arithmetic is integer nano-units —
+    * `//` here ≡ `div` there on the all-positive domain — so the match
+    * is exact, not rounded. The pair CTE is the dedup_ngram_jaccard
+    * oracle minus its output shaping. */
+  private val pageRankSql: String = {
+    val iters = (1 to 6).map { i =>
+      s"""         r$i AS (
+           SELECT e.dst AS id,
+             CAST((150000000 // (SELECT n FROM nn))
+               + (85 * sum(p.r // e.outdeg)) // 100 AS BIGINT) AS r
+           FROM edgesd e JOIN r${i - 1} p ON e.src = p.id
+           GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""WITH sh AS MATERIALIZED (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(string_split(text,' ')) - 2, 1)),
+             i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))) AS s
+           FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
+         pairs AS MATERIALIZED (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n, b.n
+           HAVING round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         edgesd AS MATERIALIZED (
+           SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+         nn AS (SELECT count(DISTINCT src) AS n FROM edges),
+         r0 AS (SELECT DISTINCT src AS id,
+                  CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS r FROM edges),
+$iters
+         SELECT id AS doc_id, r AS rank_nano,
+                CAST(row_number() OVER (ORDER BY r DESC, id) AS INTEGER) AS pr_pos
+         FROM r6 ORDER BY doc_id"""
+  }
+
   val sql: Map[String, String] = Map(
     // Skew-safe and streaming twins share the oracle of their batch
     // originals: the gate thereby checks salted ≡ windowed formulation
@@ -145,6 +186,24 @@ object Oracle {
           AND p.user_id = c.user_id
           AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
          ORDER BY purchase_event_id, click_event_id""",
+
+    "cdc_stream_join_outer" ->
+      // finalized-horizon twin (StreamingLatest.streamJoinOuter): null
+      // rows only below the end-of-replay watermark
+      // min(max purchase ts, max click ts) - 1 h; matched rows always
+      """WITH p AS (SELECT event_id AS p_id, ts AS p_ts, user_id AS p_user
+                    FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS c_id, ts AS c_ts, user_id AS c_user
+                    FROM events WHERE event_type = 'click'),
+            wm AS (SELECT least((SELECT max(epoch_us(p_ts)) FROM p),
+                                (SELECT max(epoch_us(c_ts)) FROM c))
+                          - 3600000000 AS w)
+         SELECT p.p_id AS purchase_event_id, c.c_id AS click_event_id
+         FROM p LEFT JOIN c
+           ON p.p_user = c.c_user
+          AND epoch_us(c.c_ts) BETWEEN epoch_us(p.p_ts) - 3600000000 AND epoch_us(p.p_ts)
+         WHERE c.c_id IS NOT NULL OR epoch_us(p.p_ts) < (SELECT w FROM wm)
+         ORDER BY purchase_event_id, click_event_id NULLS FIRST""",
 
     "cdc_scd2_history" ->
       """SELECT user_id, event_id, event_type,
@@ -1386,6 +1445,85 @@ object Oracle {
                 count(DISTINCT b.bench_doc) AS n_bench_docs
          FROM sh s JOIN bench b USING (shingle)
          WHERE s.doc_id % 50 <> 0
-         GROUP BY s.doc_id ORDER BY s.doc_id"""
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
+
+    "xml_roundtrip" ->
+      // no XML on the oracle side on purpose: every output column is
+      // recomputed directly from the source columns, so the gate proves
+      // to_xml -> from_xml inverts the construction losslessly
+      """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority,
+                o_totalprice AS price,
+                CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS INTEGER) AS odate_day
+         FROM orders ORDER BY o_orderkey""",
+
+    "array_hof_ops" ->
+      """SELECT vec_id,
+           CAST(len(list_filter(vd, x -> x > 0.0)) AS INTEGER) AS n_pos,
+           CAST(CASE WHEN list_aggregate(list_transform(vd, x -> abs(x) > 0.25),
+                  'bool_or') THEN 1 ELSE 0 END AS INTEGER) AS has_big,
+           CAST(CASE WHEN list_aggregate(list_transform(vd, x -> abs(x) < 1.0),
+                  'bool_and') THEN 1 ELSE 0 END AS INTEGER) AS all_lt1,
+           floor(sqrt(list_aggregate(list_transform(vd, x -> x * x), 'sum'))
+             * 10000.0 + 0.5) / 10000.0 AS l2_norm
+         FROM (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+               FROM embeddings)
+         ORDER BY vec_id""",
+
+    "agg_approx_top_k" ->
+      // exact twin is sound because the sketch capacity (1024) exceeds
+      // the corpus vocabulary, making approx_top_k counts exact; the
+      // (cnt desc, token) sort + late LIMIT pins the boundary on both
+      // engines (Modern.aggApproxTopK has the argument)
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         SELECT token, count(*) AS cnt
+         FROM tok WHERE token <> ''
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+
+    "graph_pagerank" -> pageRankSql,
+
+    "mm_patch_grid" ->
+      // ASCII fixture: char positions == byte positions, so VARCHAR
+      // substring mirrors the binary slice and md5 over the slice is
+      // engine-independent (the mm_binary_meta argument)
+      """SELECT doc_id AS media_id,
+                CAST(i // 8 AS INTEGER) AS patch_row,
+                CAST(i % 8 AS INTEGER) AS patch_col,
+                CAST(least(16, octet_length(encode(text)) - i * 16) AS INTEGER) AS patch_len,
+                md5(substring(text, CAST(i * 16 + 1 AS INTEGER), 16)) AS patch_md5
+         FROM documents,
+              unnest(range(CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT))) AS t(i)
+         ORDER BY media_id, patch_row, patch_col""",
+
+    "url_canonicalize_dedup" ->
+      """WITH u AS (SELECT doc_id,
+             'HTTPS://CDN.Example.COM/doc/' || CAST(doc_id % 100 AS VARCHAR)
+               || '?utm_source=' || source || '&lang=' || lang
+               || '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+               || '#sec' || CAST(doc_id % 5 AS VARCHAR) AS raw
+           FROM documents),
+         f AS (SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw, '#.*$', ''),
+                 '[?&]utm_[A-Za-z_]*=[^&#]*', '', 'g'),
+               '^([^?]*)&', '\1?') AS fixedq
+           FROM u),
+         c AS (SELECT doc_id,
+             lower(regexp_extract(fixedq, '^([A-Za-z]+://[^/]+)', 1))
+               || regexp_extract(fixedq, '^[A-Za-z]+://[^/]+(.*)$', 1) AS canonical_url
+           FROM f)
+         SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS rep_doc
+         FROM c GROUP BY canonical_url ORDER BY canonical_url""",
+
+    "sql_param_query" ->
+      // the oracle inlines the bound parameter values — the gate thereby
+      // proves parameter binding is semantically identical to literals
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

@@ -366,6 +366,67 @@ object StreamingLatest {
       .orderBy($"purchase_event_id", $"click_event_id")
   } }
 
+  /** `cdc_stream_join_outer`: watermarked stream-stream LEFT OUTER
+    * interval join — streamJoin's shape, but purchases with no click in
+    * the preceding hour survive with a null click id. The null rows are
+    * what makes outer streaming hard: one can only be emitted once the
+    * watermark proves no future click can still match (c_ts ≤ p_ts, and
+    * future clicks have c_ts ≥ watermark ⇒ finalized when watermark
+    * passes p_ts), so the engine emits them on state eviction — which is
+    * why this query must KEEP the trailing no-data micro-batch (the
+    * final watermark advance happens after the last data batch; compare
+    * withoutNoDataBatch's contract).
+    *
+    * Oracle: the finalized-horizon trick. At end of replay the global
+    * watermark is min(max purchase ts, max click ts) − 1 h (two
+    * watermarked inputs combine with the default "min" policy), so the
+    * streaming output is exactly the batch left-outer join with null
+    * rows RESTRICTED to purchases below that horizon — a closed-form
+    * DuckDB twin, no streaming machinery needed on the oracle side. */
+  def streamJoinOuter(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
+    import spark.implicits._
+    val runDir = jvmTmpDir("runjo")
+    val inDir   = stagedEventLog(spark, sfDir)
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type").schema
+
+    def src() = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val purchases = src().filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"), $"user_id".as("p_user"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src().filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"ts".as("c_ts"), $"user_id".as("c_user"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"),
+      "left_outer")
+      .select($"p_id".as("purchase_event_id"), $"c_id".as("click_event_id"))
+
+    val q = joined.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(ckptDir)) // the staged log is shared; keep it
+
+    spark.read.parquet(outDir)
+      .orderBy($"purchase_event_id", $"click_event_id")
+  }
+
   /** `cdc_stream_static_join`: stream-static enrichment join — the
     * streaming side (the replayed CDC log) joined per micro-batch
     * against a STATIC dimension computed once in batch (each user's

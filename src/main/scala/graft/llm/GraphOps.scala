@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the near-duplicate pair graph — the corpus-
+  * quality signal family (a web-crawl pipeline scores documents by link
+  * centrality before sampling training data).
+  *
+  * Reference tie-in: the reference pipeline has no graph surface at all
+  * (README.md:20 is a linear CDC topology); this is extension scope per
+  * BASELINE.json:6, built on the same iterative join+aggregate shape as
+  * [[TextOps.connectedComponents]] — the one pattern that expresses
+  * fixpoint graph computation in Spark without leaving the DataFrame API.
+  */
+object GraphOps {
+
+  /** `graph_pagerank`: fixed-iteration PageRank (damping 0.85, 6 rounds)
+    * over the undirected exact near-dup pair graph from
+    * [[TextOps.ngramJaccardPairs]].
+    *
+    * Cross-engine determinism is the hard part: float PageRank sums
+    * contributions in partition order, so two engines (or two runs) can
+    * differ by ulps. Ranks are therefore carried as integer NANO-units
+    * (`rank_nano`), every division is integer division, and every
+    * per-node combine is an exact long sum — order-free on any engine,
+    * any partitioning. The DuckDB oracle unrolls the same 6 iterations
+    * as chained CTEs with `//` arithmetic and must match bit-for-bit.
+    *
+    * Scale shape (100 TB): per iteration one equi-join (edges ⋈ ranks,
+    * both hash-partitioned on the join key) + one hash aggregate — the
+    * standard Pregel-on-relational-engine layout. The edge set is
+    * materialized once at full parallelism; iteration shuffles are sized
+    * to the (much smaller) node count, mirroring connectedComponents. */
+  def pageRank(spark: SparkSession, sfDir: String, iters: Int = 6): DataFrame =
+    pageRankOnPairs(spark,
+      TextOps.ngramJaccardPairs(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b")),
+      iters)
+
+  /** The iteration core of [[pageRank]] on an arbitrary undirected
+    * (doc_a, doc_b) pair set — exposed so the exact-arithmetic rank
+    * propagation is unit-testable on planted graphs (regular graphs
+    * where every rank must be identical, stars where the hub must
+    * dominate). */
+  private[graft] def pageRankOnPairs(
+      spark: SparkSession, pairs: DataFrame, iters: Int = 6): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .cache()
+    // materialize at full parallelism BEFORE shrinking shuffle partitions
+    // (the near-dup pair join is the expensive stage; the rank rounds
+    // below are sized to the node count) — same staging as
+    // connectedComponents
+    edges.count()
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, "4")
+    try {
+      // symmetric edges: out-degree = in-degree and every node has both,
+      // so the per-iteration aggregate covers exactly the node set (no
+      // dangling-node mass correction needed)
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      val edgesD = edges.join(deg, "src")
+        .select($"src", $"dst", $"outdeg")
+        .cache()
+      edgesD.count()
+      val n = edgesD.select($"src").distinct().count()
+      require(n > 0, "empty pair graph")
+      val initNano = 1000000000L / n  // floor(1e9 / N)
+      val baseNano = 150000000L / n   // floor(0.15e9 / N)
+      var rank = edgesD.select($"src".as("id")).distinct()
+        .select($"id", lit(initNano).as("rank_nano"))
+      for (_ <- 1 to iters) {
+        rank = edgesD.join(rank, edgesD("src") === rank("id"))
+          .select($"dst", expr("rank_nano div outdeg").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("s"))
+          .select($"dst".as("id"),
+            (lit(baseNano) + expr("(85 * s) div 100")).as("rank_nano"))
+      }
+      val out = rank
+        .select($"id".as("doc_id"), $"rank_nano",
+          row_number().over(Window.orderBy($"rank_nano".desc, $"id"))
+            .as("pr_pos"))
+        .orderBy($"doc_id")
+        .localCheckpoint(true)
+      edgesD.unpersist(false)
+      edges.unpersist(false)
+      out
+    } finally spark.conf.set(partKey, prevParts)
+  }
+}

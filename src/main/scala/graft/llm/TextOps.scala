@@ -81,8 +81,27 @@ object TextOps {
   }
 
   /** [[ngramJaccard]] without the final global sort — the verified,
-    * deduplicated near-dup pair set in arbitrary order. */
+    * deduplicated near-dup pair set in arbitrary order.
+    *
+    * Staged ONCE per (session, sfDir, τ) and shared by every consumer
+    * (the pair query itself, dedup_cluster_canonical's edge build,
+    * graph_pagerank): the shingle→prefix-join→verify pipeline is by far
+    * the dominant shared stage, and a 100 TB pipeline would stage the
+    * verified pair set to parquet before running its downstream graph
+    * passes — same structure, same reason as [[graft.cdc.StreamingLatest
+    * .stagedEventLog]]. The cache holds one eagerly-materialized
+    * localCheckpoint per key (bounded: one per scale dir per session;
+    * blocks are reclaimed by the ContextCleaner when the session dies). */
   private[graft] def ngramJaccardPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame =
+    pairsCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$sfDir|$threshold",
+      _ => ngramJaccardPairsUncached(spark, sfDir, threshold).localCheckpoint(true))
+
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def ngramJaccardPairsUncached(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     // canonical set order = ascending hash (sorted inside the shingle

@@ -162,4 +162,34 @@ object MultiModal {
   /** The materializing slice for consumers that do need the bytes. */
   def frameSlice(payload: org.apache.spark.sql.Column, frameIdx: org.apache.spark.sql.Column) =
     payload.substr(frameIdx * FrameBytes + 1, lit(FrameBytes))
+
+  val PatchBytes = 16
+  val GridW = 8
+
+  /** `mm_patch_grid`: ViT-style patchification without decode — the
+    * payload split into fixed 16-byte patches laid out row-major on an
+    * 8-wide grid, each patch carrying its (row, col) position, byte
+    * length, and content digest. This is the Spark-side shape of image
+    * patch embedding: a real pipeline would md5→encode each patch through
+    * a model UDF; the partitioning, generate, and digest plumbing are
+    * identical. One Generate per row (no self-join), digests on the
+    * sliced bytes only — the scan never materializes the full payload
+    * twice. Oracle-checked: positions/lengths are pure byte arithmetic
+    * and md5 over an ASCII slice is engine-independent. */
+  def patchGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nPatches = ceil(length($"payload") / lit(PatchBytes.toDouble)).cast("int")
+    mediaTable(spark, sfDir)
+      .select($"media_id", $"payload", nPatches.as("np"))
+      .select($"media_id", $"payload",
+        explode(sequence(lit(0), greatest($"np" - 1, lit(0)))).as("p"))
+      .select($"media_id",
+        ($"p" / GridW).cast(IntegerType).as("patch_row"),
+        pmod($"p", lit(GridW)).cast(IntegerType).as("patch_col"),
+        least(lit(PatchBytes), length($"payload") - $"p" * PatchBytes)
+          .cast(IntegerType).as("patch_len"),
+        md5($"payload".substr($"p" * PatchBytes + 1, lit(PatchBytes)))
+          .as("patch_md5"))
+      .orderBy($"media_id", $"patch_row", $"patch_col")
+  }
 }

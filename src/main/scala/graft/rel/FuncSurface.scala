@@ -310,4 +310,27 @@ object FuncSurface {
           .as("head4_sum"))
       .orderBy($"vec_id")
   }
+
+  /** `array_hof_ops`: the higher-order lambda family over the embedding
+    * column — `filter` (positive-count), `exists`/`forall` (predicate
+    * folds), and three-arg `aggregate` with a finish lambda (L2 norm in
+    * one pass). Float elements cast to double first (exact), sums fold
+    * left-to-right identically on both engines, and the norm goes
+    * through Det rounding — same determinism story as array_basic_ops.
+    * (These lambdas are CodegenFallback — fine for a per-row 64-element
+    * projection; the HOT dedup/vector paths use the custom codegen
+    * expressions in graft.functions instead, per SURVEY §2.3.) */
+  def arrayHofOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val asD = transform($"embedding", x => x.cast(DoubleType))
+    Tables.embeddings(spark, sfDir)
+      .select(
+        $"vec_id",
+        size(filter(asD, v => v > lit(0.0))).as("n_pos"),
+        exists(asD, v => abs(v) > lit(0.25)).cast(IntegerType).as("has_big"),
+        forall(asD, v => abs(v) < lit(1.0)).cast(IntegerType).as("all_lt1"),
+        graft.Det.r4(aggregate(asD, lit(0.0), (acc, v) => acc + v * v,
+          acc => sqrt(acc))).as("l2_norm"))
+      .orderBy($"vec_id")
+  }
 }

@@ -238,4 +238,100 @@ object Modern {
         parse_url($"url", lit("QUERY"), lit("src")).as("q_src"))
       .orderBy($"doc_id")
   }
+
+  /** `url_canonicalize_dedup`: crawl-frontier URL canonicalization — the
+    * dedup step every web-corpus pipeline runs before fetch/store.
+    * Messy variants are BUILT from document attributes (mixed-case
+    * scheme+host, utm_* tracking params, a fragment), then canonicalized:
+    * scheme+host lowercased, utm params stripped, fragment dropped,
+    * dangling '?'/'&' repaired. Docs collide on the canonical form
+    * (path = doc_id mod 100), and the output is the canonical frontier:
+    * one row per canonical URL with its variant count and representative
+    * doc. Regexes stay in the Java∩RE2 dialect intersection (the
+    * text_pii_redact rule) so the oracle applies the SAME patterns.
+    * Pure projection + one hash agg: scales to any frontier size. */
+  def urlCanonicalizeDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = concat(
+      lit("HTTPS://CDN.Example.COM/doc/"), pmod($"doc_id", lit(100)).cast(StringType),
+      lit("?utm_source="), $"source", lit("&lang="), $"lang",
+      lit("&utm_campaign=c"), pmod($"doc_id", lit(7)).cast(StringType),
+      lit("#sec"), pmod($"doc_id", lit(5)).cast(StringType))
+    val noFragment = regexp_replace(raw, "#.*$", "")
+    val noUtm = regexp_replace(noFragment, "[?&]utm_[A-Za-z_]*=[^&#]*", "")
+    // stripping the FIRST query param leaves "...&lang=..." — promote the
+    // dangling '&' back to '?'
+    val fixedQ = regexp_replace(noUtm, "^([^?]*)&", "$1?")
+    val canonical = concat(
+      lower(regexp_extract(fixedQ, "^([A-Za-z]+://[^/]+)", 1)),
+      regexp_extract(fixedQ, "^[A-Za-z]+://[^/]+(.*)$", 1))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", canonical.as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_variants"), min($"doc_id").as("rep_doc"))
+      .orderBy($"canonical_url")
+  }
+
+  /** `xml_roundtrip`: XML (de)serialization — the third wire format next
+    * to JSON (R14/R15) and CSV: order rows serialized with `to_xml`,
+    * parsed back with `from_xml` under an EXPLICIT schema (never
+    * inference in the engine path, same rule as from_json), fields
+    * projected out. The oracle doesn't parse XML: it recomputes every
+    * output column directly from the source columns, so the gate proves
+    * the round trip is lossless — including the double totalprice
+    * (shortest-repr decimal serialization re-parses to the identical
+    * bits) and the date. Pure projection: codegen-friendly, no shuffle
+    * beyond the final declared-order sort. */
+  def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val xmlSchema = "status STRING, priority STRING, price DOUBLE, odate DATE"
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey",
+        to_xml(struct(
+          $"o_orderstatus".as("status"),
+          $"o_orderpriority".as("priority"),
+          $"o_totalprice".as("price"),
+          $"o_orderdate".cast(DateType).as("odate"))).as("xml"))
+      .select($"o_orderkey",
+        from_xml($"xml", StructType.fromDDL(xmlSchema)).as("p"))
+      .select($"o_orderkey",
+        $"p.status".as("status"), $"p.priority".as("priority"),
+        $"p.price".as("price"),
+        // dates never appear raw in outputs (house determinism rule):
+        // project to epoch days
+        unix_date($"p.odate").as("odate_day"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** `agg_approx_top_k`: mergeable top-k heavy hitters (Spark 4.1's
+    * Datasketches frequent-items family) run as the 100 TB two-phase
+    * shape: per-shard `approx_top_k_accumulate` partials → one
+    * `approx_top_k_combine` → `approx_top_k_estimate`, exploded and
+    * re-sorted under a total order. Per-shard state is a fixed-size
+    * sketch, so the pre-combine shuffle moves 8 sketches, not the token
+    * stream — the same partial/final layout a heavy-hitter pass over a
+    * petabyte corpus needs.
+    *
+    * Oracle-checkable because the sketch is EXACT whenever the tracked
+    * item capacity exceeds the distinct-item count (the corpus vocabulary
+    * is tiny — 31 tokens — versus maxItemsTracked=1024): counts then
+    * equal true counts and the explicit (cnt desc, token) re-sort makes
+    * the top-20 cut deterministic on both engines. The estimate is asked
+    * for every tracked item and the limit applied AFTER the re-sort, so
+    * sketch-internal tie ordering can't change the result set. */
+  def aggApproxTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(pmod($"doc_id", lit(8)).as("shard"),
+        explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"shard")
+      .agg(expr("approx_top_k_accumulate(token, 1024)").as("st"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 1024), 1024)")
+        .as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item".as("token"), $"e.count".as("cnt"))
+      .orderBy($"cnt".desc, $"token")
+      .limit(20)
+  }
 }

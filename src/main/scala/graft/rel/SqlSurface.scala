@@ -65,4 +65,24 @@ object SqlSurface {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10 OFFSET 20""".stripMargin)
   }
+
+  /** `sql_param_query`: parameterized SQL (named parameter markers,
+    * Spark 3.4+/4.x) over the catalog star schema — the injection-safe
+    * programmatic SQL surface a service layer uses instead of string
+    * interpolation. The parameters arrive as TYPED literals through the
+    * args map (`:minp` binds a double, `:status` a string), so Catalyst
+    * sees constants it folds and pushes down exactly like inline
+    * literals — the plan is identical to the hand-written query, and the
+    * price predicate still reaches the parquet scan. */
+  def paramQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM graft.orders
+        |WHERE o_totalprice > :minp AND o_orderstatus = :status
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("minp" -> 150000.0, "status" -> "F"))
+  }
 }

@@ -24,7 +24,12 @@ class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sf = SparkFixture.Sf
 
-  private val skip = Set("dedup_cluster_canonical") ++
+  // graph_pagerank: same iterative-construction shape as
+  // dedup_cluster_canonical (eager edge-cache counts inside; the
+  // returned frame is a materialized checkpoint) — its pair-graph build
+  // is audited via dedup_ngram_jaccard and its propagation via
+  // Round6OpsSpec's planted graphs.
+  private val skip = Set("dedup_cluster_canonical", "graph_pagerank") ++
     SparkEntry.queries.keys.filter(_.startsWith("cdc_stream_"))
 
   /** Queries that INTENTIONALLY broadcast a one-row (or dim-sized) frame

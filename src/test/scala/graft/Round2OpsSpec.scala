@@ -141,7 +141,10 @@ class Round2OpsSpec extends AnyFunSuite {
     val cosine = graft.llm.VectorOps.simTopkCosine(spark, sf)
       .queryExecution.executedPlan.toString
     assert(cosine.contains("vec_dot_f"), "FloatVecDot missing from cosine plan")
-    val jacc = graft.llm.TextOps.ngramJaccard(spark, sf)
+    // the verified pair set is now staged once per session behind a
+    // localCheckpoint (TextOps.ngramJaccardPairs), so assert the
+    // merge-scan verifier on the uncached pipeline
+    val jacc = graft.llm.TextOps.ngramJaccardPairsUncached(spark, sf)
       .queryExecution.executedPlan.toString
     assert(jacc.contains("sorted_intersect_count"), "merge-scan verifier missing from plan")
     // the shingle hashing now runs once BEHIND the pair pipeline's

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.GraphOps
+import graft.rel.{FuncSurface, Modern}
+
+/** Specs for the round-6 operator additions (SURVEY.md §2.2): XML wire
+  * format round trip, higher-order array lambdas, mergeable approx-top-k
+  * heavy hitters, and exact-arithmetic link-graph PageRank. */
+class Round6OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.Sf
+
+  test("xml_roundtrip reproduces every source column") {
+    val s = spark
+    import s.implicits._
+    val parsed = Modern.xmlRoundtrip(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    val src = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority", $"o_totalprice",
+        unix_date($"o_orderdate".cast("date")).as("d"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    assert(parsed == src, "XML round trip lost or altered a field")
+  }
+
+  test("array_hof_ops: partition counts, flags, and norm bounds hold") {
+    val rows = FuncSurface.arrayHofOps(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nPos, hasBig, allLt1, l2) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))
+      assert(nPos >= 0 && nPos <= 64)
+      assert(hasBig == 0 || hasBig == 1)
+      assert(allLt1 == 0 || allLt1 == 1)
+      assert(l2 >= 0.0)
+      // |x| > 0.25 somewhere forces l2 > 0.25
+      if (hasBig == 1) assert(l2 > 0.25 - 1e-4)
+    }
+  }
+
+  test("agg_approx_top_k equals the exact top-20 (capacity > vocabulary)") {
+    val s = spark
+    import s.implicits._
+    val sketch = Modern.aggApproxTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token").limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sketch == exact, "sketch top-20 diverged from exact counts")
+  }
+
+  test("graph_pagerank: 3-cycle (regular graph) gives identical ranks") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val ranks = GraphOps.pageRankOnPairs(spark, pairs).collect()
+    assert(ranks.length == 3)
+    assert(ranks.map(_.getLong(1)).distinct.length == 1,
+      "symmetric regular graph must give every node the same rank")
+    // fixpoint of r = 0.15/3 + 0.85*r at nano scale: r = 1/3 (integer floor)
+    val r = ranks.head.getLong(1)
+    assert(math.abs(r - 333333333L) <= 10, s"3-cycle rank drifted: $r")
+  }
+
+  test("graph_pagerank: star hub outranks leaves; positions are a permutation") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("doc_a", "doc_b")
+    val out = GraphOps.pageRankOnPairs(spark, pairs).collect()
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(l => byId(0L) > byId(l)), "hub must dominate leaves")
+    assert(out.map(_.getInt(2)).sorted.toSeq == (1 to 5).toSeq,
+      "pr_pos must be a 1..N permutation")
+    assert(byId(0L) == byId.values.max)
+  }
+
+  test("mm_patch_grid: patch lengths tile the payload exactly") {
+    val s = spark
+    import s.implicits._
+    val grid = graft.mm.MultiModal.patchGrid(spark, sf)
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_patches"), sum($"patch_len").as("len_sum"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val src = Tables.documents(spark, sf)
+      .select($"doc_id", length($"text").as("blen"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    src.foreach { case (id, blen) =>
+      val (np, lenSum) = grid(id)
+      assert(np == (blen + 15) / 16, s"doc $id: wrong patch count")
+      assert(lenSum == blen, s"doc $id: patch lengths don't tile the payload")
+    }
+  }
+
+  test("url_canonicalize_dedup: canonical forms are clean and cover all docs") {
+    val rows = Modern.urlCanonicalizeDedup(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val u = r.getString(0)
+      assert(u.startsWith("https://cdn.example.com/doc/"), s"host not canonical: $u")
+      assert(!u.contains("utm_") && !u.contains("#"), s"tracking residue: $u")
+      assert(!u.contains("?&") && !u.endsWith("&"), s"dangling separator: $u")
+    }
+    assert(rows.exists(_.getLong(1) > 1), "no canonical collisions — op is vacuous")
+  }
+
+  test("sql_param_query binding is identical to inline literals") {
+    val s = spark
+    import s.implicits._
+    val bound = graft.rel.SqlSurface.paramQuery(spark, sf).collect().map(_.toSeq).toSeq
+    val inline = Tables.orders(spark, sf)
+      .filter($"o_totalprice" > 150000.0 && $"o_orderstatus" === "F")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,4)")).cast("double").as("sum_price"))
+      .orderBy($"o_orderpriority").collect().map(_.toSeq).toSeq
+    assert(bound == inline)
+  }
+
+  test("cdc_stream_join_outer: inner part matches streamJoin, null rows below horizon") {
+    val s = spark
+    import s.implicits._
+    val outer = graft.cdc.StreamingLatest.streamJoinOuter(spark, sf).collect()
+    val inner = graft.cdc.StreamingLatest.streamJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val outerMatched = outer.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(outerMatched == inner, "outer join's matched part must equal the inner join")
+    // the finalized horizon: null rows only for purchases below
+    // min(max purchase ts, max click ts) - 1 h
+    val ev = Tables.events(spark, sf)
+    val maxP = ev.filter($"event_type" === "purchase").agg(max(unix_micros($"ts"))).first().getLong(0)
+    val maxC = ev.filter($"event_type" === "click").agg(max(unix_micros($"ts"))).first().getLong(0)
+    val horizon = math.min(maxP, maxC) - 3600000000L
+    val nullPurchases = outer.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    val purchaseTs = ev.filter($"event_type" === "purchase")
+      .select($"event_id", unix_micros($"ts")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nullPurchases.foreach { p =>
+      assert(purchaseTs(p) < horizon,
+        s"null row for purchase $p at ts ${purchaseTs(p)} ≥ horizon $horizon")
+    }
+    // and every finalized unmatched purchase DID get its null row
+    val unmatchedFinalized = purchaseTs.collect {
+      case (id, ts) if ts < horizon && !outerMatched.exists(_._1 == id) => id
+    }.toSet
+    assert(unmatchedFinalized == nullPurchases,
+      "finalized unmatched purchases must all surface as null rows")
+  }
+
+  test("graph_pagerank on the corpus is deterministic across runs") {
+    val a = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
+    val b = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
