@@ -31,6 +31,12 @@ object DevRound6 {
       println("[probe] sql_df_template OK: " +
         spark.sql("SELECT sum(n) AS s FROM {src}", Map("src" -> df)).collect().mkString(" "))
     } catch { case e: Throwable => println("[probe] sql_df_template FAIL: " + e.getMessage.take(160)) }
+    probe("xpath_funcs",
+      "SELECT xpath_string('<r><a>hi</a><b>7</b></r>', '/r/a'), xpath_int('<r><b>7</b></r>', '/r/b'), xpath('<r><x>1</x><x>2</x></r>', '/r/x/text()')")
+    probe("exists_in_select",
+      "SELECT a, EXISTS(SELECT 1 FROM (VALUES (1)) w(b) WHERE w.b = v.a) AS f FROM (VALUES (1),(2)) v(a)")
+    probe("try_agg_funcs",
+      "SELECT try_sum(x), try_avg(x), try_add(max(x), 1), try_multiply(max(x), 2) FROM VALUES (1.5),(2.5) t(x)")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
       import org.apache.spark.sql.functions._

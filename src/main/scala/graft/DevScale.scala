@@ -31,7 +31,12 @@ object DevScale {
     "cdc_latest_state", "cdc_sessionize", "cdc_merge_upsert",
     "dedup_exact_hash", "text_tokenize_counts", "text_tfidf",
     "text_quality_score", "sample_split_assign", "sim_topk_cosine",
-    "vec_label_centroids")
+    "vec_label_centroids",
+    // round 6: generate-heavy multimodal, regex+agg frontier dedup, and
+    // the two-phase sketch (graph_pagerank stays excluded — replicated
+    // text makes its pair graph quadratic by fixture artifact, the same
+    // reason the near-dup miners are excluded)
+    "mm_patch_grid", "url_canonicalize_dedup", "agg_approx_top_k")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

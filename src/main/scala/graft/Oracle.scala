@@ -1524,6 +1524,38 @@ $iters
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM orders
          WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
-         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "cdc_stream_stateful_tws" -> latestStateSql,
+
+    "xml_xpath_extract" ->
+      // no XPath on the oracle side: every output recomputed from the
+      // source columns (the xml_roundtrip argument), including the
+      // repeated-element count and join
+      """SELECT doc_id, lang AS x_lang,
+                CAST(n_chars AS INTEGER) AS x_n,
+                CAST(least(3, len(string_split(text, ' '))) AS INTEGER) AS n_tok_elems,
+                array_to_string((string_split(text, ' '))[1:3], '|') AS toks_joined
+         FROM documents ORDER BY doc_id""",
+
+    "subquery_exists_select" ->
+      """SELECT c_custkey, c_mktsegment,
+                CAST(EXISTS(SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT') AS INTEGER) AS has_urgent,
+                CAST(c_nationkey IN (SELECT n_nationkey FROM nation
+                                     WHERE n_regionkey = 1) AS INTEGER) AS in_region1
+         FROM customer c
+         ORDER BY c_custkey""",
+
+    "agg_try_arith" ->
+      // try_* ≡ plain arithmetic on clean in-range data — the gate
+      // asserts exactly that equivalence
+      """SELECT l_returnflag,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS try_sum_price,
+                round(CAST(avg(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS try_avg_price,
+                CAST(max(l_quantity) AS BIGINT) + 1 AS try_add_maxq,
+                count(*) * 2 AS try_double_count
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

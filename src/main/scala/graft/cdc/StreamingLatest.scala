@@ -515,6 +515,91 @@ object StreamingLatest {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(
       streamStateful(spark, sfDir))
 
+  /** Latest-wins as a Spark 4 state-API-v2 [[StatefulProcessor]]: one
+    * typed ValueState per key, same (ts_us, event_id) winner rule as
+    * [[updateKey]], new latest emitted on change (update-mode shape). */
+  private[graft] class LatestWinsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, LatestRow] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var latest: ValueState[LatestRow] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[LatestRow]("latest",
+        org.apache.spark.sql.Encoders.product[LatestRow], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[LatestRow] = {
+      var best = if (latest.exists()) latest.get() else null
+      var changed = false
+      rows.foreach { e =>
+        val us = tsMicros(e.ts)
+        if (best == null || us > best.last_ts_us ||
+            (us == best.last_ts_us && e.event_id > best.last_event_id)) {
+          best = LatestRow(key, e.event_id, e.event_type, e.value, us)
+          changed = true
+        }
+      }
+      if (changed) { latest.update(best); Iterator.single(best) } else Iterator.empty
+    }
+  }
+
+  /** `cdc_stream_stateful_tws`: [[streamStateful]] re-expressed on the
+    * Spark 4 arbitrary-state API v2 (`transformWithState`) — the
+    * successor to flatMapGroupsWithState a new 100 TB deployment would
+    * write against: typed named state slots (value/list/map per key),
+    * TTL-capable, RocksDB-backed by design (the API refuses the on-heap
+    * provider, because state API v2 deployments are exactly the ones
+    * whose keyed state outgrows the heap). Identical winner rule,
+    * identical result: shares the batch `cdc_latest_state` oracle, so
+    * the gate proves the state API generation is an implementation
+    * detail, not a semantics change. */
+  def streamStatefulTws(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(
+      withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
+        import spark.implicits._
+        val runDir = jvmTmpDir("runtws")
+        val inDir   = stagedEventLog(spark, sfDir)
+        val outDir  = s"$runDir/out"
+        val ckptDir = s"$runDir/ckpt"
+        val schema = graft.Tables.events(spark, sfDir)
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value").schema
+
+        val updates = spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+          .withWatermark("ts", "1 hour")
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new LatestWinsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+
+        val q = updates.writeStream
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[LatestRow], _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.awaitTermination()
+
+        def rmTree(p: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(p)) Files.list(p).forEach(rmTree(_))
+          Files.deleteIfExists(p)
+        }
+        rmTree(Paths.get(ckptDir))
+
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"last_ts_us".desc, $"last_event_id".desc)
+        spark.read.parquet(outDir)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"last_event_id", $"last_event_type",
+            round($"last_value", 4).as("last_value"), $"last_ts_us")
+          .orderBy($"user_id")
+      } })
+
   def streamStateful(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
     import spark.implicits._
     val runDir = jvmTmpDir("run")

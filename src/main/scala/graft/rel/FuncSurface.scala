@@ -311,6 +311,28 @@ object FuncSurface {
       .orderBy($"vec_id")
   }
 
+  /** `agg_try_arith`: the error-safe arithmetic family (ANSI-mode
+    * insurance): try_sum/try_avg aggregates plus try_add/try_multiply
+    * scalars over lineitem money columns. On clean in-range data every
+    * try_* is value-identical to its plain counterpart — which is
+    * exactly what the oracle twin asserts (the plain expressions with
+    * the same DECIMAL casts); under real overflow they return NULL
+    * instead of failing the 100 TB job five hours in. Completes the
+    * family started by cond_null_funcs' try_divide. */
+  def aggTryArith(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(try_sum($"l_extendedprice".cast(DecimalType(18, 4))).cast(DoubleType), 4)
+          .as("try_sum_price"),
+        round(try_avg($"l_extendedprice".cast(DecimalType(18, 4))).cast(DoubleType), 4)
+          .as("try_avg_price"),
+        try_add(max($"l_quantity").cast(LongType), lit(1L)).as("try_add_maxq"),
+        try_multiply(count(lit(1)), lit(2L)).as("try_double_count"))
+      .orderBy($"l_returnflag")
+  }
+
   /** `array_hof_ops`: the higher-order lambda family over the embedding
     * column — `filter` (positive-count), `exists`/`forall` (predicate
     * folds), and three-arg `aggregate` with a finish lambda (L2 norm in

@@ -303,6 +303,31 @@ object Modern {
       .orderBy($"o_orderkey")
   }
 
+  /** `xml_xpath_extract`: XPath extraction over XML documents — the
+    * query-side complement of xml_roundtrip's (de)serialization: scalar
+    * paths (`xpath_string`/`xpath_int`) plus a repeated-element path
+    * (`xpath(...)` returning the node list, counted and joined). The
+    * documents are BUILT from doc attributes (corpus tokens are
+    * alphanumeric, so no XML escaping hazard), and the oracle recomputes
+    * every output from the source columns — proving XPath inverts the
+    * construction, including multiplicity of the repeated <tok> nodes. */
+  def xmlXpathExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val xmlCol = concat(
+      lit("<doc><lang>"), $"lang", lit("</lang><n>"), $"n_chars", lit("</n>"),
+      concat_ws("", transform(slice(split($"text", " "), 1, 3),
+        t => concat(lit("<tok>"), t, lit("</tok>")))),
+      lit("</doc>"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", xmlCol.as("xml"))
+      .select($"doc_id",
+        expr("xpath_string(xml, '/doc/lang')").as("x_lang"),
+        expr("xpath_int(xml, '/doc/n')").as("x_n"),
+        size(expr("xpath(xml, '/doc/tok/text()')")).as("n_tok_elems"),
+        array_join(expr("xpath(xml, '/doc/tok/text()')"), "|").as("toks_joined"))
+      .orderBy($"doc_id")
+  }
+
   /** `agg_approx_top_k`: mergeable top-k heavy hitters (Spark 4.1's
     * Datasketches frequent-items family) run as the 100 TB two-phase
     * shape: per-shard `approx_top_k_accumulate` partials → one

@@ -85,4 +85,24 @@ object SqlSurface {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       Map("minp" -> 150000.0, "status" -> "F"))
   }
+
+  /** `subquery_exists_select`: EXISTS and IN as boolean PROJECTIONS
+    * (not WHERE predicates) — per customer, an urgent-order flag and a
+    * region-membership flag. Catalyst plans these as ExistenceJoin, a
+    * physical join type none of the semi/anti queries exercise: the
+    * probe keeps every row and gains a bit instead of filtering. Both
+    * flags cast to INT so the cross-engine hash is type-stable. At
+    * scale: two hash joins on the key columns, no row explosion. */
+  def existsSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(EXISTS(SELECT 1 FROM graft.orders o
+        |                   WHERE o.o_custkey = c.c_custkey
+        |                     AND o.o_orderpriority = '1-URGENT') AS INT) AS has_urgent,
+        |       CAST(c_nationkey IN (SELECT n_nationkey FROM graft.nation
+        |                            WHERE n_regionkey = 1) AS INT) AS in_region1
+        |FROM graft.customer c
+        |ORDER BY c_custkey""".stripMargin)
+  }
 }

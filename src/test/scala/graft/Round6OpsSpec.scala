@@ -156,6 +156,57 @@ class Round6OpsSpec extends AnyFunSuite {
       "finalized unmatched purchases must all surface as null rows")
   }
 
+  test("cdc_stream_stateful_tws (state API v2) equals batch cdc_latest_state") {
+    val tws = graft.cdc.StreamingLatest.streamStatefulTws(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.cdc.Changelog.latestState(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(tws == batch, "transformWithState result diverged from batch latest-wins")
+  }
+
+  test("xml_xpath_extract inverts the construction, incl. repeated elements") {
+    val s = spark
+    import s.implicits._
+    val got = Modern.xmlXpathExtract(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    val want = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"n_chars".cast("int"),
+        least(lit(3), size(split($"text", " "))).cast("int"),
+        array_join(slice(split($"text", " "), 1, 3), "|"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got == want)
+  }
+
+  test("subquery_exists_select flags agree with the semi-join counts") {
+    val s = spark
+    import s.implicits._
+    val rows = graft.rel.SqlSurface.existsSelect(spark, sf).collect()
+    assert(rows.length == Tables.customer(spark, sf).count())
+    val urgentCustomers = Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert((r.getInt(2) == 1) == urgentCustomers(r.getLong(0)),
+        s"has_urgent wrong for customer ${r.getLong(0)}")
+    }
+  }
+
+  test("agg_try_arith equals the plain arithmetic on in-range data") {
+    val s = spark
+    import s.implicits._
+    val tried = graft.rel.FuncSurface.aggTryArith(spark, sf).collect().map(_.toSeq).toSeq
+    val plain = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(sum($"l_extendedprice".cast("decimal(18,4)")).cast("double"), 4),
+        round(avg($"l_extendedprice".cast("decimal(18,4)")).cast("double"), 4),
+        (max($"l_quantity").cast("long") + 1L),
+        (count(lit(1)) * 2L))
+      .orderBy($"l_returnflag").collect().map(_.toSeq).toSeq
+    assert(tried == plain)
+  }
+
   test("graph_pagerank on the corpus is deterministic across runs") {
     val a = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
     val b = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
