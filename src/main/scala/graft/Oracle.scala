@@ -1496,6 +1496,23 @@ $iters
               unnest(range(CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT))) AS t(i)
          ORDER BY media_id, patch_row, patch_col""",
 
+    "mm_audio_window" ->
+      // exact integer byte sums (ASCII fixture: ascii == byte value);
+      // only the mean is rounded — identical-IEEE HALF_UP both sides
+      """WITH w AS (
+           SELECT doc_id AS media_id, i AS win_idx,
+                  substring(text, CAST(i * 32 + 1 AS INTEGER), 64) AS win
+           FROM documents,
+                unnest(range(CAST(greatest(floor((octet_length(encode(text)) - 64) / 32.0) + 1, 1) AS BIGINT))) AS t(i))
+         SELECT media_id, CAST(win_idx AS INTEGER) AS win_idx,
+                CAST(length(win) AS INTEGER) AS win_len,
+                CAST(list_aggregate(list_transform(range(length(win)),
+                    i -> ascii(substring(win, CAST(i + 1 AS INTEGER), 1))), 'sum') AS BIGINT) AS byte_sum,
+                floor((CAST(list_aggregate(list_transform(range(length(win)),
+                    i -> ascii(substring(win, CAST(i + 1 AS INTEGER), 1))), 'sum') AS DOUBLE)
+                  / length(win)) * 10000.0 + 0.5) / 10000.0 AS byte_mean
+         FROM w ORDER BY media_id, win_idx""",
+
     "url_canonicalize_dedup" ->
       """WITH u AS (SELECT doc_id,
              'HTTPS://CDN.Example.COM/doc/' || CAST(doc_id % 100 AS VARCHAR)
@@ -1528,6 +1545,12 @@ $iters
 
     "cdc_stream_stateful_tws" -> latestStateSql,
 
+    "cdc_stream_update_counts" ->
+      // update mode's final emission per group = the full-log aggregate
+      """SELECT event_type, count(*) AS n_events,
+                round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "xml_xpath_extract" ->
       // no XPath on the oracle side: every output recomputed from the
       // source columns (the xml_roundtrip argument), including the
@@ -1547,6 +1570,20 @@ $iters
                                      WHERE n_regionkey = 1) AS INTEGER) AS in_region1
          FROM customer c
          ORDER BY c_custkey""",
+
+    "array_edit_ops" ->
+      // array_position: Spark returns 0 when missing, DuckDB NULL →
+      // coalesce; intersect count = membership filter on the distinct
+      // set (the Spark∩DuckDB semantics intersection)
+      """SELECT doc_id,
+                CAST(len(flatten([ (string_split(text,' '))[1:2],
+                                   (string_split(text,' '))[3:4] ])) AS INTEGER) AS n_flat,
+                CAST(len(list_filter(string_split(text,' '), t -> t != 'the')) AS INTEGER) AS n_no_the,
+                CAST(coalesce(list_position(string_split(text,' '), 'the'), 0) AS BIGINT) AS pos_the,
+                lang || ',' || lang || ',' || lang AS lang3,
+                CAST(len(list_filter(list_distinct(string_split(text,' ')),
+                    t -> t IN ('the','a','of','and','is'))) AS INTEGER) AS n_stop_distinct
+         FROM documents ORDER BY doc_id""",
 
     "agg_try_arith" ->
       // try_* ≡ plain arithmetic on clean in-range data — the gate

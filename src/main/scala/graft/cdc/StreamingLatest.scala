@@ -515,6 +515,60 @@ object StreamingLatest {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(
       streamStateful(spark, sfDir))
 
+  /** `cdc_stream_update_counts`: UPDATE-mode streaming aggregation —
+    * the one output mode the suite didn't yet exercise (complete:
+    * streamWindowed; append: sessionize/dedup/joins; update so far only
+    * via flatMapGroupsWithState). A windowless per-type count re-emits
+    * each CHANGED group per micro-batch; the sink keeps every emission
+    * and the final row per group is the total — which is why this query
+    * shares exact batch-count semantics: the last update for a group
+    * equals the full-log aggregate. At 100 TB this is the live-dashboard
+    * shape: bounded state (one row per group), bounded emission
+    * (changed groups only), no watermark needed. */
+  def streamUpdateCounts(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
+    import spark.implicits._
+    val runDir = jvmTmpDir("runuc")
+    val inDir   = stagedEventLog(spark, sfDir)
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").schema
+
+    val counts = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,6)")).as("sum_value_dec"))
+
+    val q = counts.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(ckptDir))
+
+    // final emission per group = the total over the whole log
+    val w = Window.partitionBy($"event_type").orderBy($"batch_id".desc)
+    spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_type", $"n_events",
+        round($"sum_value_dec".cast("double"), 4).as("sum_value"))
+      .orderBy($"event_type")
+  } }
+
   /** Latest-wins as a Spark 4 state-API-v2 [[StatefulProcessor]]: one
     * typed ValueState per key, same (ts_us, event_id) winner rule as
     * [[updateKey]], new latest emitted on change (update-mode shape). */

@@ -165,6 +165,8 @@ object MultiModal {
 
   val PatchBytes = 16
   val GridW = 8
+  val AudioWin = 64
+  val AudioStride = 32
 
   /** `mm_patch_grid`: ViT-style patchification without decode — the
     * payload split into fixed 16-byte patches laid out row-major on an
@@ -176,6 +178,38 @@ object MultiModal {
     * sliced bytes only — the scan never materializes the full payload
     * twice. Oracle-checked: positions/lengths are pure byte arithmetic
     * and md5 over an ASCII slice is engine-independent. */
+  /** `mm_audio_window`: sliding-window energy features over opaque
+    * payloads — the audio-analysis shape (per-frame RMS proxy) without a
+    * codec: 64-byte windows at stride 32 (50 % overlap, the standard
+    * STFT framing), per window the SUM and MEAN of code-unit values.
+    * Integer byte sums are exact on any engine (the fixture is ASCII, so
+    * char codes == byte values and the DuckDB twin can mirror with
+    * `ascii`); only the mean is rounded. A real feature extractor swaps
+    * the per-window lambda for a DFT — framing, generate, and overlap
+    * arithmetic identical. */
+  def audioWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val blen = length($"text")
+    val nWin = greatest(
+      (floor((blen - AudioWin).cast(DoubleType) / AudioStride) + 1).cast(IntegerType),
+      lit(1))
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id".as("media_id"), $"text", nWin.as("nw"))
+      .select($"media_id", $"text",
+        explode(sequence(lit(0), $"nw" - 1)).as("w"))
+      .select($"media_id", $"w".as("win_idx"),
+        $"text".substr($"w" * AudioStride + 1, lit(AudioWin)).as("win"))
+      .select($"media_id", $"win_idx",
+        length($"win").as("win_len"),
+        aggregate(
+          transform(sequence(lit(1), length($"win")),
+            i => ascii($"win".substr(i, lit(1))).cast(LongType)),
+          lit(0L), (acc, v) => acc + v).as("byte_sum"))
+      .withColumn("byte_mean",
+        graft.Det.r4($"byte_sum".cast(DoubleType) / $"win_len"))
+      .orderBy($"media_id", $"win_idx")
+  }
+
   def patchGrid(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nPatches = ceil(length($"payload") / lit(PatchBytes.toDouble)).cast("int")

@@ -311,6 +311,30 @@ object FuncSurface {
       .orderBy($"vec_id")
   }
 
+  /** `array_edit_ops`: the array EDITING family on token arrays —
+    * flatten (nested→flat), element removal, position lookup,
+    * replication, and set-intersection against a constant stopword
+    * array. Twins chosen for the Spark∩DuckDB semantics intersection:
+    * array_position's 0-for-missing maps to coalesce(list_position, 0),
+    * and the intersect count is expressed as a membership filter on the
+    * distinct set (identical semantics, no engine-specific list_intersect
+    * ordering). All pure projections — codegen row-at-a-time, no
+    * shuffle before the declared-order sort. */
+  def arrayEditOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val stop = array(lit("the"), lit("a"), lit("of"), lit("and"), lit("is"))
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        size(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2)))).as("n_flat"),
+        size(array_remove(toks, "the")).as("n_no_the"),
+        array_position(toks, "the").as("pos_the"),
+        concat_ws(",", array_repeat($"lang", 3)).as("lang3"),
+        size(array_intersect(array_distinct(toks), stop)).as("n_stop_distinct"))
+      .orderBy($"doc_id")
+  }
+
   /** `agg_try_arith`: the error-safe arithmetic family (ANSI-mode
     * insurance): try_sum/try_avg aggregates plus try_add/try_multiply
     * scalars over lineitem money columns. On clean in-range data every

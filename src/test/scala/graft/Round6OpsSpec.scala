@@ -207,6 +207,53 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(tried == plain)
   }
 
+  test("cdc_stream_update_counts final emissions equal the batch aggregate") {
+    val s = spark
+    import s.implicits._
+    val streamed = graft.cdc.StreamingLatest.streamUpdateCounts(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+      .orderBy($"event_type").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("mm_audio_window: overlap framing and byte sums are exact") {
+    val s = spark
+    import s.implicits._
+    val rows = graft.mm.MultiModal.audioWindows(spark, sf)
+      .filter($"media_id" === 0L).collect()
+    val text = Tables.documents(spark, sf).filter($"doc_id" === 0L)
+      .select($"text").first().getString(0)
+    val expWins = math.max((text.length - 64) / 32 + 1, 1)
+    assert(rows.length == expWins, s"expected $expWins windows, got ${rows.length}")
+    rows.foreach { r =>
+      val (idx, len, sum) = (r.getInt(1), r.getInt(2), r.getLong(3))
+      val slice = text.slice(idx * 32, idx * 32 + 64)
+      assert(len == slice.length)
+      assert(sum == slice.map(_.toLong).sum, s"window $idx byte sum mismatch")
+    }
+  }
+
+  test("array_edit_ops: edit arithmetic consistent with raw token arrays") {
+    val s = spark
+    import s.implicits._
+    val rows = graft.rel.FuncSurface.arrayEditOps(spark, sf).collect()
+    val toks = Tables.documents(spark, sf).select($"doc_id", split($"text", " "))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { r =>
+      val t = toks(r.getLong(0))
+      assert(r.getInt(1) == math.min(4, math.max(t.length, 0)) ||
+        r.getInt(1) == (t.slice(0, 2) ++ t.slice(2, 4)).length)
+      assert(r.getInt(2) == t.count(_ != "the"))
+      assert(r.getLong(3) == (t.indexOf("the") + 1).toLong)
+      assert(r.getString(4).split(",").length == 3)
+      assert(r.getInt(5) == t.distinct.count(Set("the", "a", "of", "and", "is")))
+    }
+  }
+
   test("graph_pagerank on the corpus is deterministic across runs") {
     val a = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
     val b = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
