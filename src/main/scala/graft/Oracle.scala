@@ -244,6 +244,14 @@ $iters
          WHERE c_mktsegment = 'BUILDING'
          ORDER BY o_orderkey""",
 
+    // same oracle, different physical strategy (SHUFFLE_HASH hint) — the
+    // gate proves a join strategy hint cannot change results
+    "join_hash_hint" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         ORDER BY o_orderkey""",
+
     "join_5way_revenue" ->
       """SELECT n_name,
                 round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue

@@ -87,6 +87,25 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** `join_hash_hint`: [[joinBroadcast]]'s exact query under a forced
+    * SHUFFLE_HASH strategy hint — the hint surface a tuner reaches for
+    * when the optimizer's estimate is wrong in the OTHER direction (a
+    * "small" side that isn't: broadcasting 100 GB OOMs the executors;
+    * shuffle-hash keeps the partitioned build local). Shares
+    * join_broadcast's oracle: the gate proves a join STRATEGY hint can
+    * never change results, only the physical plan — which PlanAuditSpec
+    * pins to ShuffledHashJoin. */
+  def joinHashHint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_name")
+    Tables.orders(spark, sfDir)
+      .join(c.hint("SHUFFLE_HASH"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_custkey", $"c_name", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   /** `join_5way_revenue`: TPC-H Q5 shape — region⋈nation⋈customer⋈orders⋈
     * lineitem, revenue per nation in ASIA for orders in 1996. Dimension
     * chain is broadcast; the orders⋈lineitem equi-join is left to AQE. */

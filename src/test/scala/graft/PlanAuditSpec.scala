@@ -79,6 +79,17 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("join strategy hints are honored: SHUFFLE_HASH plans a ShuffledHashJoin") {
+    val hinted = SparkEntry.queries("join_hash_hint")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(hinted.contains("ShuffledHashJoin"),
+      "SHUFFLE_HASH hint ignored — expected a ShuffledHashJoin build")
+    val auto = SparkEntry.queries("join_broadcast")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(auto.contains("BroadcastHashJoin"),
+      "un-hinted twin should broadcast the filtered dim side")
+  }
+
   test("the one intentional cartesian stays broadcast, never a shuffle cartesian") {
     val plan = SparkEntry.queries("join_cross_dims")(spark, sf)
       .queryExecution.executedPlan.toString

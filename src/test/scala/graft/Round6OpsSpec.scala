@@ -254,6 +254,28 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("join_hash_hint result is identical to the broadcast twin") {
+    val hinted = graft.rel.Relational.joinHashHint(spark, sf).collect().map(_.toSeq).toSeq
+    val bcast = graft.rel.Relational.joinBroadcast(spark, sf).collect().map(_.toSeq).toSeq
+    assert(hinted == bcast, "a join strategy hint must never change results")
+  }
+
+  test("observe() metrics piggyback on a query action (free pipeline QA counters)") {
+    val s = spark
+    import s.implicits._
+    val obs = new org.apache.spark.sql.Observation("qa")
+    val orders = Tables.orders(spark, sf)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum($"o_totalprice".cast("decimal(18,4)")).as("price_total"))
+    orders.filter($"o_orderstatus" === "F").count() // any action drains the metrics
+    val got = obs.get
+    val expRows = Tables.orders(spark, sf).count()
+    val expTotal = Tables.orders(spark, sf)
+      .agg(sum($"o_totalprice".cast("decimal(18,4)"))).first().getDecimal(0)
+    assert(got("n_rows") == expRows, "observed row count wrong")
+    assert(got("price_total") == expTotal, "observed sum wrong")
+  }
+
   test("graph_pagerank on the corpus is deterministic across runs") {
     val a = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
     val b = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
