@@ -144,6 +144,14 @@ $iters
                 epoch_us(ts) AS ts_us
          FROM events ORDER BY event_id""",
 
+    "cdc_envelope_evolution" ->
+      // absent-field → NULL under the evolved read schema; the oracle
+      // recomputes expected nulls from the producer-generation split
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN event_id % 2 = 1 THEN value END AS value,
+                CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS schema_gen
+         FROM events ORDER BY event_id""",
+
     "join_asof_attribution" ->
       """SELECT event_id AS purchase_event_id, user_id, click_event_id,
                 epoch_us(ts) - click_ts_us AS gap_us
@@ -1578,6 +1586,14 @@ $iters
                                      WHERE n_regionkey = 1) AS INTEGER) AS in_region1
          FROM customer c
          ORDER BY c_custkey""",
+
+    "source_orc_roundtrip" ->
+      // the oracle aggregates the ORIGINAL parquet — a hash match proves
+      // the ORC write/read cycle lost nothing
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "array_edit_ops" ->
       // array_position: Spark returns 0 when missing, DuckDB NULL →

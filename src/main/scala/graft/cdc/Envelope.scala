@@ -155,4 +155,35 @@ object Envelope {
         $"topic", $"offset")
       .orderBy($"offset")
   }
+
+  /** `cdc_envelope_evolution`: schema evolution across producer
+    * generations — the contract every long-lived CDC topic eventually
+    * tests: a v2 connector adds a column, and the consumer must read the
+    * MIXED stream (old records without the field, new records with it)
+    * under the latest schema, with absent-field → NULL. Modeled by
+    * serializing even-id events with the v1 payload schema and odd-id
+    * events with v2 (adds `value`), then parsing ALL records with the v2
+    * read schema (`from_json` is explicit — schema-on-read, never
+    * inference). The oracle recomputes the expected nulls directly from
+    * the split rule, so the gate proves the missing-field semantics.
+    * Pure projection both ways; the evolved schema costs nothing at any
+    * scale. */
+  def envelopeEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val v1 = ev.filter($"event_id" % 2 === 0)
+      .select(to_json(struct($"event_id", $"user_id",
+        unix_micros($"ts").as("ts_us"))).as("j"))
+    val v2 = ev.filter($"event_id" % 2 === 1)
+      .select(to_json(struct($"event_id", $"user_id",
+        unix_micros($"ts").as("ts_us"), $"value")).as("j"))
+    val readSchema = StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE")
+    v1.union(v2)
+      .select(from_json($"j", readSchema).as("p"))
+      .select($"p.event_id", $"p.user_id", $"p.ts_us", $"p.value",
+        when($"p.event_id" % 2 === 0, 1).otherwise(2)
+          .cast("int").as("schema_gen"))
+      .orderBy($"p.event_id")
+  }
 }

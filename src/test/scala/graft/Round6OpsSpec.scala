@@ -276,6 +276,32 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(got("price_total") == expTotal, "observed sum wrong")
   }
 
+  test("cdc_envelope_evolution: v1 rows read NULL value, v2 rows keep it") {
+    val s = spark
+    import s.implicits._
+    val rows = graft.cdc.Envelope.envelopeEvolution(spark, sf).collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val (id, gen) = (r.getLong(0), r.getInt(4))
+      assert(gen == (if (id % 2 == 0) 1 else 2))
+      if (gen == 1) assert(r.isNullAt(3), s"v1 record $id must read NULL value")
+      else assert(!r.isNullAt(3), s"v2 record $id lost its value")
+    }
+  }
+
+  test("source_orc_roundtrip matches the parquet-side aggregate") {
+    val s = spark
+    import s.implicits._
+    val viaOrc = graft.rel.Formats.orcRoundtrip(spark, sf).collect().map(_.toSeq).toSeq
+    val direct = Tables.orders(spark, sf)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4).as("sum_price"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(viaOrc == direct, "ORC round trip altered the data")
+  }
+
   test("graph_pagerank on the corpus is deterministic across runs") {
     val a = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
     val b = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
