@@ -1587,6 +1587,17 @@ $iters
          FROM customer c
          ORDER BY c_custkey""",
 
+    "window_range_interval" ->
+      // RANGE peers (exact-ts ties) share a frame on both engines, so no
+      // tie order is needed; decimal sums follow the tumbling pattern
+      """SELECT event_id, user_id,
+                count(*) OVER w AS n_last_hour,
+                round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 4) AS sum_last_hour
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
     "source_orc_roundtrip" ->
       // the oracle aggregates the ORIGINAL parquet — a hash match proves
       // the ORC write/read cycle lost nothing

@@ -303,6 +303,30 @@ object Modern {
       .orderBy($"o_orderkey")
   }
 
+  /** `window_range_interval`: TIME-based RANGE frame — per event, the
+    * count and value sum of the same user's events in the PRECEDING
+    * HOUR (frame = `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    * ROW` over the event-time order). The interval frame is the one
+    * window feature the integer-offset window_range_days can't express:
+    * the boundary is a timestamp subtraction, not a row or integer
+    * offset, and peers (exact-ts ties) share a frame on both engines by
+    * RANGE semantics — so the result is deterministic without a tie
+    * order. This is also the batch twin of the streaming interval join's
+    * state window. Decimal value sums use the tumbling-window pattern
+    * (DECIMAL(18,6) → DOUBLE → round 4). */
+  def windowRangeInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frame = "OVER (PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .select($"event_id", $"user_id",
+        expr(s"count(*) $frame").as("n_last_hour"),
+        expr(s"round(CAST(sum(CAST(value AS DECIMAL(18,6))) $frame AS DOUBLE), 4)")
+          .as("sum_last_hour"))
+      .orderBy($"event_id")
+  }
+
   /** `xml_xpath_extract`: XPath extraction over XML documents — the
     * query-side complement of xml_roundtrip's (de)serialization: scalar
     * paths (`xpath_string`/`xpath_int`) plus a repeated-element path

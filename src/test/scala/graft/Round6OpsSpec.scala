@@ -302,6 +302,25 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(viaOrc == direct, "ORC round trip altered the data")
   }
 
+  test("window_range_interval: hour frame brackets the running count") {
+    val s = spark
+    import s.implicits._
+    val rows = Modern.windowRangeInterval(spark, sf).collect()
+    // frame includes the current row and only same-user events
+    rows.foreach(r => assert(r.getLong(2) >= 1))
+    // spot-check one user against a hand computation
+    val u = rows.head.getLong(1)
+    val evs = Tables.events(spark, sf).filter($"user_id" === u)
+      .select($"event_id", unix_micros($"ts")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_.getLong(1) == u).foreach { r =>
+      val t = evs(r.getLong(0))
+      val exp = evs.values.count(v => v >= t - 3600000000L && v <= t)
+      assert(r.getLong(2) == exp,
+        s"event ${r.getLong(0)}: frame count ${r.getLong(2)} != $exp")
+    }
+  }
+
   test("graph_pagerank on the corpus is deterministic across runs") {
     val a = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
     val b = GraphOps.pageRank(spark, sf).collect().map(_.toSeq).toSeq
