@@ -93,10 +93,15 @@ object TextOps {
     * localCheckpoint per key (bounded: one per scale dir per session;
     * blocks are reclaimed by the ContextCleaner when the session dies). */
   private[graft] def ngramJaccardPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5): DataFrame = {
+    // bound the cache for long-lived multi-session JVMs: entries keyed by
+    // dead sessions would otherwise pin checkpoint blocks until exit.
+    // Clearing is safe — a dropped live entry is just recomputed.
+    if (pairsCache.size > 16) pairsCache.clear()
     pairsCache.computeIfAbsent(
       s"${System.identityHashCode(spark)}|$sfDir|$threshold",
       _ => ngramJaccardPairsUncached(spark, sfDir, threshold).localCheckpoint(true))
+  }
 
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

@@ -29,6 +29,10 @@ object Formats {
     * consumers pay only the read. */
   def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // same bounded-growth guard as TextOps.pairsCache: staged dirs for
+    // dead sessions must not accumulate in a long-lived JVM (the temp
+    // dirs themselves are OS-reclaimed; this caps the map)
+    if (stagedOrc.size > 16) stagedOrc.clear()
     val dir = stagedOrc.computeIfAbsent(
       s"${System.identityHashCode(spark)}|$sfDir",
       _ => {
