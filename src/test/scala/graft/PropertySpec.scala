@@ -178,6 +178,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: PageRank mass and floor bounds hold on random undirected graphs") {
+    val s = spark
+    import s.implicits._
+    val graphGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(12, for {
+        a <- Gen.choose(0L, 7L)
+        b <- Gen.choose(0L, 7L) if a != b
+      } yield if (a < b) (a, b) else (b, a)).map(_.distinct)
+    samples(graphGen, 4).filter(_.nonEmpty).foreach { pairs =>
+      val ranks = graft.llm.GraphOps.pageRankOnPairs(spark, pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = ranks.size
+      val base = 150000000L / n
+      // every node keeps at least its teleport share
+      ranks.values.foreach(r => assert(r >= base, s"rank $r below base $base"))
+      // total mass can't exceed the initial 1e9 (integer floors only lose)
+      assert(ranks.values.sum <= 1000000000L + n,
+        s"mass ${ranks.values.sum} exceeds the invariant bound")
+      // positions are a permutation of 1..n (checked via the declared query shape elsewhere)
+      assert(ranks.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    }
+  }
+
+  test("property: URL canonicalization is idempotent (round-6 url_canonicalize_dedup)") {
+    val s = spark
+    import s.implicits._
+    // re-apply the SAME canonicalization transforms to the canonical
+    // output: a fixpoint means no tracking residue survives one pass
+    val once = graft.rel.Modern.urlCanonicalizeDedup(spark, SparkFixture.Sf)
+      .select($"canonical_url")
+    val again = once.select(
+      concat(
+        lower(regexp_extract(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace($"canonical_url", "#.*$", ""),
+              "[?&]utm_[A-Za-z_]*=[^&#]*", ""),
+            "^([^?]*)&", "$1?"),
+          "^([A-Za-z]+://[^/]+)", 1)),
+        regexp_extract(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace($"canonical_url", "#.*$", ""),
+              "[?&]utm_[A-Za-z_]*=[^&#]*", ""),
+            "^([^?]*)&", "$1?"),
+          "^[A-Za-z]+://[^/]+(.*)$", 1)).as("twice"))
+    val diff = once.collect().map(_.getString(0)).sorted
+      .zip(again.collect().map(_.getString(0)).sorted)
+      .filter { case (a, b) => a != b }
+    assert(diff.isEmpty, s"canonicalization not idempotent: ${diff.take(3)}")
+  }
+
   test("property: Connect schema generator covers every field of arbitrary flat structs") {
     import org.apache.spark.sql.types._
     val fieldGen = for {
