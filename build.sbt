@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout WITHOUT sbt's "[info] " logger
+// prefix: the bench harness json-parses lines from the stdout tail, and
+// a prefixed line is not valid JSON. StdoutOutput pipes the forked
+// JVM's streams straight through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +32,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("GRAFT_STREAM_TMP").map(v => s"-Dgraft.stream.tmp=$v").toSeq

@@ -59,12 +59,15 @@ object GraphOps {
     val partKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(partKey)
     spark.conf.set(partKey, "4")
+    // cached frames are released in the finally block (not the success
+    // path) so a failed iteration can't leave them pinned for the session
+    var edgesD: DataFrame = null
     try {
       // symmetric edges: out-degree = in-degree and every node has both,
       // so the per-iteration aggregate covers exactly the node set (no
       // dangling-node mass correction needed)
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-      val edgesD = edges.join(deg, "src")
+      edgesD = edges.join(deg, "src")
         .select($"src", $"dst", $"outdeg")
         .cache()
       edgesD.count()
@@ -87,9 +90,11 @@ object GraphOps {
             .as("pr_pos"))
         .orderBy($"doc_id")
         .localCheckpoint(true)
-      edgesD.unpersist(false)
-      edges.unpersist(false)
       out
-    } finally spark.conf.set(partKey, prevParts)
+    } finally {
+      if (edgesD != null) edgesD.unpersist(false)
+      edges.unpersist(false)
+      spark.conf.set(partKey, prevParts)
+    }
   }
 }

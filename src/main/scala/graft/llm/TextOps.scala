@@ -96,15 +96,32 @@ object TextOps {
       threshold: Double = 0.5): DataFrame = {
     // bound the cache for long-lived multi-session JVMs: entries keyed by
     // dead sessions would otherwise pin checkpoint blocks until exit.
-    // Clearing is safe — a dropped live entry is just recomputed.
-    if (pairsCache.size > 16) pairsCache.clear()
+    // Clearing is safe — a dropped live entry is just recomputed. Keyed
+    // on the session REFERENCE (not identityHashCode, which can be
+    // reused after a session is GC'd and hand a new session a frame
+    // bound to a dead SparkContext); evicted checkpoints are unpersisted
+    // eagerly rather than waiting on GC + ContextCleaner.
+    if (pairsCache.size > 16) {
+      pairsCache.values.forEach(freeLocalCheckpoint(_))
+      pairsCache.clear()
+    }
     pairsCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$sfDir|$threshold",
+      (spark, sfDir, threshold),
       _ => ngramJaccardPairsUncached(spark, sfDir, threshold).localCheckpoint(true))
   }
 
+  /** Best-effort eager release of a localCheckpoint's cached blocks: the
+    * checkpointed plan is a LogicalRDD over a persisted internal RDD, and
+    * `df.unpersist` (CacheManager) never sees it. Falling through to the
+    * ContextCleaner is always safe, so failures are swallowed. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.optimizedPlan.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
 
   private[graft] def ngramJaccardPairsUncached(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
@@ -257,9 +274,19 @@ object TextOps {
     * the interesting part is the operator shape, not the accuracy.) */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val toks = split($"text", " ")
+    // per-language hit count == occurrences of a whitespace-delimited
+    // stopword. regexp_count stays inside whole-stage codegen with a
+    // per-task compiled pattern; the previous `filter(split(text),
+    // isin)` HOF was interpreted per token AND re-split the text per
+    // language — it was the bench's slowest query (13 s at sf0.1).
+    // Pattern: token boundary = start-or-space before, space-or-end
+    // after (lookahead, so back-to-back stopwords both count) — exactly
+    // the tokens `split(text, " ")` yields.
     val hits = StopwordSets.map { case (lang, words) =>
-      size(filter(toks, t => t.isin(words: _*))).as(s"hits_$lang")
+      // \A/\z (not ^/$): $ would also match before a trailing newline,
+      // which a split-token equality check never does
+      regexp_count($"text",
+        lit(words.mkString("(?:\\A| )(?:", "|", ")(?= |\\z)"))).as(s"hits_$lang")
     }
     val scored = Tables.documents(spark, sfDir)
       .select(($"doc_id" +: $"lang" +: hits): _*)
@@ -411,20 +438,24 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** `text_ngram_freq`: corpus-wide top-20 word bigrams — one tokenize
-    * explode + a per-doc `lead` window (adjacent-token pairing without a
-    * positional self-join) + a count aggregate. `concat` (not concat_ws)
-    * so the trailing token's null lead propagates and drops cleanly in
-    * both engines. */
+  /** `text_ngram_freq`: corpus-wide top-20 word bigrams — adjacent
+    * tokens paired PER DOCUMENT with offset slices (`zip_with` over
+    * toks[0..n-2] × toks[1..n-1]), exploded, then one partial-aggregated
+    * count. The earlier shape (posexplode all tokens + a per-doc `lead`
+    * window) shuffled and sorted the ENTIRE token stream before pairing
+    * — the pairing is a per-row array operation, not a windowed one, so
+    * the only exchange left is the map-side-combined bigram counts
+    * (the shape that survives 100 TB: shuffle carries (bigram, partial
+    * count), never raw tokens). */
   def ngramFreq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
+    val toks = split($"text", " ")
     Tables.documents(spark, sfDir)
-      .select($"doc_id", posexplode(split($"text", " ")))
-      .toDF("doc_id", "pos", "tok")
-      .select(concat($"tok", lit(" "), lead($"tok", 1).over(w)).as("bigram"))
-      .filter($"bigram".isNotNull)
+      .select(toks.as("toks"), (size(toks) - 1).as("m"))
+      .where($"m" >= 1)
+      .select(explode(zip_with(
+        slice($"toks", lit(1), $"m"), slice($"toks", lit(2), $"m"),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"bigram")
@@ -723,8 +754,13 @@ object TextOps {
 
   def langStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // token count = separator count + 1 (split(" ") semantics, empties
+    // included) — counting spaces arithmetically skips materializing the
+    // token array per document just to take its size
+    val nTokens = (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
+      .cast(LongType)
     Tables.documents(spark, sfDir)
-      .select($"lang", $"n_chars", size(split($"text", " ")).cast(LongType).as("n_tokens"))
+      .select($"lang", $"n_chars", nTokens.as("n_tokens"))
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),

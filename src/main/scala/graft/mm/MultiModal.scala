@@ -201,10 +201,15 @@ object MultiModal {
         $"text".substr($"w" * AudioStride + 1, lit(AudioWin)).as("win"))
       .select($"media_id", $"win_idx",
         length($"win").as("win_len"),
-        aggregate(
-          transform(sequence(lit(1), length($"win")),
-            i => ascii($"win".substr(i, lit(1))).cast(LongType)),
-          lit(0L), (acc, v) => acc + v).as("byte_sum"))
+        // empty window (blank text still yields one window) → NULL sum,
+        // mirroring the oracle's list_aggregate([], 'sum'); unguarded,
+        // sequence(1, 0) steps DOWNWARD giving byte_sum 0 / mean NaN
+        when(length($"win") > 0,
+          aggregate(
+            transform(sequence(lit(1), length($"win")),
+              i => ascii($"win".substr(i, lit(1))).cast(LongType)),
+            lit(0L), (acc, v) => acc + v))
+          .otherwise(lit(null).cast(LongType)).as("byte_sum"))
       .withColumn("byte_mean",
         graft.Det.r4($"byte_sum".cast(DoubleType) / $"win_len"))
       .orderBy($"media_id", $"win_idx")
@@ -215,8 +220,12 @@ object MultiModal {
     val nPatches = ceil(length($"payload") / lit(PatchBytes.toDouble)).cast("int")
     mediaTable(spark, sfDir)
       .select($"media_id", $"payload", nPatches.as("np"))
+      // empty payload → np = 0 → ZERO patch rows, same as the oracle's
+      // range(ceil(0/16.0)); without the guard sequence(0, -1) would
+      // step downward and emit a degenerate patch
+      .where($"np" > 0)
       .select($"media_id", $"payload",
-        explode(sequence(lit(0), greatest($"np" - 1, lit(0)))).as("p"))
+        explode(sequence(lit(0), $"np" - 1)).as("p"))
       .select($"media_id",
         ($"p" / GridW).cast(IntegerType).as("patch_row"),
         pmod($"p", lit(GridW)).cast(IntegerType).as("patch_col"),

@@ -16,8 +16,12 @@ import graft.Tables
   * rather than stubbed. */
 object Formats {
 
+  // keyed on the session REFERENCE, not identityHashCode: hash codes can
+  // be reused after a session is GC'd, which would hand a new session a
+  // staging dir produced under different conf (same fix as
+  // TextOps.pairsCache)
   private val stagedOrc =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   /** `source_orc_roundtrip`: orders written to ORC (zlib default) and
     * read back, then aggregated — the gate's oracle computes the SAME
@@ -34,7 +38,7 @@ object Formats {
     // dirs themselves are OS-reclaimed; this caps the map)
     if (stagedOrc.size > 16) stagedOrc.clear()
     val dir = stagedOrc.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$sfDir",
+      (spark, sfDir),
       _ => {
         val d = Files.createTempDirectory("graft-orc").toString
         Tables.orders(spark, sfDir).write.mode("overwrite").orc(s"$d/orders")
