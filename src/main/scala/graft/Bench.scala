@@ -50,6 +50,13 @@ object Bench {
         .select(graft.functions.MinHashFunctions.minhash_agg(col("h"), 32).as("m"),
           graft.functions.SimHashFunctions.simhash_agg(col("h")).as("v"))
         .collect()
+      // ...and the collated-aggregate path: grouping under a non-binary
+      // collation compiles ICU-backed comparison/hashing code (~2 s of
+      // Janino work measured) — session startup, same as the sketches
+      one.groupBy(org.apache.spark.sql.functions
+          .expr("collate(text, 'UTF8_LCASE')").as("k"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)))
+        .collect()
     } catch { case _: Throwable => () }
     // ...and one throwaway micro-batch so streaming planner + state-store
     // class loading (session startup, same as the codegen warm-up above)

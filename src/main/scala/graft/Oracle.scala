@@ -818,6 +818,40 @@ $iters
                              / len(string_split(text,' ')))) * 10000.0 + 0.5) / 10000.0 AS quality
          FROM documents ORDER BY doc_id""",
 
+    "text_repetition_ratio" ->
+      // Gopher-style repetition filter: most-frequent token / bigram
+      // fraction per doc; flag compares the QUANTIZED bigram fraction
+      // (identical floor(x*1e4+0.5) on both engines). Single-token docs
+      // have no bigrams → NULL fraction, flag 0 via coalesce.
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         tc AS (
+           SELECT doc_id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(l) AS tok FROM base)
+           GROUP BY doc_id, tok),
+         tmx AS (
+           SELECT doc_id, max(c) AS mx_tok, sum(c) AS n FROM tc GROUP BY doc_id),
+         bc AS (
+           SELECT doc_id, bg, count(*) AS c
+           FROM (SELECT doc_id,
+                        unnest(list_transform(range(len(l) - 1),
+                               i -> l[i + 1] || ' ' || l[i + 2])) AS bg
+                 FROM base WHERE len(l) >= 2)
+           GROUP BY doc_id, bg),
+         bmx AS (
+           SELECT doc_id, max(c) AS mx_bg FROM bc GROUP BY doc_id)
+         SELECT t.doc_id,
+                CAST(t.n AS BIGINT) AS n_tokens,
+                floor(CAST(t.mx_tok AS DOUBLE) / t.n * 10000.0 + 0.5) / 10000.0
+                  AS top_tok_frac,
+                floor(CAST(b.mx_bg AS DOUBLE) / (t.n - 1) * 10000.0 + 0.5) / 10000.0
+                  AS top_bigram_frac,
+                CAST(coalesce(
+                  floor(CAST(b.mx_bg AS DOUBLE) / (t.n - 1) * 10000.0 + 0.5) / 10000.0,
+                  0.0) > 0.18 AS INTEGER) AS is_repetitive
+         FROM tmx t LEFT JOIN bmx b USING (doc_id)
+         ORDER BY t.doc_id""",
+
     "text_token_regex" ->
       """SELECT doc_id,
                 len(string_split(text,' ')) AS n_ws_tokens,

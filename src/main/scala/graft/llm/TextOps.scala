@@ -334,6 +334,40 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_repetition_ratio`: Gopher/C4-style repetition quality filter —
+    * per document, the fraction of tokens claimed by the single most
+    * frequent token and the fraction of bigrams claimed by the most
+    * frequent bigram, plus the resulting keep/drop flag (threshold on the
+    * QUANTIZED bigram fraction so both engines compare the same value).
+    * Shape: explode → per-(doc, gram) count → per-doc max, twice — the
+    * shuffle carries (doc_id, gram, partial count), never document text,
+    * and both aggregates map-side combine; a doc's grams all hash to one
+    * reducer so the per-doc max never needs a second pass at 100 TB. */
+  def repetitionRatio(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.18): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id", toks.as("toks"), size(toks).as("n"))
+    val topTok = base.select($"doc_id", $"n", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"n", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n").agg(max($"c").as("mx_tok"))
+    val topBigram = base.where($"n" >= 2)
+      .select($"doc_id", explode(zip_with(
+        slice($"toks", lit(1), $"n" - 1), slice($"toks", lit(2), $"n" - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("mx_bg"))
+    val bigramFrac = graft.Det.r4($"mx_bg".cast(DoubleType) / ($"n" - 1))
+    topTok.join(topBigram, Seq("doc_id"), "left")
+      .select($"doc_id", $"n".cast(LongType).as("n_tokens"),
+        graft.Det.r4($"mx_tok".cast(DoubleType) / $"n").as("top_tok_frac"),
+        bigramFrac.as("top_bigram_frac"),
+        (coalesce(bigramFrac, lit(0.0)) > threshold)
+          .cast(IntegerType).as("is_repetitive"))
+      .orderBy($"doc_id")
+  }
+
   /** `text_token_regex`: token counting two ways — whitespace split and a
     * BPE-ish regex over word/number/symbol classes — per document. */
   def tokenRegexCounts(spark: SparkSession, sfDir: String): DataFrame = {

@@ -103,4 +103,31 @@ class LlmSpec extends AnyFunSuite {
     val total = df.agg(sum("n_docs")).collect().head.getLong(0)
     assert(total == Tables.documents(spark, sf).count())
   }
+
+  test("repetition ratio matches a driver-side recount per doc") {
+    val s = spark
+    import s.implicits._
+    val got = TextOps.repetitionRatio(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+    assert(got.size == docs.length)
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    docs.foreach { d =>
+      val toks = d.getString(1).split(" ", -1).toSeq
+      val r = got(d.getLong(0))
+      assert(r.getAs[Long]("n_tokens") == toks.size)
+      val expTok = r4(toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size)
+      assert(r.getAs[Double]("top_tok_frac") == expTok)
+      if (toks.size < 2) {
+        assert(r.isNullAt(r.fieldIndex("top_bigram_frac")))
+        assert(r.getAs[Int]("is_repetitive") == 0)
+      } else {
+        val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val expBg = r4(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size)
+        assert(r.getAs[Double]("top_bigram_frac") == expBg)
+        assert(r.getAs[Int]("is_repetitive") == (if (expBg > 0.18) 1 else 0))
+      }
+    }
+  }
 }
