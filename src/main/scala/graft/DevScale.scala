@@ -36,7 +36,13 @@ object DevScale {
     // the two-phase sketch (graph_pagerank stays excluded — replicated
     // text makes its pair graph quadratic by fixture artifact, the same
     // reason the near-dup miners are excluded)
-    "mm_patch_grid", "url_canonicalize_dedup", "agg_approx_top_k")
+    "mm_patch_grid", "url_canonicalize_dedup", "agg_approx_top_k",
+    // round 7: the rewritten text queries (regexp_count lang-id,
+    // window-free bigram top-k, split-free lang stats) and the new
+    // repetition filter — all per-doc or small-output aggregates, so
+    // replication stresses the plan, not the fixture
+    "text_lang_id", "text_ngram_freq", "text_lang_stats",
+    "text_repetition_ratio")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
