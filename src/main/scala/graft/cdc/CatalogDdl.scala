@@ -24,13 +24,16 @@ object CatalogDdl {
   // queries in one session don't re-run 10 DROP+CREATE DDLs each — the
   // registration is idempotent per (session, db, sfDir) and only
   // re-executes when the data directory actually changes
+  // keyed on the sharedState REFERENCE (not identityHashCode, which can
+  // be reused after GC and would skip registration against a fresh empty
+  // catalog — same fix as TextOps.pairsCache)
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(AnyRef, String), String]()
 
   /** CREATE DATABASE + one external parquet table per test-data file. */
   def registerStarSchema(spark: SparkSession, sfDir: String,
       db: String = Database): Unit = {
-    val key = (System.identityHashCode(spark.sharedState), db)
+    val key = (spark.sharedState: AnyRef, db)
     if (registered.get(key) == sfDir) return
     // events.ts is ns-precision parquet: schema inference at CREATE TABLE
     // scans the footer and would throw PARQUET_TYPE_ILLEGAL without this
@@ -47,7 +50,7 @@ object CatalogDdl {
   }
 
   def dropAll(spark: SparkSession, db: String = Database): Unit = {
-    registered.remove((System.identityHashCode(spark.sharedState), db))
+    registered.remove((spark.sharedState: AnyRef, db))
     TableNames.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
     spark.sql(s"DROP DATABASE IF EXISTS $db")
   }
