@@ -438,6 +438,20 @@ $iters
                 count(*) AS n_docs
          FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
 
+    "sample_shuffle_shard" ->
+      // deterministic epoch shuffle: content-keyed md5 sort key, shard =
+      // first hex digit, position within shard; string comparison of
+      // lowercase hex agrees byte-for-byte across engines
+      """WITH keyed AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || ':42') AS k,
+                  substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 1) AS shard
+           FROM documents)
+         SELECT doc_id, shard,
+                row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                  AS pos_in_shard
+         FROM keyed ORDER BY doc_id""",
+
     "explode_outer_tokens" ->
       """SELECT doc_id, long_tok
          FROM (SELECT doc_id,

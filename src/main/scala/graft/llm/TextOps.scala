@@ -416,6 +416,29 @@ object TextOps {
       .orderBy($"lang", $"split")
   }
 
+  /** `sample_shuffle_shard`: deterministic training-order shuffle — the
+    * epoch-ordering step of a training pipeline: each doc gets a
+    * content-keyed pseudo-random sort key (md5 of doc_id + seed), is
+    * routed to a shard by the key's first hex digit, and receives its
+    * position WITHIN the shard. Shard-then-order-within-shard is the
+    * only shape that survives 100 TB — a single global position would
+    * need a one-partition window; per-shard windows partition the sort
+    * across executors exactly as sharded training files do. Same-key
+    * determinism: md5 agrees across engines, ties (impossible in
+    * practice) break on doc_id. */
+  def shuffleShard(spark: SparkSession, sfDir: String, seed: String = "42"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = md5(concat($"doc_id".cast(StringType), lit(":" + seed)))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", k.as("k"), substring(k, 1, 1).as("shard"))
+      .withColumn("pos_in_shard",
+        row_number().over(Window.partitionBy($"shard").orderBy($"k", $"doc_id"))
+          .cast(LongType))
+      .select($"doc_id", $"shard", $"pos_in_shard")
+      .orderBy($"doc_id")
+  }
+
   /** `explode_outer_tokens`: outer-generate semantics — each document's
     * long tokens (length >= 8) exploded, but documents with NONE keep a
     * null row instead of vanishing (the explode/explode_outer

@@ -104,6 +104,22 @@ class LlmSpec extends AnyFunSuite {
     assert(total == Tables.documents(spark, sf).count())
   }
 
+  test("shuffle shard covers all docs with contiguous per-shard positions") {
+    val s = spark
+    import s.implicits._
+    val rows = TextOps.shuffleShard(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    rows.groupBy(_.getAs[String]("shard")).foreach { case (_, g) =>
+      val ps = g.map(_.getAs[Long]("pos_in_shard")).sorted
+      assert(ps.head == 1L && ps.last == ps.length,
+        "per-shard positions must be 1..n contiguous")
+    }
+    // content-keyed determinism: a second independent run is identical
+    val again = TextOps.shuffleShard(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("repetition ratio matches a driver-side recount per doc") {
     val s = spark
     import s.implicits._

@@ -90,6 +90,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "un-hinted twin should broadcast the filtered dim side")
   }
 
+  test("rewritten text queries keep their shuffle-light plans") {
+    def plan(n: String) =
+      SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+    // bigram top-k: pairing is per-row (zip_with over slices) — a Window
+    // here would mean the old sort-the-whole-token-stream shape regressed
+    val ng = plan("text_ngram_freq")
+    assert(!ng.contains("Window"), "ngram_freq should not plan a Window")
+    assert(ng.contains("TakeOrderedAndProject"),
+      "top-20 should ride TakeOrderedAndProject, not a global sort")
+    // lang-id: regexp_count path — no interpreted HOF filter, one scan
+    assert(!plan("text_lang_id").contains("ArrayFilter"),
+      "lang_id should use regexp_count, not interpreted array filter")
+    // lang stats: separator arithmetic — the split-free plan has no
+    // generator and exactly one exchange (the 5-group aggregate)
+    val ls = plan("text_lang_stats")
+    assert(!ls.contains("Generate"), "lang_stats should not explode tokens")
+  }
+
   test("the one intentional cartesian stays broadcast, never a shuffle cartesian") {
     val plan = SparkEntry.queries("join_cross_dims")(spark, sf)
       .queryExecution.executedPlan.toString
