@@ -344,10 +344,16 @@ object TextOps {
     * and both aggregates map-side combine; a doc's grams all hash to one
     * reducer so the per-doc max never needs a second pass at 100 TB. */
   def repetitionRatio(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.18): DataFrame =
+    repetitionRatioOnDocs(spark, Tables.documents(spark, sfDir), threshold)
+
+  /** [[repetitionRatio]] over an arbitrary (doc_id, text) frame — the
+    * testable core (property tests feed planted/generated corpora). */
+  private[graft] def repetitionRatioOnDocs(spark: SparkSession, docs: DataFrame,
       threshold: Double = 0.18): DataFrame = {
     import spark.implicits._
     val toks = split($"text", " ")
-    val base = Tables.documents(spark, sfDir)
+    val base = docs
       .select($"doc_id", toks.as("toks"), size(toks).as("n"))
     val topTok = base.select($"doc_id", $"n", explode($"toks").as("tok"))
       .groupBy($"doc_id", $"n", $"tok").agg(count(lit(1)).as("c"))
@@ -426,11 +432,17 @@ object TextOps {
     * across executors exactly as sharded training files do. Same-key
     * determinism: md5 agrees across engines, ties (impossible in
     * practice) break on doc_id. */
-  def shuffleShard(spark: SparkSession, sfDir: String, seed: String = "42"): DataFrame = {
+  def shuffleShard(spark: SparkSession, sfDir: String, seed: String = "42"): DataFrame =
+    shuffleShardOnDocs(spark, Tables.documents(spark, sfDir), seed)
+
+  /** [[shuffleShard]] over an arbitrary frame with a doc_id column — the
+    * testable core (partition-invariance property tests). */
+  private[graft] def shuffleShardOnDocs(spark: SparkSession, docs: DataFrame,
+      seed: String = "42"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val k = md5(concat($"doc_id".cast(StringType), lit(":" + seed)))
-    Tables.documents(spark, sfDir)
+    docs
       .select($"doc_id", k.as("k"), substring(k, 1, 1).as("shard"))
       .withColumn("pos_in_shard",
         row_number().over(Window.partitionBy($"shard").orderBy($"k", $"doc_id"))

@@ -230,6 +230,57 @@ class PropertySpec extends AnyFunSuite {
     assert(diff.isEmpty, s"canonicalization not idempotent: ${diff.take(3)}")
   }
 
+  test("property: repetition ratio matches brute force on generated corpora") {
+    val s = spark
+    import s.implicits._
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    // token lists from a tiny vocabulary (forces repeats), including
+    // single-token docs (no bigrams) — the fixture never exercises those
+    val docGen: Gen[List[String]] = Gen.listOfN(8, for {
+      n <- Gen.frequency(1 -> Gen.const(1), 4 -> Gen.choose(2, 30))
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "xyz"))
+    } yield toks.mkString(" "))
+    samples(docGen, 3).foreach { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.llm.TextOps.repetitionRatioOnDocs(spark, docs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" ", -1).toSeq
+        val r = got(i.toLong)
+        assert(r.getAs[Long]("n_tokens") == toks.size)
+        assert(r.getAs[Double]("top_tok_frac") ==
+          r4(toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size))
+        if (toks.size >= 2) {
+          val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+          assert(r.getAs[Double]("top_bigram_frac") ==
+            r4(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size))
+        } else assert(r.isNullAt(r.fieldIndex("top_bigram_frac")))
+      }
+    }
+  }
+
+  test("property: shuffle-shard order is invariant to shuffle partition count") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def run() = graft.llm.TextOps.shuffleShardOnDocs(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    try {
+      spark.conf.set(key, "3")
+      val p3 = run()
+      spark.conf.set(key, "32")
+      val p32 = run()
+      assert(p3 == p32, "epoch order must not depend on physical partitioning")
+      // different seed ⇒ different order (the shuffle actually shuffles)
+      val other = graft.llm.TextOps.shuffleShardOnDocs(spark, docs, seed = "43")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(other != p32, "changing the seed must change the order")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("property: Connect schema generator covers every field of arbitrary flat structs") {
     import org.apache.spark.sql.types._
     val fieldGen = for {
