@@ -18,6 +18,8 @@ object DevProbe {
       "SELECT * FROM (VALUES (1),(2)) v(a), LATERAL (SELECT * FROM (VALUES (10),(20)) w(c) WHERE c > a*5 ORDER BY c LIMIT 1)")
     probe("offset", "SELECT * FROM (VALUES (1),(2),(3)) v(a) ORDER BY a LIMIT 1 OFFSET 1")
     probe("qualify", "SELECT a FROM (VALUES (1),(2)) v(a) QUALIFY row_number() OVER (ORDER BY a) = 1")
+    probe("bloom_filter_agg",
+      "SELECT might_contain((SELECT bloom_filter_agg(xxhash64(a), 10, 100) FROM (VALUES (1),(2)) v(a)), xxhash64(1))")
     // driver-contract smoke: entry() must work from THIS bare session
     // (no nanosAsLong pre-set; Tables.events sets it dynamically)
     try println(s"[probe] entry OK: rows=" + SparkEntry.entry(spark).count())

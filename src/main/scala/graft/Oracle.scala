@@ -260,6 +260,17 @@ $iters
          WHERE c_mktsegment = 'BUILDING'
          ORDER BY o_orderkey""",
 
+    "join_bloom_prefilter" ->
+      // the plain semi join: a hash match proves the bloom prefilter is
+      // semantics-free (no false negatives; false positives removed by
+      // the exact join)
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "join_5way_revenue" ->
       """SELECT n_name,
                 round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue

@@ -106,6 +106,39 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** `join_bloom_prefilter`: the runtime-filter semi-join pruning
+    * pattern — a bloom filter built over the SELECTIVE side's keys
+    * (BUILDING-segment customers) is attached as a scalar subquery and
+    * probed against `o_custkey` BEFORE the exact semi join, so
+    * non-matching fact rows never enter the join exchange. At 100 TB this is the
+    * difference between shuffling every order and shuffling ~1/5th of
+    * them; Catalyst's own InjectRuntimeFilter builds exactly this plan
+    * (bloom_filter_agg + might_contain) when statistics justify it —
+    * here it is declared explicitly so the gate can prove the bloom is
+    * semantics-free: false positives are removed by the exact join,
+    * false negatives cannot exist, so the result hash-matches the plain
+    * semi-join oracle. */
+  def joinBloomPrefilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    // scalar subquery (Spark 4's Dataset.scalar): might_contain requires
+    // the filter blob as a constant/scalar, and the subquery broadcasts
+    // the one-row result without a join
+    val bloom = cust.agg(graft.functions.BloomFunctions
+      .bloom_filter_agg($"c_custkey", 10000L, 80000L)).scalar()
+    val pre = Tables.orders(spark, sfDir)
+      .where(graft.functions.BloomFunctions.might_contain(bloom, $"o_custkey"))
+    pre.join(cust, pre("o_custkey") === cust("c_custkey"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** `join_5way_revenue`: TPC-H Q5 shape — region⋈nation⋈customer⋈orders⋈
     * lineitem, revenue per nation in ASIA for orders in 1996. Dimension
     * chain is broadcast; the orders⋈lineitem equi-join is left to AQE. */

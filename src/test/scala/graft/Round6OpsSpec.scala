@@ -327,4 +327,32 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("join_bloom_prefilter: bloom pass is a superset of true matches, result exact") {
+    val s = spark
+    import s.implicits._
+    val cust = Tables.customer(spark, sf)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val bloom = cust.agg(graft.functions.BloomFunctions
+      .bloom_filter_agg($"c_custkey", 10000L, 80000L)).scalar()
+    val pre = Tables.orders(spark, sf)
+      .where(graft.functions.BloomFunctions.might_contain(bloom, $"o_custkey"))
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    val exact = Tables.orders(spark, sf)
+      .join(cust, $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(pre), "bloom filter produced a false negative")
+    // the declared query equals the plain semi-join aggregate exactly
+    val viaBloom = graft.rel.Relational.joinBloomPrefilter(spark, sf).collect().map(_.toSeq).toSeq
+    val plain = Tables.orders(spark, sf)
+      .join(cust, $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_orders"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum($"o_totalprice".cast("decimal(18,4)"))
+            .cast("double"), 4).as("sum_price"))
+      .orderBy($"o_orderpriority").collect().map(_.toSeq).toSeq
+    assert(viaBloom == plain)
+  }
 }
