@@ -20,6 +20,8 @@ object DevProbe {
     probe("qualify", "SELECT a FROM (VALUES (1),(2)) v(a) QUALIFY row_number() OVER (ORDER BY a) = 1")
     probe("bloom_filter_agg",
       "SELECT might_contain((SELECT bloom_filter_agg(xxhash64(a), 10, 100) FROM (VALUES (1),(2)) v(a)), xxhash64(1))")
+    probe("pipe_syntax",
+      "FROM (VALUES (1, 'a'), (2, 'b')) v(x, s) |> WHERE x > 0 |> AGGREGATE count(*) AS n GROUP BY s |> ORDER BY s")
     // driver-contract smoke: entry() must work from THIS bare session
     // (no nanosAsLong pre-set; Tables.events sets it dynamically)
     try println(s"[probe] entry OK: rows=" + SparkEntry.entry(spark).count())

@@ -1618,6 +1618,15 @@ $iters
          WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    "sql_pipe_query" ->
+      // the plain-SQL formulation: a hash match proves pipe syntax is
+      // parse-time sugar over the identical relational plan
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "cdc_stream_stateful_tws" -> latestStateSql,
 
     "cdc_stream_update_counts" ->

@@ -86,6 +86,24 @@ object SqlSurface {
       Map("minp" -> 150000.0, "status" -> "F"))
   }
 
+  /** `sql_pipe_query`: SQL pipe syntax (Spark 4.0+, SIGMOD'24
+    * "Pipe Syntax in SQL") — the same grouped aggregate paramQuery runs,
+    * expressed as a linear `FROM |> WHERE |> AGGREGATE |> ORDER BY`
+    * pipeline. The gate proves the pipe parser lowers to the identical
+    * relational plan: the oracle is the plain-SQL formulation. Pipe
+    * operators are parse-time sugar — same Catalyst plan, so the 100 TB
+    * behavior is exactly the plain query's. */
+  def pipeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """FROM graft.orders
+        ||> WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+        ||> AGGREGATE count(*) AS n_orders,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |   GROUP BY o_orderpriority
+        ||> ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** `subquery_exists_select`: EXISTS and IN as boolean PROJECTIONS
     * (not WHERE predicates) — per customer, an urgent-order flag and a
     * region-membership flag. Catalyst plans these as ExistenceJoin, a

@@ -44,4 +44,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .limit(30).collect().map(_.getLong(0)).drop(20)
     assert(page.sameElements(full))
   }
+
+  test("sql_pipe_query: pipe syntax gives the plain formulation's rows") {
+    val pipe = SqlSurface.pipeQuery(spark, sf).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n_orders"),
+        r.getAs[Double]("sum_price"))).toSeq
+    val plain = SqlSurface.paramQuery(spark, sf).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n_orders"),
+        r.getAs[Double]("sum_price"))).toSeq
+    assert(pipe == plain, "pipe syntax diverged from the plain query")
+    assert(pipe.nonEmpty)
+  }
 }
