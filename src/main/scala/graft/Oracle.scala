@@ -1609,6 +1609,45 @@ $iters
          SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS rep_doc
          FROM c GROUP BY canonical_url ORDER BY canonical_url""",
 
+    "sql_session_variable" ->
+      // the oracle inlines the variable's defining subquery — a variable
+      // reference is semantically a folded constant (max*0.5 is exact in
+      // binary doubles, so the threshold is bit-identical)
+      """SELECT o_orderpriority, count(*) AS n_orders, min(o_orderkey) AS min_key
+         FROM orders WHERE o_totalprice > (SELECT max(o_totalprice) * 0.5 FROM orders)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "sql_exec_immediate" ->
+      // dynamic SQL + named parameter binding ≡ the inline literal query
+      """SELECT c_mktsegment, count(*) AS n_cust, min(c_custkey) AS min_key
+         FROM customer WHERE c_acctbal > 1000.0
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "sql_udf_scalar" ->
+      // the UDF body inlined by hand — SQL UDFs are analysis-time macros
+      """SELECT l_returnflag,
+           round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+           count(*) AS n_items
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "sql_udf_table" ->
+      // the UDTF fan-out re-expressed as unnest: same per-row generator
+      """SELECT tok, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY tok HAVING count(*) >= 5 ORDER BY tok""",
+
+    "sql_scripting" ->
+      // the WHILE loop unrolled: same left-to-right double accumulation
+      // over the three per-year DECIMAL(18,4)-exact sums
+      """SELECT CAST(1995 AS INT) AS y0, CAST(1997 AS INT) AS y1,
+           round((SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  FROM orders WHERE year(o_orderdate) = 1995)
+               + (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  FROM orders WHERE year(o_orderdate) = 1996)
+               + (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  FROM orders WHERE year(o_orderdate) = 1997), 4) AS total_price""",
+
     "sql_param_query" ->
       // the oracle inlines the bound parameter values — the gate thereby
       // proves parameter binding is semantically identical to literals

@@ -104,6 +104,106 @@ object SqlSurface {
         ||> ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** `sql_session_variable`: session variables (Spark 4.x `DECLARE` /
+    * `SET VARIABLE`) — a price threshold computed ONCE by a scalar
+    * subquery (`max * 0.5`, exact in binary doubles) is bound to a
+    * session variable and then used as a pushdown-able constant in a
+    * grouped aggregate. This is the stateful-session surface a SQL
+    * notebook or service layer uses to thread config between
+    * statements; the gate's oracle inlines the subquery, proving a
+    * variable reference is semantically a folded literal (and thus
+    * partition-prunable at 100 TB exactly like a hand-written
+    * constant). */
+  def sessionVariable(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_price_thr DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE graft_price_thr = (SELECT max(o_totalprice) * 0.5 FROM graft.orders)")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders, min(o_orderkey) AS min_key
+        |FROM graft.orders WHERE o_totalprice > graft_price_thr
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** `sql_exec_immediate`: dynamic SQL — the query TEXT lives in a
+    * session variable and runs via `EXECUTE IMMEDIATE ... USING` with a
+    * named parameter (Spark 4.x). The composed surface (variables +
+    * dynamic SQL + parameter binding) is how a SQL-driven job runner
+    * dispatches templated queries without string interpolation; the
+    * bound value reaches Catalyst as a typed literal, so pushdown and
+    * folding are identical to the inline query the oracle runs. */
+  def execImmediate(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_ei_sql STRING DEFAULT ''")
+    spark.sql(
+      """SET VARIABLE graft_ei_sql =
+        |  'SELECT c_mktsegment, count(*) AS n_cust, min(c_custkey) AS min_key
+        |   FROM graft.customer WHERE c_acctbal > :minbal
+        |   GROUP BY c_mktsegment ORDER BY c_mktsegment'""".stripMargin)
+    spark.sql("EXECUTE IMMEDIATE graft_ei_sql USING 1000.0 AS minbal")
+  }
+
+  /** `sql_udf_scalar`: a scalar SQL UDF (`CREATE FUNCTION ... RETURNS
+    * DOUBLE RETURN expr`, Spark 4.x) computing the TPC-H discounted
+    * price, used inside a grouped aggregate. SQL UDFs are inlined into
+    * the plan at analysis time — no serialization wall, full codegen,
+    * exactly the scale behavior of writing the expression by hand
+    * (which is what the oracle does). The per-row DECIMAL(18,4) cast
+    * before summing keeps the cross-engine hash exact. */
+  def sqlUdfScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+        |RETURNS DOUBLE RETURN p * (1.0 - d)""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(graft_disc_price(l_extendedprice, l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM graft.lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** `sql_udf_table`: a table-valued SQL UDF (`RETURNS TABLE`) applied
+    * per row via LATERAL — the declarative tokenizer: each document
+    * row fans out to its whitespace tokens inside the same generate
+    * stage an inline `explode` would plan (the UDTF body is inlined,
+    * not a row-at-a-time callback), then a distributed count with a
+    * HAVING floor. The oracle re-expresses the fan-out with unnest;
+    * a hash match proves the UDTF surface adds zero semantics — and
+    * zero scale cost — over the raw generator. */
+  def sqlUdfTable(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_doc_tokens(txt STRING)
+        |RETURNS TABLE(tok STRING) RETURN SELECT explode(split(txt, ' ')) AS tok""".stripMargin)
+    spark.sql(
+      """SELECT tok, count(*) AS n
+        |FROM graft.documents, LATERAL graft_doc_tokens(text)
+        |GROUP BY tok HAVING count(*) >= 5 ORDER BY tok""".stripMargin)
+  }
+
+  /** `sql_scripting`: SQL scripting (Spark 4.x `BEGIN ... END` with
+    * local variables and a WHILE loop) — three per-year revenue
+    * aggregates accumulated procedurally; each loop iteration runs a
+    * fully distributed aggregate, only the scalar accumulation is
+    * driver-side, so the control flow adds orchestration, not a
+    * single-threaded data path. The oracle unrolls the loop into the
+    * same left-to-right double addition; the DECIMAL(18,4) per-year
+    * sums make each term exact. */
+  def sqlScripting(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """BEGIN
+        |  DECLARE total DOUBLE DEFAULT 0.0;
+        |  DECLARE y INT DEFAULT 1995;
+        |  WHILE y <= 1997 DO
+        |    SET total = total + (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |                         FROM graft.orders WHERE year(o_orderdate) = y);
+        |    SET y = y + 1;
+        |  END WHILE;
+        |  SELECT CAST(1995 AS INT) AS y0, CAST(1997 AS INT) AS y1, round(total, 4) AS total_price;
+        |END""".stripMargin)
+  }
+
   /** `subquery_exists_select`: EXISTS and IN as boolean PROJECTIONS
     * (not WHERE predicates) — per customer, an urgent-order flag and a
     * region-membership flag. Catalyst plans these as ExistenceJoin, a

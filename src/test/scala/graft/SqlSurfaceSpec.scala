@@ -55,4 +55,70 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(pipe == plain, "pipe syntax diverged from the plain query")
     assert(pipe.nonEmpty)
   }
+
+  test("sql_session_variable: variable binds max*0.5 and filters like the literal") {
+    val s = spark
+    import s.implicits._
+    val got = SqlSurface.sessionVariable(spark, sf).agg(sum($"n_orders"))
+      .collect().head.getLong(0)
+    val orders = Tables.orders(spark, sf)
+    val thr = orders.agg(max($"o_totalprice")).collect().head.getDouble(0) * 0.5
+    assert(got == orders.filter($"o_totalprice" > thr).count())
+  }
+
+  test("sql_exec_immediate: dynamic text + USING equals the static query") {
+    val s = spark
+    import s.implicits._
+    val dyn = SqlSurface.execImmediate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val static = Tables.customer(spark, sf).filter($"c_acctbal" > 1000.0)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), min($"c_custkey").as("mk"))
+      .orderBy($"c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dyn == static)
+  }
+
+  test("sql_udf_scalar: UDF revenue equals the inlined expression") {
+    val s = spark
+    import s.implicits._
+    val got = SqlSurface.sqlUdfScalar(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val want = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .groupBy($"l_returnflag")
+      .agg(round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(18,4)")).cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("sql_udf_table: UDTF token counts equal the explode formulation") {
+    val s = spark
+    import s.implicits._
+    val got = SqlSurface.sqlUdfTable(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 5).orderBy($"tok").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("sql_scripting: WHILE-loop accumulation equals the unrolled sum") {
+    val s = spark
+    import s.implicits._
+    val row = SqlSurface.sqlScripting(spark, sf).collect().head
+    assert(row.getInt(0) == 1995 && row.getInt(1) == 1997)
+    val perYear = (1995 to 1997).map { y =>
+      Tables.orders(spark, sf).filter(year($"o_orderdate") === y)
+        .agg(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"))
+        .collect().head.getDouble(0)
+    }
+    val want = math.round(perYear.foldLeft(0.0)(_ + _) * 10000) / 10000.0
+    assert(row.getDouble(2) == want)
+  }
 }
