@@ -1648,6 +1648,13 @@ $iters
                + (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                   FROM orders WHERE year(o_orderdate) = 1997), 4) AS total_price""",
 
+    "cdc_state_reader" ->
+      // the persisted streaming-aggregation state read back via the
+      // statestore batch source must BE the batch aggregate of the log
+      """SELECT user_id, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
     "sql_param_query" ->
       // the oracle inlines the bound parameter values — the gate thereby
       // proves parameter binding is semantically identical to literals

@@ -709,4 +709,56 @@ object StreamingLatest {
         round($"last_value", 4).as("last_value"), $"last_ts_us")
       .orderBy($"user_id")
   } }
+
+  /** `cdc_state_reader`: the state-store BATCH READER (Spark 4.x
+    * `spark.read.format("statestore")`) — operational state
+    * introspection. A streaming aggregation (per-user event count +
+    * decimal-exact value sum) populates a checkpoint over the staged
+    * event log; the checkpoint's state store is then read back as a
+    * batch DataFrame — key struct → user_id, value struct → the
+    * running aggregate. The gate's oracle recomputes the aggregate
+    * from the raw events, so a hash match proves the PERSISTED state
+    * is exactly the aggregate — the invariant an operator debugging a
+    * production streaming job relies on when querying its checkpoint
+    * in place. The read plans one task per state partition, so
+    * inspecting a 1000-partition production store scales like any
+    * columnar scan; no stream restart, no state export job.
+    * (Reference analogue: inspecting the connector's committed offsets
+    * + table state out-of-band, `connect-standalone.properties:5`.) */
+  def streamStateReader(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
+    import spark.implicits._
+    val runDir  = jvmTmpDir("ssr")
+    val inDir   = stagedEventLog(spark, sfDir)
+    val ckptDir = s"$runDir/ckpt"
+
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").schema
+    val agg = spark.readStream.schema(schema).parquet(inDir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,6)")).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .format("noop")
+      .start()
+    q.awaitTermination()
+
+    val out = spark.read.format("statestore").load(ckptDir)
+      .select($"key.user_id".as("user_id"),
+        $"value.count".as("n_events"),
+        round($"value.sum".cast("double"), 4).as("sum_value"))
+      .orderBy($"user_id")
+      // materialize BEFORE deleting the checkpoint the reader scans
+      .localCheckpoint(true)
+
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rmTree(_))
+      Files.deleteIfExists(p)
+    }
+    rmTree(runDir)
+    out
+  } }
 }

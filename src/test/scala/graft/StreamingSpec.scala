@@ -100,4 +100,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterSecond - afterFirst <=
       secondHalf.select($"user_id").distinct().count())
   }
+
+  test("cdc_state_reader: persisted streaming-agg state equals the batch aggregate") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    val got = StreamingLatest.streamStateReader(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+      .orderBy($"user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
