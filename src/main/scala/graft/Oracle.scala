@@ -1648,6 +1648,20 @@ $iters
                + (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                   FROM orders WHERE year(o_orderdate) = 1997), 4) AS total_price""",
 
+    "sql_identifier_clause" ->
+      // the oracle hard-codes the table name the IDENTIFIER param binds
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "table_observe_metrics" ->
+      // observation ≡ aggregation: the same QC metrics by a plain scan
+      """SELECT count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           epoch_ms(min(l_shipdate)) AS min_ship_ms,
+           epoch_ms(max(l_shipdate)) AS max_ship_ms
+         FROM lineitem""",
+
     "cdc_state_reader" ->
       // the persisted streaming-aggregation state read back via the
       // statestore batch source must BE the batch aggregate of the log

@@ -160,6 +160,32 @@ object FuncSurface {
       .orderBy($"col_name")
   }
 
+  /** `table_observe_metrics`: `Dataset.observe` — data-quality metrics
+    * collected DURING a pass, not by a second scan. The lineitem scan
+    * runs once (here driven by a noop write, in production by the real
+    * output write); the observation rides it as an AggregatingAccumulator
+    * and delivers row count, decimal-exact quantity sum, and shipdate
+    * bounds when the action completes. At 100 TB this is the only
+    * affordable way to know what a job actually wrote — the QC aggregate
+    * costs zero extra jobs and zero extra reads. The oracle computes the
+    * same aggregate with a plain scan, proving observation ≡ aggregation.
+    * A fresh Observation per call: instances are single-use. */
+  def tableObserveMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    Tables.lineitem(spark, sfDir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        unix_millis(min($"l_shipdate").cast(TimestampType)).as("min_ship_ms"),
+        unix_millis(max($"l_shipdate").cast(TimestampType)).as("max_ship_ms"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_qty").asInstanceOf[Double],
+      m("min_ship_ms").asInstanceOf[Long], m("max_ship_ms").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_qty", "min_ship_ms", "max_ship_ms")
+  }
+
   /** `join_full_outer`: FULL OUTER join of two independently aggregated
     * monthly series — order counts vs. shipment counts per month; months
     * present in either side survive with the other side null-filled

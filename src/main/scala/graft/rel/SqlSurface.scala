@@ -181,6 +181,22 @@ object SqlSurface {
         |GROUP BY tok HAVING count(*) >= 5 ORDER BY tok""".stripMargin)
   }
 
+  /** `sql_identifier_clause`: the `IDENTIFIER(:param)` clause (Spark
+    * 4.x) — a table name bound as a PARAMETER, not spliced into the
+    * query string: the injection-safe way a multi-tenant service
+    * targets per-tenant tables with one prepared statement. The
+    * identifier resolves at analysis time, so pushdown/pruning are
+    * identical to the hard-coded name the oracle uses. */
+  def identifierClause(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+        |FROM IDENTIFIER(:tbl)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      Map("tbl" -> "graft.orders"))
+  }
+
   /** `sql_scripting`: SQL scripting (Spark 4.x `BEGIN ... END` with
     * local variables and a WHILE loop) — three per-year revenue
     * aggregates accumulated procedurally; each loop iteration runs a

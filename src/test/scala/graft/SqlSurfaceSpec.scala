@@ -108,6 +108,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("sql_identifier_clause: parameter-bound table name equals the static query") {
+    val s = spark
+    import s.implicits._
+    val got = SqlSurface.identifierClause(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Tables.orders(spark, sf)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4).as("sp"))
+      .orderBy($"o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("table_observe_metrics: observed metrics equal the plain aggregate") {
+    val s = spark
+    import s.implicits._
+    val row = graft.rel.FuncSurface.tableObserveMetrics(spark, sf).collect().head
+    val want = Tables.lineitem(spark, sf).agg(
+      count(lit(1)),
+      sum($"l_quantity".cast("decimal(18,2)")).cast("double"),
+      unix_millis(min($"l_shipdate").cast("timestamp")),
+      unix_millis(max($"l_shipdate").cast("timestamp"))).collect().head
+    assert(row.getLong(0) == want.getLong(0) && row.getDouble(1) == want.getDouble(1)
+      && row.getLong(2) == want.getLong(2) && row.getLong(3) == want.getLong(3))
+  }
+
   test("sql_scripting: WHILE-loop accumulation equals the unrolled sum") {
     val s = spark
     import s.implicits._
