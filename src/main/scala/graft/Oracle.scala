@@ -1648,6 +1648,54 @@ $iters
                + (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                   FROM orders WHERE year(o_orderdate) = 1997), 4) AS total_price""",
 
+    "text_filter_funnel" ->
+      // the four conjunctive survivor counts recomputed in one scan, then
+      // unpivoted to stage rows — all-integer predicates, exact match
+      """WITH f AS (
+           SELECT count(*) AS s0,
+             CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN n_chars >= 100 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN n_chars >= 100 AND lang = 'en'
+               AND 20 * len(list_filter(string_split(text,' '),
+                     t -> t IN ('the','a','of','and','is'))) >= len(string_split(text,' '))
+               THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+             CAST(sum(CASE WHEN n_chars >= 100 AND lang = 'en'
+               AND 20 * len(list_filter(string_split(text,' '),
+                     t -> t IN ('the','a','of','and','is'))) >= len(string_split(text,' '))
+               AND 5 * len(list_distinct(string_split(text,' '))) >= len(string_split(text,' '))
+               THEN 1 ELSE 0 END) AS BIGINT) AS s4
+           FROM documents)
+         SELECT 1 AS stage_idx, 'min_length' AS stage, s0 AS n_in, s1 AS n_kept, s0 - s1 AS n_dropped FROM f
+         UNION ALL SELECT 2, 'lang_en', s1, s2, s1 - s2 FROM f
+         UNION ALL SELECT 3, 'stopword_floor', s2, s3, s2 - s3 FROM f
+         UNION ALL SELECT 4, 'diversity_floor', s3, s4, s3 - s4 FROM f
+         ORDER BY stage_idx""",
+
+    "sample_domain_budget" ->
+      // integer-exact budget math: tokens by separator counting, keep-rate
+      // in sixteenths of the md5 hex-digit space, floor division throughout
+      """WITH d AS (
+           SELECT source,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks,
+             CAST(strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS BIGINT) - 1 AS hv
+           FROM documents),
+         g AS (SELECT source, hv, count(*) AS n_docs,
+                 CAST(sum(toks) AS BIGINT) AS n_toks
+               FROM d GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total_toks,
+                 count(DISTINCT source) AS n_src FROM g),
+         s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_toks,
+                 CAST(sum(n_docs) AS BIGINT) AS src_docs FROM g GROUP BY 1),
+         k AS (SELECT source, src_docs, src_toks,
+                 CAST(least(16, ((total_toks // 2) // n_src * 16) // src_toks) AS BIGINT) AS keep_16
+               FROM s, t)
+         SELECT k.source, k.src_docs AS n_docs, k.src_toks AS n_tokens, k.keep_16,
+           CAST(coalesce(sum(CASE WHEN g.hv < k.keep_16 THEN g.n_docs END), 0) AS BIGINT) AS n_docs_kept,
+           CAST(coalesce(sum(CASE WHEN g.hv < k.keep_16 THEN g.n_toks END), 0) AS BIGINT) AS n_tokens_kept
+         FROM k JOIN g ON g.source = k.source
+         GROUP BY 1, 2, 3, 4 ORDER BY k.source""",
+
     "sql_identifier_clause" ->
       // the oracle hard-codes the table name the IDENTIFIER param binds
       """SELECT o_orderstatus, count(*) AS n_orders,

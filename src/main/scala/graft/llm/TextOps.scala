@@ -422,6 +422,85 @@ object TextOps {
       .orderBy($"lang", $"split")
   }
 
+  /** `text_filter_funnel`: the C4/Gopher-style quality-filter FUNNEL with
+    * per-stage drop accounting — the report every pretraining data run
+    * ships: how many documents each successive filter removed. Stages
+    * (all integer-exact, so the cross-engine hash is trivial): minimum
+    * length → language gate → stopword-ratio floor (real prose contains
+    * function words) → vocabulary-diversity floor (Gopher's
+    * unique-fraction filter). One scan computes all four survivor counts
+    * as conjunctive conditional sums (a single partial-aggregate pass —
+    * the funnel costs ONE job at 100 TB, not one per stage), then the
+    * 1-row aggregate unpivots to stage rows driver-side via stack. */
+  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val en = StopwordSets.head._2
+    val d = Tables.documents(spark, sfDir).select(
+      $"n_chars", $"lang",
+      size(toks).cast(LongType).as("nt"),
+      size(filter(toks, t => t.isin(en: _*))).cast(LongType).as("ns"),
+      size(array_distinct(toks)).cast(LongType).as("nd"))
+    val p1 = $"n_chars" >= 100L
+    val p2 = $"lang" === "en"
+    val p3 = $"ns" * 20L >= $"nt"
+    val p4 = $"nd" * 5L >= $"nt"
+    d.agg(
+        count(lit(1)).as("s0"),
+        sum(when(p1, 1L).otherwise(0L)).as("s1"),
+        sum(when(p1 && p2, 1L).otherwise(0L)).as("s2"),
+        sum(when(p1 && p2 && p3, 1L).otherwise(0L)).as("s3"),
+        sum(when(p1 && p2 && p3 && p4, 1L).otherwise(0L)).as("s4"))
+      .select(expr(
+        """stack(4,
+          |  1, 'min_length',      s0, s1,
+          |  2, 'lang_en',         s1, s2,
+          |  3, 'stopword_floor',  s2, s3,
+          |  4, 'diversity_floor', s3, s4) AS (stage_idx, stage, n_in, n_kept)""".stripMargin))
+      .withColumn("n_dropped", $"n_in" - $"n_kept")
+      .orderBy($"stage_idx")
+  }
+
+  /** `sample_domain_budget`: token-budget domain mixing — the data-mixture
+    * step of a pretraining pipeline: given a global token budget (here
+    * half the corpus) split equally across sources, each source gets a
+    * deterministic keep-rate k/16 (floor, capped at 16/16), and documents
+    * are kept by content hash (first md5 hex digit of doc_id < k) — so
+    * the sample is reproducible, engine-independent, and stable under
+    * repartitioning, like [[sampleSplitAssign]]. All arithmetic is
+    * integer (token counts via separator counting, rates in sixteenths),
+    * so the oracle matches bit-for-bit. Plan shape at scale: ONE scan →
+    * partial agg on (source, hex-bucket) → all remaining math on the
+    * domain-cardinality frame (≤ 16×#sources rows — the global window
+    * there is over thousands of rows, not the corpus). */
+  def domainBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nTokens = (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
+      .cast(LongType)
+    val hv = (instr(lit("0123456789abcdef"),
+      substring(md5($"doc_id".cast(StringType)), 1, 1)) - 1).cast(LongType)
+    val g = Tables.documents(spark, sfDir)
+      .select($"source", nTokens.as("toks"), hv.as("hv"))
+      .groupBy($"source", $"hv")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_toks"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    g.withColumn("src_toks", sum($"n_toks").over(wSrc))
+      .withColumn("src_docs", sum($"n_docs").over(wSrc))
+      .withColumn("total_toks", sum($"n_toks").over(wAll))
+      .withColumn("n_src", size(collect_set($"source").over(wAll)).cast(LongType))
+      .withColumn("keep_16",
+        least(lit(16L), expr("((total_toks div 2) div n_src * 16) div src_toks")))
+      .groupBy($"source")
+      .agg(
+        first($"src_docs").as("n_docs"),
+        first($"src_toks").as("n_tokens"),
+        first($"keep_16").as("keep_16"),
+        sum(when($"hv" < $"keep_16", $"n_docs").otherwise(0L)).as("n_docs_kept"),
+        sum(when($"hv" < $"keep_16", $"n_toks").otherwise(0L)).as("n_tokens_kept"))
+      .orderBy($"source")
+  }
+
   /** `sample_shuffle_shard`: deterministic training-order shuffle — the
     * epoch-ordering step of a training pipeline: each doc gets a
     * content-keyed pseudo-random sort key (md5 of doc_id + seed), is

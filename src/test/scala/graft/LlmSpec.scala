@@ -146,4 +146,53 @@ class LlmSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("text_filter_funnel: stages chain (n_in = prior n_kept) and conserve counts") {
+    val s = spark
+    import s.implicits._
+    val rows = TextOps.filterFunnel(spark, sf).collect()
+    assert(rows.length == 4)
+    assert(rows.head.getAs[Long]("n_in") == Tables.documents(spark, sf).count())
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_kept"), "funnel must chain")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_kept") == r.getAs[Long]("n_dropped"))
+      assert(r.getAs[Long]("n_kept") >= 0 && r.getAs[Long]("n_kept") <= r.getAs[Long]("n_in"))
+    }
+  }
+
+  test("sample_domain_budget: keep-rate honored per source, driver recount agrees") {
+    val s = spark
+    import s.implicits._
+    val got = TextOps.domainBudget(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.keySet == docs.map(_._1).toSet)
+    val bySrc = docs.groupBy(_._1)
+    def nTok(t: String): Long = t.count(_ == ' ').toLong + 1L
+    def hv(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0) match {
+        case c if c.isDigit => c - '0'
+        case c => c - 'a' + 10
+      }
+    }
+    val totalToks = docs.map(d => nTok(d._3)).sum
+    val share = (totalToks / 2) / bySrc.size
+    bySrc.foreach { case (src, ds) =>
+      val r = got(src)
+      val srcToks = ds.map(d => nTok(d._3)).sum
+      val k = math.min(16L, share * 16 / srcToks)
+      assert(r.getAs[Long]("n_docs") == ds.length)
+      assert(r.getAs[Long]("n_tokens") == srcToks)
+      assert(r.getAs[Long]("keep_16") == k)
+      val kept = ds.filter(d => hv(d._2) < k)
+      assert(r.getAs[Long]("n_docs_kept") == kept.length)
+      assert(r.getAs[Long]("n_tokens_kept") == kept.map(d => nTok(d._3)).sum)
+    }
+  }
 }
