@@ -42,7 +42,11 @@ object DevScale {
     // repetition filter — all per-doc or small-output aggregates, so
     // replication stresses the plan, not the fixture
     "text_lang_id", "text_ngram_freq", "text_lang_stats",
-    "text_repetition_ratio")
+    "text_repetition_ratio",
+    // round 8: the new single-pass data-path ops (the SQL-surface
+    // queries are thin wrappers over already-audited plans; the state
+    // reader's cost is the streaming floor, profiled separately)
+    "text_filter_funnel", "sample_domain_budget")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
