@@ -1648,6 +1648,22 @@ $iters
                + (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                   FROM orders WHERE year(o_orderdate) = 1997), 4) AS total_price""",
 
+    "layout_zorder_cluster" ->
+      // the same Morton interleave in DuckDB operator syntax: bit i of
+      // x → bit 2i, bit i of y → bit 2i+1; all-integer, exact match
+      s"""WITH c AS (
+           SELECT l_orderkey % 65536 AS xk, l_partkey % 65536 AS yk
+           FROM lineitem),
+         z AS (SELECT xk, yk,
+           ${(0 until 16).map(i =>
+             s"(((xk >> $i) & 1) << ${2 * i}) + (((yk >> $i) & 1) << ${2 * i + 1})")
+             .mkString(" + ")} AS zv
+           FROM c)
+         SELECT zv // 16777216 AS bucket, count(*) AS n_rows,
+           min(xk) AS min_x, max(xk) AS max_x,
+           min(yk) AS min_y, max(yk) AS max_y
+         FROM z GROUP BY 1 ORDER BY bucket""",
+
     "text_filter_funnel" ->
       // the four conjunctive survivor counts recomputed in one scan, then
       // unpivoted to stage rows — all-integer predicates, exact match

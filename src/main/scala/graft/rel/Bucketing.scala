@@ -45,4 +45,39 @@ object Bucketing {
         .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"))
       .orderBy($"o_orderkey")
   }
+
+  /** The Morton/z-value of two 16-bit coordinates as a column expression
+    * (bit i of x → bit 2i, bit i of y → bit 2i+1): pure shifts/masks, so
+    * it stays inside whole-stage codegen and costs one projection. */
+  private[graft] def zValueExpr(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"(shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
+      s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))").mkString(" + ")
+
+  /** `layout_zorder_cluster`: multi-dimensional data clustering — the
+    * Z-ORDER layout step a 100 TB table needs when queries filter on TWO
+    * keys (order AND part): interleave the keys' bits into a Morton
+    * z-value, cluster by its range, and every cluster covers a NARROW
+    * range of BOTH dimensions — so min/max file statistics prune scans
+    * on either predicate (a single-key sort gives pruning on one
+    * dimension and nothing on the other). The query emits the per-bucket
+    * locality report (top-8-z-bits bucket → count + min/max of both
+    * 16-bit coordinates); BucketingSpec asserts each bucket's span is
+    * ≤ 2^12 in BOTH dims — the file-skipping guarantee. The layout
+    * action itself is `repartitionByRange(z).sortWithinPartitions(z)`
+    * before the write; the z arithmetic is identical. */
+  def zorderCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Tables.lineitem(spark, sfDir)
+      .select(pmod($"l_orderkey", lit(65536L)).as("xk"),
+        pmod($"l_partkey", lit(65536L)).as("yk"))
+      .withColumn("z", expr(zValueExpr("xk", "yk")))
+      .withColumn("bucket", expr("z div 16777216"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"xk").as("min_x"), max($"xk").as("max_x"),
+        min($"yk").as("min_y"), max($"yk").as("max_y"))
+      .orderBy($"bucket")
+  }
 }

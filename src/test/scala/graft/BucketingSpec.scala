@@ -47,4 +47,23 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql(s"DROP DATABASE IF EXISTS $db")
     }
   }
+
+  test("layout_zorder_cluster: every bucket spans <= 2^12 in BOTH dimensions") {
+    val s = spark
+    import s.implicits._
+    val rows = Bucketing.zorderCluster(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // bucket = top 8 interleaved bits = top 4 bits of each coordinate:
+    // within a bucket both coords share their high nibble, so each
+    // dimension's span is bounded by 2^12 - 1 — the pruning guarantee
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 4095L)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 4095L)
+      assert(r.getAs[Long]("max_x") >> 12 == r.getAs[Long]("min_x") >> 12)
+      assert(r.getAs[Long]("max_y") >> 12 == r.getAs[Long]("min_y") >> 12)
+    }
+    // and nothing is lost: bucket counts partition the table
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      Tables.lineitem(spark, sf).count())
+  }
 }
