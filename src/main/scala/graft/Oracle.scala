@@ -1648,6 +1648,15 @@ $iters
                + (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                   FROM orders WHERE year(o_orderdate) = 1997), 4) AS total_price""",
 
+    "source_partitioned_roundtrip" ->
+      // the oracle aggregates the ORIGINAL parquet under the same
+      // predicate: hash match ⇒ partitioned write/read lossless and the
+      // directory pruning semantics-preserving
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+         FROM orders WHERE year(o_orderdate) = 1995
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "layout_zorder_cluster" ->
       // the same Morton interleave in DuckDB operator syntax: bit i of
       // x → bit 2i, bit i of y → bit 2i+1; all-integer, exact match

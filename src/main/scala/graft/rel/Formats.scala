@@ -54,4 +54,42 @@ object Formats {
         max($"o_orderkey").as("max_key"))
       .orderBy($"o_orderstatus")
   }
+
+  private val stagedPart =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** `source_partitioned_roundtrip`: Hive-style PARTITIONED layout —
+    * orders written `partitionBy(o_year)` (one directory per year), then
+    * read back with a partition-key predicate. The filter resolves
+    * against the directory listing, not the data: `.explain` shows it
+    * under PartitionFilters and the executed scan's numFiles metric
+    * counts only the matching `o_year=1995/` directory (asserted in
+    * FormatsSpec). At 100 TB this is the first and cheapest scan
+    * reducer — whole partitions never become tasks, which row-group
+    * statistics pushdown (scan_filter_project) cannot do. Staged once
+    * per (session, sfDir), same shared-stage pattern as [[orcRoundtrip]];
+    * the oracle aggregates the ORIGINAL parquet under the same
+    * predicate, so a hash match proves the partitioned write/read cycle
+    * lossless AND the pruning semantics-preserving. */
+  def partitionedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    if (stagedPart.size > 16) stagedPart.clear()
+    val dir = stagedPart.computeIfAbsent(
+      (spark, sfDir),
+      _ => {
+        val d = Files.createTempDirectory("graft-part").toString
+        Tables.orders(spark, sfDir)
+          .withColumn("o_year", year($"o_orderdate"))
+          .write.mode("overwrite").partitionBy("o_year").parquet(s"$d/orders")
+        d
+      })
+    spark.read.parquet(s"$dir/orders")
+      .filter($"o_year" === 1995)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
 }

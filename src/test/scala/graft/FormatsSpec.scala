@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Partitioned-layout semantics: the partition-key predicate must prune
+  * at the DIRECTORY level (only the matching year's files become scan
+  * input), and the pruned aggregate must equal the unpartitioned
+  * original's. (ORC roundtrip is covered in Round6OpsSpec.) */
+class FormatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.Sf
+
+  test("source_partitioned_roundtrip: directory pruning, lossless values") {
+    val s = spark
+    import s.implicits._
+    val df = graft.rel.Formats.partitionedRoundtrip(spark, sf)
+
+    // value-lossless vs the original parquet under the same predicate
+    val direct = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate") === 1995)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price"))
+      .orderBy($"o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == direct)
+
+    // the predicate is a PartitionFilter, not a data filter...
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"),
+      s"partition filter missing from plan:\n$plan")
+    // ...and pruning is real: after execution the scan's numFiles metric
+    // counts only the matching year's file, not the whole directory tree
+    // (inputFiles can't show this — it lists the relation PRE-pruning)
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScan(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Some(f)
+      case other => other.children.view.flatMap(findScan(_)).headOption
+    }
+    val scan = findScan(df.queryExecution.executedPlan).get
+    val yearDirs = new java.io.File(
+      scan.relation.location.rootPaths.head.toUri).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("o_year="))
+    assert(yearDirs > 1, "fixture must span multiple years for the test to bite")
+    assert(scan.metrics("numFiles").value < yearDirs,
+      s"scan read ${scan.metrics("numFiles").value} files across $yearDirs year dirs — no pruning")
+  }
+}
