@@ -1657,6 +1657,19 @@ $iters
          FROM orders WHERE year(o_orderdate) = 1995
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    "join_dpp_partitioned" ->
+      // the runtime-pruned join restated as a static IN-subquery: a hash
+      // match proves dynamic pruning only changed WHEN the partition set
+      // was known, never WHAT qualified
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+         FROM orders
+         WHERE year(o_orderdate) IN
+           (SELECT DISTINCT year(l_shipdate) FROM lineitem
+            WHERE year(l_shipdate) IN (1995, 1996))
+         GROUP BY 1, 2 ORDER BY o_year, o_orderstatus""",
+
     "layout_zorder_cluster" ->
       // the same Morton interleave in DuckDB operator syntax: bit i of
       // x → bit 2i, bit i of y → bit 2i+1; all-integer, exact match

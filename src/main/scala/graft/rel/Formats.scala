@@ -71,7 +71,9 @@ object Formats {
     * the oracle aggregates the ORIGINAL parquet under the same
     * predicate, so a hash match proves the partitioned write/read cycle
     * lossless AND the pruning semantics-preserving. */
-  def partitionedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Orders staged once per (session, sfDir) as a Hive-partitioned
+    * (`o_year=YYYY/`) parquet tree — shared by the pruning queries. */
+  private def stagedPartitionedOrders(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     if (stagedPart.size > 16) stagedPart.clear()
     val dir = stagedPart.computeIfAbsent(
@@ -83,7 +85,12 @@ object Formats {
           .write.mode("overwrite").partitionBy("o_year").parquet(s"$d/orders")
         d
       })
-    spark.read.parquet(s"$dir/orders")
+    s"$dir/orders"
+  }
+
+  def partitionedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(stagedPartitionedOrders(spark, sfDir))
       .filter($"o_year" === 1995)
       .groupBy($"o_orderstatus")
       .agg(
@@ -91,5 +98,34 @@ object Formats {
         round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
           .as("sum_price"))
       .orderBy($"o_orderstatus")
+  }
+
+  /** `join_dpp_partitioned`: DYNAMIC partition pruning — the star-schema
+    * optimization a 100 TB fact table lives or dies by: the partition
+    * predicate isn't known at plan time (it's the result of filtering
+    * the dim side), so Catalyst injects a runtime subquery
+    * (`dynamicpruningexpression` in the fact scan's PartitionFilters)
+    * that broadcasts the dim's qualifying years and prunes fact
+    * DIRECTORIES before any fact task launches. Here: shipment years
+    * 1995-96 (a filtered distinct over lineitem) drive which o_year
+    * partitions of the staged fact are read — FormatsSpec asserts the
+    * dynamic filter is present and the executed numFiles metric shows
+    * the pruning happened. The oracle states the same semantics as a
+    * static IN-subquery. */
+  def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fact = spark.read.parquet(stagedPartitionedOrders(spark, sfDir))
+    val dim = Tables.lineitem(spark, sfDir)
+      .select(year($"l_shipdate").as("ship_year")).distinct()
+      .filter($"ship_year".isin(1995, 1996))
+    fact.join(broadcast(dim), fact("o_year") === dim("ship_year"))
+      .groupBy($"o_year", $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price"))
+      .select($"o_year".cast("long").as("o_year"), $"o_orderstatus",
+        $"n_orders", $"sum_price")
+      .orderBy($"o_year", $"o_orderstatus")
   }
 }

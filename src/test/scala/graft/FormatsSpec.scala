@@ -50,4 +50,46 @@ class FormatsSpec extends AnyFunSuite {
     assert(scan.metrics("numFiles").value < yearDirs,
       s"scan read ${scan.metrics("numFiles").value} files across $yearDirs year dirs — no pruning")
   }
+
+  test("join_dpp_partitioned: runtime dim filter prunes fact partitions") {
+    val s = spark
+    import s.implicits._
+    val df = graft.rel.Formats.dppJoin(spark, sf)
+
+    // values equal the static IN-subquery restatement
+    val years = Tables.lineitem(spark, sf)
+      .select(year($"l_shipdate").as("y")).distinct()
+      .filter($"y".isin(1995, 1996)).collect().map(_.getInt(0)).toSet
+    val direct = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate").isin(years.toSeq: _*))
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"), $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price"))
+      .orderBy($"o_year", $"o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == direct)
+
+    // the fact scan carries a RUNTIME pruning subquery, and it executed:
+    // fewer files read than year directories exist
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning expression in plan:\n$plan")
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScan(st.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.head.toString.contains("graft-part") => Some(f)
+      case other => other.children.view.flatMap(findScan(_)).headOption
+    }
+    val scan = findScan(df.queryExecution.executedPlan).get
+    val yearDirs = new java.io.File(
+      scan.relation.location.rootPaths.head.toUri).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("o_year="))
+    assert(yearDirs > 2, "fixture must span >2 years")
+    assert(scan.metrics("numFiles").value <= 2,
+      s"dynamic pruning did not restrict the scan: ${scan.metrics("numFiles").value} files read of $yearDirs year dirs")
+  }
 }
