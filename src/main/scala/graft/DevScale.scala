@@ -46,7 +46,7 @@ object DevScale {
     // round 8: the new single-pass data-path ops (the SQL-surface
     // queries are thin wrappers over already-audited plans; the state
     // reader's cost is the streaming floor, profiled separately)
-    "text_filter_funnel", "sample_domain_budget")
+    "text_filter_funnel", "sample_domain_budget", "layout_zorder_cluster")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
