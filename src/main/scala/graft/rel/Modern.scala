@@ -383,4 +383,31 @@ object Modern {
       .orderBy($"cnt".desc, $"token")
       .limit(20)
   }
+
+  /** `agg_count_min_sketch`: the remaining classic mergeable frequency
+    * sketch (CMS) — per-type PARTIAL sketches (`count_min_sketch`, fixed
+    * seed) merged associatively, then probed for per-user event-frequency
+    * estimates. The merge is the point: cells add, so partials built on
+    * 1000 executors combine into exactly the sketch a single pass would
+    * build — Round6OpsSpec asserts merged-estimates == single-global-
+    * sketch estimates AND the one-sided CMS guarantee (estimate ≥ exact)
+    * against exact per-user counts. Merge order doesn't matter
+    * (commutative cell addition), so the collect order hazard is nil.
+    * Rows-only at the gate: estimate VALUES are implementation-specific
+    * (seeded hash layout), like the HLL/top-k sketches. */
+  def aggCountMinSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val partials = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+      .collect().map(_.getAs[Array[Byte]]("sk"))
+    val merged = partials
+      .map(b => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    (0L until 20L).map(u =>
+        (u, merged.estimateCount(java.lang.Long.valueOf(u))))
+      .toDF("user_id", "cms_est")
+      .orderBy($"user_id")
+  }
 }

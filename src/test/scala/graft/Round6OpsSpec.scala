@@ -57,6 +57,31 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(sketch == exact, "sketch top-20 diverged from exact counts")
   }
 
+  test("agg_count_min_sketch: merged partials == global sketch; estimate >= exact") {
+    val s = spark
+    import s.implicits._
+    val est = Modern.aggCountMinSketch(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-sided CMS guarantee against the exact per-user counts
+    val exact = Tables.events(spark, sf)
+      .filter($"user_id" < 20).groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (u, n) =>
+      assert(est(u) >= n, s"CMS underestimated user $u: ${est(u)} < $n")
+    }
+    // mergeability: associatively merged per-type partials must equal the
+    // single global sketch (same dims + seed → identical cell layout)
+    val globalBytes = Tables.events(spark, sf)
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    val global = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(globalBytes))
+    (0L until 20L).foreach { u =>
+      assert(est(u) == global.estimateCount(java.lang.Long.valueOf(u)),
+        s"merged partials diverge from the global sketch at user $u")
+    }
+  }
+
   test("graph_pagerank: 3-cycle (regular graph) gives identical ranks") {
     val s = spark
     import s.implicits._
