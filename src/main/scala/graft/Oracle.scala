@@ -1609,6 +1609,19 @@ $iters
          SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS rep_doc
          FROM c GROUP BY canonical_url ORDER BY canonical_url""",
 
+    "agg_theta_setops" ->
+      // below nominal capacity theta is exact: the sketch set algebra
+      // must equal DuckDB's exact distinct counts/intersections
+      """SELECT
+           (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS n_click,
+           (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'view') AS n_view,
+           (SELECT count(DISTINCT e1.user_id) FROM events e1
+            WHERE e1.event_type = 'click'
+              AND e1.user_id IN (SELECT user_id FROM events WHERE event_type = 'view')) AS n_both,
+           (SELECT count(DISTINCT e1.user_id) FROM events e1
+            WHERE e1.event_type = 'click'
+              AND e1.user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'view')) AS n_click_only""",
+
     "sql_session_variable" ->
       // the oracle inlines the variable's defining subquery — a variable
       // reference is semantically a folded constant (max*0.5 is exact in

@@ -395,6 +395,31 @@ object Modern {
     * (commutative cell addition), so the collect order hazard is nil.
     * Rows-only at the gate: estimate VALUES are implementation-specific
     * (seeded hash layout), like the HLL/top-k sketches. */
+  /** `agg_theta_setops`: Datasketches THETA sketches — the capability
+    * HLL fundamentally lacks: set INTERSECTION and DIFFERENCE of
+    * distinct sets, not just union. Two conditional sketches (clickers,
+    * viewers) built in ONE pass over events, then |A|, |B|, |A∩B|,
+    * |A\B| from the sketch algebra. Below the sketch's nominal capacity
+    * (k = 4096 retained hashes) theta runs in EXACT mode — every test
+    * scale's user cardinality (15/150/1500) is far under it, so the
+    * gate hash-matches DuckDB's exact distinct counts; beyond k the
+    * same plan degrades gracefully to bounded-error estimates (the
+    * 100 TB regime — where exact distinct intersection would need a
+    * full shuffle of both sides, the sketch needs one pass and
+    * kilobytes). */
+  def aggThetaSetops(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .agg(
+        expr("theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)").as("ska"),
+        expr("theta_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END)").as("skb"))
+      .select(
+        expr("theta_sketch_estimate(ska)").as("n_click"),
+        expr("theta_sketch_estimate(skb)").as("n_view"),
+        expr("theta_sketch_estimate(theta_intersection(ska, skb))").as("n_both"),
+        expr("theta_sketch_estimate(theta_difference(ska, skb))").as("n_click_only"))
+  }
+
   def aggCountMinSketch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val partials = Tables.events(spark, sfDir)

@@ -57,6 +57,22 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(sketch == exact, "sketch top-20 diverged from exact counts")
   }
 
+  test("agg_theta_setops: sketch set algebra equals exact set arithmetic") {
+    val s = spark
+    import s.implicits._
+    val r = Modern.aggThetaSetops(spark, sf).collect().head
+    val clickers = Tables.events(spark, sf).filter($"event_type" === "click")
+      .select($"user_id").distinct().collect().map(_.getLong(0)).toSet
+    val viewers = Tables.events(spark, sf).filter($"event_type" === "view")
+      .select($"user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(r.getLong(0) == clickers.size)
+    assert(r.getLong(1) == viewers.size)
+    assert(r.getLong(2) == (clickers intersect viewers).size)
+    assert(r.getLong(3) == (clickers diff viewers).size)
+    // and the identity |A| = |A∩B| + |A\B| holds in the sketch domain
+    assert(r.getLong(0) == r.getLong(2) + r.getLong(3))
+  }
+
   test("agg_count_min_sketch: merged partials == global sketch; estimate >= exact") {
     val s = spark
     import s.implicits._
