@@ -391,10 +391,12 @@ object Modern {
     * 1000 executors combine into exactly the sketch a single pass would
     * build — Round6OpsSpec asserts merged-estimates == single-global-
     * sketch estimates AND the one-sided CMS guarantee (estimate ≥ exact)
-    * against exact per-user counts. Merge order doesn't matter
-    * (commutative cell addition), so the collect order hazard is nil.
-    * Rows-only at the gate: estimate VALUES are implementation-specific
-    * (seeded hash layout), like the HLL/top-k sketches. */
+    * against exact per-user counts. The merge itself runs as a second
+    * executor-side aggregation (`CmsMergeAgg`) — no driver collect
+    * anywhere in the path; merge order doesn't matter (commutative cell
+    * addition). Rows-only at the gate: estimate VALUES are
+    * implementation-specific (seeded hash layout), like the HLL/top-k
+    * sketches. */
   /** `agg_theta_setops`: Datasketches THETA sketches — the capability
     * HLL fundamentally lacks: set INTERSECTION and DIFFERENCE of
     * distinct sets, not just union. Two conditional sketches (clickers,
@@ -422,17 +424,19 @@ object Modern {
 
   def aggCountMinSketch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val partials = Tables.events(spark, sfDir)
+    // Per-type partial sketches, then the merge STAYS ON EXECUTORS: a
+    // second aggregation over the sketch binaries (CmsMergeAgg) — the
+    // same two-phase partial/final layout every mergeable sketch uses,
+    // with zero driver participation. The probe fans the one merged
+    // sketch row out over the key range with a Generate (no join, no
+    // collect) and estimates in place via cms_estimate.
+    Tables.events(spark, sfDir)
       .groupBy($"event_type")
       .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
-      .collect().map(_.getAs[Array[Byte]]("sk"))
-    val merged = partials
-      .map(b => org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(b)))
-      .reduce { (a, b) => a.mergeInPlace(b); a }
-    (0L until 20L).map(u =>
-        (u, merged.estimateCount(java.lang.Long.valueOf(u))))
-      .toDF("user_id", "cms_est")
+      .agg(graft.functions.CmsFunctions.cms_merge($"sk").as("sk"))
+      .select(explode(sequence(lit(0L), lit(19L))).as("user_id"), $"sk")
+      .select($"user_id",
+        graft.functions.CmsFunctions.cms_estimate($"sk", $"user_id").as("cms_est"))
       .orderBy($"user_id")
   }
 }
