@@ -31,6 +31,29 @@ object Bench {
     // timings. The streaming queries' own micro-batch/state work is
     // still fully counted.
     graft.cdc.StreamingLatest.stagedEventLog(spark, sfDir)
+    // Catalog registration + first SQL-path parse/analysis are session
+    // startup too (10 CREATE TABLE DDLs + analyzer warm-up otherwise
+    // land on whichever sql_* query runs first alphabetically — measured
+    // ~3 s on sql_identifier_clause in BENCH_r04). registerStarSchema is
+    // memoized per (session, sfDir), so the queries' own calls become
+    // no-ops after this.
+    try {
+      graft.cdc.CatalogDdl.registerStarSchema(spark, sfDir)
+      // catalog-table scans keep a per-table relation cache (file index +
+      // footer schema) separate from the path-based reads the non-SQL
+      // queries warm — touch every registered table so no sql_* query
+      // pays first-listing cost, and bind one named parameter so the
+      // parameterized-query path (IDENTIFIER/:param) is compiled too
+      graft.cdc.CatalogDdl.TableNames.foreach { t =>
+        spark.sql(s"SELECT count(*) FROM ${graft.cdc.CatalogDdl.Database}.$t").collect()
+      }
+      spark.sql("SELECT :x AS x", Map[String, Any]("x" -> 1)).collect()
+    } catch { case e: Throwable =>
+      // warm-up failure means some queries will absorb startup cost into
+      // their timings — keep going, but say so (stderr, not the parsed
+      // stdout stream)
+      System.err.println(s"[bench] catalog warm-up failed: $e")
+    }
     // Warm the custom-expression codegen paths (WordShingleHashes,
     // MinHash/SimHash aggregates, vector dot/LSH): first use pays Janino
     // compilation + class loading, which is session startup, not query
