@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: measure ANN recall@10 vs the exact cosine top-10 at both
+  * gate scales, to pin the spec thresholds on recorded values. */
+object DevRecall {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { sf =>
+      val exact = graft.llm.VectorOps.simTopkCosine(spark, sf).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      val lsh = graft.llm.EmbedLsh.simAnnLsh(spark, sf).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      val ivf = graft.llm.IvfAnn.simAnnIvf(spark, sf).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      println(s"[recall] $sf lsh=${lsh.intersect(exact).size}/10 ivf=${ivf.intersect(exact).size}/10")
+    }
+    spark.stop()
+  }
+}

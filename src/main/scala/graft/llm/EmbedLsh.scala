@@ -91,7 +91,17 @@ object EmbedLsh {
     // materialize the banded id table once — both candidate join sides
     // consume it (hyperplane hashing ×2 otherwise)
     val banded = withBuckets(emb).localCheckpoint()
-    val probe = banded.filter($"vec_id" === 0).select($"table_id", $"bucket")
+    // Multi-probe (Lv et al., VLDB'07): probe the exact bucket PLUS every
+    // Hamming-1 perturbation (flip each of the BitsPerTable sign bits).
+    // Only the probe side fans out — (1+bits)×tables ≈ 84 broadcast rows —
+    // the indexed side and its shuffle are untouched, so the recall lift
+    // (measured 4-7/10 → see DevRecall) costs nothing at scale: this is
+    // exactly the trick that lets a 100 TB index keep FEWER tables (less
+    // index storage) at equal recall.
+    val flipMasks = array((lit(0) +: (0 until BitsPerTable).map(b => lit(1 << b))): _*)
+    val probe = banded.filter($"vec_id" === 0)
+      .select($"table_id", explode(flipMasks).as("mask"), $"bucket")
+      .select($"table_id", $"bucket".bitwiseXOR($"mask").as("bucket"))
     val candidates = banded.filter($"vec_id" =!= 0)
       .join(broadcast(probe), Seq("table_id", "bucket"))
       .select($"vec_id").dropDuplicates("vec_id")

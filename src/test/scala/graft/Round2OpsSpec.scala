@@ -91,7 +91,12 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(cos == cos.sorted.reverse)
     val exact = VectorOps.simTopkCosine(spark, sf).collect()
       .map(_.getAs[Long]("vec_id")).toSet
-    assert(ann1.map(_.getAs[Long]("vec_id")).toSet.intersect(exact).nonEmpty)
+    // pinned recall@10 vs the exact panel: IVF measures 9/10 at sf0.001
+    // and 10/10 at sf0.01/0.1 (DevRecall, round 5) — threshold 8 makes
+    // an nprobe/centroid regression fail loudly instead of decaying to
+    // "nonEmpty overlap"
+    val recall = ann1.map(_.getAs[Long]("vec_id")).toSet.intersect(exact).size
+    assert(recall >= 8, s"IVF recall@10 regressed: $recall/10 (recorded 9/10)")
   }
 
   test("text_clean_normalize: cleaning is idempotent on already-clean text") {
