@@ -702,9 +702,14 @@ $iters
          ORDER BY l_returnflag, measure""",
 
     "mm_frame_sample" ->
-      """SELECT doc_id AS media_id, i * 4 AS frame_idx,
+      // docs CTE = documents + the degenerate empty-payload fixture row
+      // (mirrors MultiModal.documentsWithFixture): range(0) emits no
+      // sample rows for it, gate-proving the query's n_samples>0 guard
+      """WITH docs AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT -1, '')
+         SELECT doc_id AS media_id, i * 4 AS frame_idx,
                 least(32, octet_length(encode(text)) - i * 4 * 32) AS frame_len
-         FROM documents,
+         FROM docs,
               unnest(range(CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT))) AS t(i)
          ORDER BY media_id, frame_idx""",
 
@@ -884,12 +889,16 @@ $iters
          FROM documents ORDER BY doc_id""",
 
     "mm_binary_meta" ->
-      """SELECT doc_id AS media_id,
+      // + degenerate empty-payload fixture row (documentsWithFixture
+      // twin): byte_len 0, md5('') and empty header hex both engines
+      """WITH docs AS (SELECT doc_id, text, source FROM documents
+                       UNION ALL SELECT -1, '', 'fixture')
+         SELECT doc_id AS media_id,
                 octet_length(encode(text)) AS byte_len,
                 md5(text) AS payload_md5,
                 hex(encode(substring(text, 1, 8))) AS header_hex,
                 source AS origin
-         FROM documents ORDER BY media_id""",
+         FROM docs ORDER BY media_id""",
 
     "sim_topk_cosine" ->
       """SELECT vec_id, round(cos_raw, 4) AS cos_sim FROM (
@@ -1562,22 +1571,31 @@ $iters
       // ASCII fixture: char positions == byte positions, so VARCHAR
       // substring mirrors the binary slice and md5 over the slice is
       // engine-independent (the mm_binary_meta argument)
-      """SELECT doc_id AS media_id,
+      // docs CTE adds the degenerate empty-payload fixture row: range(0)
+      // emits zero patches for it, gate-proving the query's np>0 guard
+      """WITH docs AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT -1, '')
+         SELECT doc_id AS media_id,
                 CAST(i // 8 AS INTEGER) AS patch_row,
                 CAST(i % 8 AS INTEGER) AS patch_col,
                 CAST(least(16, octet_length(encode(text)) - i * 16) AS INTEGER) AS patch_len,
                 md5(substring(text, CAST(i * 16 + 1 AS INTEGER), 16)) AS patch_md5
-         FROM documents,
+         FROM docs,
               unnest(range(CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT))) AS t(i)
          ORDER BY media_id, patch_row, patch_col""",
 
     "mm_audio_window" ->
       // exact integer byte sums (ASCII fixture: ascii == byte value);
       // only the mean is rounded — identical-IEEE HALF_UP both sides
-      """WITH w AS (
+      // docs CTE adds the degenerate empty-text fixture row: one empty
+      // window with NULL byte_sum/mean, gate-proving the query's
+      // empty-window guard (list_aggregate([], 'sum') IS NULL here)
+      """WITH docs AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT -1, ''),
+         w AS (
            SELECT doc_id AS media_id, i AS win_idx,
                   substring(text, CAST(i * 32 + 1 AS INTEGER), 64) AS win
-           FROM documents,
+           FROM docs,
                 unnest(range(CAST(greatest(floor((octet_length(encode(text)) - 64) / 32.0) + 1, 1) AS BIGINT))) AS t(i))
          SELECT media_id, CAST(win_idx AS INTEGER) AS win_idx,
                 CAST(length(win) AS INTEGER) AS win_len,

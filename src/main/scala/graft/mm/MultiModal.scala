@@ -23,10 +23,29 @@ import graft.Tables
   */
 object MultiModal {
 
-  /** The canonical media table shape: (media_id, payload: binary, meta). */
-  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+  /** documents plus ONE degenerate row (doc_id -1, empty text): the
+    * empty-payload / empty-window guards in the oracle-checked queries
+    * below are exercised by the DuckDB gate itself — the oracle twins
+    * union the identical row — not only by specs. Corpus rows are
+    * untouched, so every existing assertion and hash still holds. */
+  def documentsWithFixture(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select(
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .unionByName(Seq((-1L, "", "xx", "fixture"))
+        .toDF("doc_id", "text", "lang", "source"))
+  }
+
+  /** The canonical media table shape: (media_id, payload: binary, meta).
+    * `withFixture = true` appends the degenerate empty-payload row for
+    * the oracle-checked consumers (see [[documentsWithFixture]]). */
+  def mediaTable(spark: SparkSession, sfDir: String,
+      withFixture: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val docs =
+      if (withFixture) documentsWithFixture(spark, sfDir)
+      else Tables.documents(spark, sfDir)
+    docs.select(
       $"doc_id".as("media_id"),
       $"text".cast(BinaryType).as("payload"),
       struct(
@@ -41,7 +60,7 @@ object MultiModal {
     * engine-independent). */
   def binaryMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, sfDir).select(
+    mediaTable(spark, sfDir, withFixture = true).select(
       $"media_id",
       length($"payload").as("byte_len"),
       md5($"payload").as("payload_md5"),
@@ -136,7 +155,7 @@ object MultiModal {
     * the payload byte length). */
   def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    sampleFrames(mediaTable(spark, sfDir), everyK = 4)
+    sampleFrames(mediaTable(spark, sfDir, withFixture = true), everyK = 4)
       .orderBy($"media_id", $"frame_idx")
   }
 
@@ -151,8 +170,13 @@ object MultiModal {
     val nFrames = ceil(length(col("payload")) / lit(FrameBytes.toDouble)).cast("int")
     val nSamples = floor((nFrames + everyK - 1) / lit(everyK.toDouble)).cast("int")
     df.select(col("media_id"), length(col("payload")).as("blen"), nSamples.as("n_samples"))
+      // empty payload → n_samples = 0 → ZERO sample rows, same as the
+      // oracle's range(0); the earlier greatest(..., 0) clamp emitted one
+      // degenerate (idx 0, len 0) row there instead — a divergence the
+      // fixture row would have exposed at the gate
+      .where(col("n_samples") > 0)
       .select(col("media_id"), col("blen"),
-        explode(sequence(lit(0), greatest(col("n_samples") - 1, lit(0)))).as("s"))
+        explode(sequence(lit(0), col("n_samples") - 1)).as("s"))
       .select(col("media_id"), (col("s") * everyK).as("frame_idx"), col("blen"))
       .select(col("media_id"), col("frame_idx"),
         greatest(least(lit(FrameBytes), col("blen") - col("frame_idx") * FrameBytes), lit(0))
@@ -193,7 +217,7 @@ object MultiModal {
     val nWin = greatest(
       (floor((blen - AudioWin).cast(DoubleType) / AudioStride) + 1).cast(IntegerType),
       lit(1))
-    graft.Tables.documents(spark, sfDir)
+    documentsWithFixture(spark, sfDir)
       .select($"doc_id".as("media_id"), $"text", nWin.as("nw"))
       .select($"media_id", $"text",
         explode(sequence(lit(0), $"nw" - 1)).as("w"))
@@ -218,7 +242,7 @@ object MultiModal {
   def patchGrid(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nPatches = ceil(length($"payload") / lit(PatchBytes.toDouble)).cast("int")
-    mediaTable(spark, sfDir)
+    mediaTable(spark, sfDir, withFixture = true)
       .select($"media_id", $"payload", nPatches.as("np"))
       // empty payload → np = 0 → ZERO patch rows, same as the oracle's
       // range(ceil(0/16.0)); without the guard sequence(0, -1) would
