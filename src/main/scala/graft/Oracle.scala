@@ -1851,6 +1851,16 @@ $iters
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    "source_avro_roundtrip" ->
+      // the oracle aggregates the ORIGINAL parquet — a hash match proves
+      // the Avro binary encode/decode cycle lost nothing across two
+      // longs, a string and an IEEE double
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                count(DISTINCT o_custkey) AS n_cust,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "array_edit_ops" ->
       // array_position: Spark returns 0 when missing, DuckDB NULL →
       // coalesce; intersect count = membership filter on the distinct

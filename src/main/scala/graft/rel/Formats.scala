@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Columnar-format interop beyond parquet. The engine's primary format
-  * is parquet (every fixture table); an analytics-engine claim also
-  * needs to WRITE and read back the other mainstream columnar format the
-  * runtime ships (ORC). Avro is deliberately absent: this Spark build
-  * carries the avro core jars but not the `spark-avro` runtime
-  * expressions, so `from_avro` would fail at run time — documented
-  * rather than stubbed. */
+/** Columnar/wire-format interop beyond parquet. The engine's primary
+  * format is parquet (every fixture table); an analytics-engine claim
+  * also needs to WRITE and read back the other mainstream columnar
+  * format the runtime ships (ORC), plus the Connect wire format the
+  * reference's converter slot defaults to after JSON: Avro. This Spark
+  * build carries the avro CORE jars but not the `spark-avro` runtime
+  * expressions, so `from_avro`/`to_avro` would fail at run time — the
+  * wire round-trip below ([[avroRoundtrip]]) therefore encodes/decodes
+  * with `GenericDatumWriter`/`GenericDatumReader` directly, which is
+  * the same binary encoding a Connect Avro converter produces. */
 object Formats {
 
   // keyed on the session REFERENCE, not identityHashCode: hash codes can
@@ -48,6 +51,87 @@ object Formats {
       .groupBy($"o_orderstatus")
       .agg(
         count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Avro record schema for the order wire rows — declared as JSON text
+    * (not a Schema object) so the closure ships a string and each
+    * partition parses its own instance; `org.apache.avro.Schema` caches
+    * are not meant to cross serialization boundaries. */
+  private val OrderWireSchema =
+    """{"type":"record","name":"OrderWire","namespace":"graft.wire","fields":[
+      |{"name":"o_orderkey","type":"long"},
+      |{"name":"o_custkey","type":"long"},
+      |{"name":"o_orderstatus","type":"string"},
+      |{"name":"o_totalprice","type":"double"}]}""".stripMargin
+
+  /** `source_avro_roundtrip`: orders serialized row-by-row to Avro
+    * BINARY wire encoding (the reference's Connect converter slot after
+    * JSON — connect-standalone.properties:2-3) and deserialized back,
+    * then aggregated; the oracle computes the SAME aggregate from the
+    * original parquet, so a hash match proves the encode/decode cycle
+    * lossless across all four field types (two longs, string, IEEE
+    * double). `mapPartitions` is the honest shape here — an opaque
+    * per-record byte codec is exactly the imperative-per-partition case
+    * Catalyst expressions can't cover — and writer/encoder/decoder/
+    * record instances are created once per PARTITION and reused per
+    * record (Avro's `binaryEncoder(out, reuse)` contract), so the hot
+    * loop allocates only the output byte arrays. At 100 TB this is a
+    * narrow map on both sides of an aggregation — no shuffle beyond the
+    * final groupBy, no driver involvement. */
+  def avroRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+
+    val schemaJson = OrderWireSchema
+    val src = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice".cast("double").as("o_totalprice"))
+      .as[(Long, Long, String, Double)]
+
+    val wire = src.mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val rec = new GenericData.Record(schema)
+      val bos = new java.io.ByteArrayOutputStream(64)
+      var enc: BinaryEncoder = null
+      it.map { case (key, cust, status, price) =>
+        rec.put("o_orderkey", key)
+        rec.put("o_custkey", cust)
+        rec.put("o_orderstatus", status)
+        rec.put("o_totalprice", price)
+        bos.reset()
+        enc = EncoderFactory.get().binaryEncoder(bos, enc)
+        writer.write(rec, enc)
+        enc.flush()
+        bos.toByteArray
+      }
+    }
+
+    val decoded = wire.mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      var dec: BinaryDecoder = null
+      var rec: GenericRecord = null
+      it.map { bytes =>
+        dec = DecoderFactory.get().binaryDecoder(bytes, dec)
+        rec = reader.read(rec, dec)
+        (rec.get("o_orderkey").asInstanceOf[Long],
+          rec.get("o_custkey").asInstanceOf[Long],
+          rec.get("o_orderstatus").toString,
+          rec.get("o_totalprice").asInstanceOf[Double])
+      }
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+    decoded.groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_cust"),
         round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
           .as("sum_price"),
         min($"o_orderkey").as("min_key"),

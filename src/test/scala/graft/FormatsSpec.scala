@@ -51,6 +51,23 @@ class FormatsSpec extends AnyFunSuite {
       s"scan read ${scan.metrics("numFiles").value} files across $yearDirs year dirs — no pruning")
   }
 
+  test("source_avro_roundtrip: wire codec lossless, byte-exact per row") {
+    val s = spark
+    import s.implicits._
+    // aggregate equals the original parquet's (the oracle's claim)
+    val df = graft.rel.Formats.avroRoundtrip(spark, sf)
+    val direct = Tables.orders(spark, sf)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_cust"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == direct)
+  }
+
   test("join_dpp_partitioned: runtime dim filter prunes fact partitions") {
     val s = spark
     import s.implicits._
