@@ -37,7 +37,7 @@ object StreamingLatest {
     * ~170 hour-windows here), not the session's CPU count — at 32
     * partitions most state tasks carry near-empty stores and the per-batch
     * fixed cost dominates. Restored after the stream completes. */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+  private[cdc] def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
     withConf(spark,
       (("spark.sql.shuffle.partitions" -> n.toString) +: fastCheckpointConf): _*)(body)
 
@@ -50,7 +50,7 @@ object StreamingLatest {
     * with query shutdown doesn't need. Session windows in append mode DO
     * need it (emission happens when the watermark closes the session), so
     * streamSessionize must not use this. */
-  private def withoutNoDataBatch[T](spark: SparkSession)(body: => T): T =
+  private[cdc] def withoutNoDataBatch[T](spark: SparkSession)(body: => T): T =
     withConf(spark, "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")(body)
 
   /** Checkpoint-file checksums (Spark 4.x, on by default) double the
@@ -656,10 +656,7 @@ object StreamingLatest {
 
   def streamStateful(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
     import spark.implicits._
-    val runDir = jvmTmpDir("run")
-    val inDir   = stagedEventLog(spark, sfDir)
-    val outDir  = s"$runDir/out"
-    val ckptDir = s"$runDir/ckpt"
+    val inDir = stagedEventLog(spark, sfDir)
 
     // The staged log replays in event-time order, split so
     // maxFilesPerTrigger=1 exercises incremental multi-batch state
@@ -671,10 +668,27 @@ object StreamingLatest {
     val schema = graft.Tables.events(spark, sfDir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value").schema
 
-    val updates = spark.readStream
+    val source = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
+    latestWinsOver(spark, source)
+  } }
+
+  /** The latest-wins pipeline body, source-agnostic: `source` is any
+    * STREAMING DataFrame carrying the event columns — the staged file
+    * log above (the gate/bench path) or a real Kafka topic
+    * ([[KafkaWire.latestState]]). Everything downstream of the source —
+    * watermark, keyed flatMapGroupsWithState, foreachBatch append sink,
+    * checkpoint lifecycle, final per-key reduce — is THIS one method, so
+    * the two paths cannot drift. */
+  private[cdc] def latestWinsOver(spark: SparkSession, source: DataFrame): DataFrame = {
+    import spark.implicits._
+    val runDir  = jvmTmpDir("run")
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+
+    val updates = source
       .withWatermark("ts", "1 hour")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
       .groupByKey(_.user_id)
@@ -708,7 +722,7 @@ object StreamingLatest {
       .select($"user_id", $"last_event_id", $"last_event_type",
         round($"last_value", 4).as("last_value"), $"last_ts_us")
       .orderBy($"user_id")
-  } }
+  }
 
   /** `cdc_state_reader`: the state-store BATCH READER (Spark 4.x
     * `spark.read.format("statestore")`) — operational state
