@@ -183,6 +183,30 @@ $iters
                 round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""",
 
+    "cdc_stream_sessionize" ->
+      // finalized-horizon twin (StreamingLatest.streamSessionize): only
+      // sessions whose window end (last event + 30 min gap) is strictly
+      // below the final watermark max(ts) - 1 h; the streaming side
+      // applies the identical filter, and Round2OpsSpec proves the
+      // emitted set covers everything below that bound.
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sess AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged),
+         wm AS (SELECT max(epoch_us(ts)) - 3600000000 AS h FROM events)
+         SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events,
+                round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+         FROM sess GROUP BY user_id, sid
+         HAVING max(ts_us) + 1800000000 < (SELECT h FROM wm)
+         ORDER BY user_id, session_start_us""",
+
     "cdc_stream_dedup" ->
       """SELECT event_type, count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
@@ -1165,6 +1189,24 @@ $iters
            JOIN minp ON l_partkey = m_partkey AND avg_price = min_price
            JOIN supplier ON l_suppkey = s_suppkey
          ORDER BY p_partkey, s_suppkey""",
+
+    "q20_potential_promotion" ->
+      """WITH parts AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+         perps AS (
+           SELECT l_partkey, l_suppkey,
+             sum(CASE WHEN l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+                      THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS avail_qty,
+             sum(CASE WHEN l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+                      THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS demand_qty
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM parts)
+           GROUP BY l_partkey, l_suppkey),
+         qual AS (SELECT DISTINCT l_suppkey FROM perps
+                  WHERE demand_qty > 0 AND avail_qty * 2 > demand_qty)
+         SELECT s_suppkey, s_name
+         FROM supplier JOIN qual ON s_suppkey = l_suppkey
+         WHERE s_nationkey < 5
+         ORDER BY s_suppkey""",
 
     "q21_late_suppliers" ->
       """WITH flags AS (

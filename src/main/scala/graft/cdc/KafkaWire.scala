@@ -36,7 +36,17 @@ object KafkaWire {
   val TopicEnv     = "SPARK_GRAFT_KAFKA_TOPIC"
 
   def bootstrap: Option[String] = sys.env.get(BootstrapEnv)
-  def topic: String = sys.env.getOrElse(TopicEnv, "graft-events")
+
+  /** Per-JVM-run unique topic suffix: [[eventStream]] reads
+    * `startingOffsets=earliest`, so re-running against the same broker
+    * with a reused topic would mix a previous run's events (possibly
+    * from a different sfDir / regenerated corpus) into the latest-wins
+    * state. A fresh default topic per run removes that hazard; an
+    * explicit [[TopicEnv]] override is honored verbatim, and then the
+    * topic MUST be empty before [[publishEvents]]. */
+  private lazy val runSuffix: String =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
+  lazy val topic: String = sys.env.getOrElse(TopicEnv, s"graft-events-$runSuffix")
 
   /** True when the `kafka` streaming source can actually be resolved —
     * the spark-sql-kafka runtime is a separate artifact from Spark core
@@ -54,9 +64,15 @@ object KafkaWire {
   }
 
   /** Publish the events table to the topic (batch Kafka sink): key =
-    * user_id, value = JSON with ts as unix micros. One key → one
-    * partition → per-key offset order, the same delivery contract the
-    * staged file log reproduces with mtime ordering. */
+    * user_id, value = JSON with ts as unix micros. Keying by user_id
+    * keeps one key's events in one partition, but a batch write from
+    * parallel tasks gives NO event-time order within that partition —
+    * and none is needed: correctness rests on (a) `latestWinsOver`
+    * selecting the max by (ts_us, event_id), arrival-order-independent,
+    * and (b) AvailableNow consuming the whole topic before the 1-hour
+    * watermark can finalize, so no event is dropped as late. A change
+    * that throttles consumption (e.g. maxOffsetsPerTrigger) must
+    * re-examine (b). */
   def publishEvents(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val b = requireWired()

@@ -196,13 +196,17 @@ object StreamingLatest {
   /** `cdc_stream_sessionize`: streaming session windows — 30-minute-gap
     * sessions per user computed incrementally, emitted in APPEND mode,
     * i.e. only once the watermark proves a session can no longer grow
-    * (watermark past session end + gap). The honest streaming contract:
-    * output = the batch `cdc_sessionize` rows whose sessions closed
-    * before the final watermark — asserted exactly in Round2OpsSpec
-    * (subset of batch + completeness bound); sessions still inside the
-    * horizon stay in state awaiting more data, so there is no full-log
-    * oracle by design. State: one (user, open-session) accumulator,
-    * merged on gap-overlap, evicted at emission. */
+    * (watermark past session end + gap). Oracle via the finalized-horizon
+    * restriction (same trick as `cdc_stream_join_outer`): the output is
+    * pinned to sessions whose window end is STRICTLY below the final
+    * watermark H = max(ts) − 1 h — Round2OpsSpec proves Spark emits every
+    * such session (completeness bound) and that each equals its batch
+    * twin, so `emitted ∩ {end < H}` IS the deterministic set
+    * `{batch sessions : end < H}`, which plain SQL can reproduce
+    * (lag/cumsum islands + the same horizon filter). Sessions at/after
+    * the horizon stay in state awaiting more data and are excluded on
+    * both sides. State: one (user, open-session) accumulator, merged on
+    * gap-overlap, evicted at emission. */
   def streamSessionize(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
@@ -238,7 +242,15 @@ object StreamingLatest {
     }
     rm(Paths.get(ckptDir))
 
+    // finalized horizon (1-row scalar gate, same pattern as the staged
+    // log's watermark scalar): the final no-data batch advances the
+    // watermark to max(ts) − 1 h; sessions strictly below it are the
+    // deterministic, oracle-checkable output set.
+    val horizonUs = graft.Tables.events(spark, sfDir)
+      .agg(unix_micros(max($"ts"))).first().getLong(0) - 3600L * 1000000L
+
     spark.read.parquet(outDir)
+      .filter(unix_micros($"sw.end") < horizonUs)
       .select($"user_id",
         unix_micros($"sw.start").as("session_start_us"),
         $"n_events",

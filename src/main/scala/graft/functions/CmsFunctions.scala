@@ -87,12 +87,14 @@ case class CmsMergeAgg(
 }
 
 /** Scalar probe: `estimateCount(key)` against a serialized CMS. The
-  * deserialized sketch is memo-cached on the byte-array reference so a
-  * fan-out of many probe keys over ONE sketch row (the common shape:
-  * Generate over the merged single-row sketch) deserializes once per
-  * partition, not once per row. Eval-only (CodegenFallback) is fine
-  * here: the probe side is dimension-bounded by construction, never the
-  * 100 TB fact stream. */
+  * deserialized sketch is memo-cached by CONTENT (reference fast path,
+  * then Arrays.equals) — UnsafeRow.getBinary hands back a fresh copy
+  * per eval, so a reference-only key would never hit in the Generate
+  * fan-out shape (many probe keys over one merged sketch row); the
+  * content check keeps it to one deserialization per distinct sketch
+  * per partition. Eval-only (CodegenFallback) is fine here: the probe
+  * side is dimension-bounded by construction, never the 100 TB fact
+  * stream. */
 case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
@@ -112,10 +114,11 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override protected def nullSafeEval(sk: Any, key: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (!(bytes eq lastBytes)) {
+    if (!(bytes eq lastBytes) &&
+        !java.util.Arrays.equals(bytes, lastBytes)) {
       lastSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
-      lastBytes = bytes
     }
+    lastBytes = bytes
     lastSketch.estimateCount(java.lang.Long.valueOf(key.asInstanceOf[Long]))
   }
 

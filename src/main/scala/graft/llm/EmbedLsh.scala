@@ -68,13 +68,14 @@ object EmbedLsh {
       .select($"vec_a", $"vec_b")
       .dropDuplicates("vec_a", "vec_b")
     // vectors + precomputed norms join back only for verified candidates;
-    // the vector side is one row per id — broadcast keeps verification
-    // map-side (the per-executor vector dictionary at cluster scale)
+    // UNHINTED equi-joins: a one-row-per-id vector table is not
+    // broadcast-bounded (TB-scale at 100 TB), so AQE picks the strategy —
+    // broadcast at small scale, shuffled hash join at scale.
     val withNorm = emb.select($"vec_id", $"embedding",
       VectorOps.l2Norm($"embedding").as("nrm"))
     pairs
-      .join(broadcast(withNorm.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"nrm".as("nrm_a"))), "vec_a")
-      .join(broadcast(withNorm.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"nrm".as("nrm_b"))), "vec_b")
+      .join(withNorm.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"nrm".as("nrm_a")), "vec_a")
+      .join(withNorm.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"nrm".as("nrm_b")), "vec_b")
       .select($"vec_a", $"vec_b",
         (VectorOps.dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b")).as("cos_raw"))
       .filter($"cos_raw" >= CosineThreshold)

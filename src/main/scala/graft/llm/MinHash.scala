@@ -76,7 +76,7 @@ object MinHash {
   def fuzzyDedup(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     // materialize the signature table once: it feeds both band-join sides
-    // and both verification broadcasts (4 consumers), and each re-derivation
+    // and both verification joins (4 consumers), and each re-derivation
     // repeats the explode + signature shuffle. Same staging rationale as
     // the tokenized corpus in TextOps.ngramJaccardPairs.
     val sigs = signatures(Tables.documents(spark, sfDir)).localCheckpoint()
@@ -90,12 +90,14 @@ object MinHash {
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    // the signature side is one row per document (bounded, tiny next to
-    // the pair stream) — broadcast it so verification is map-side; at
-    // cluster scale this is the per-executor signature dictionary
+    // signature lookup for verification: UNHINTED equi-joins on doc id.
+    // A one-row-per-document signature table is NOT broadcast-bounded —
+    // at 100 TB it is itself TB-scale — so the strategy is left to AQE:
+    // it broadcasts at small scale (same plan as a hint today) and falls
+    // back to a shuffled hash join at scale instead of OOMing the driver.
     pairs
-      .join(broadcast(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a"))), "doc_a")
-      .join(broadcast(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b"))), "doc_b")
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
       .select($"doc_a", $"doc_b",
         round(estJaccard($"sig_a", $"sig_b"), 4).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)

@@ -228,7 +228,10 @@ object TpchShapes {
     val avgQty = li.groupBy($"l_partkey".as("a_partkey"))
       .agg((sum($"l_quantity".cast(DecimalType(18, 4))).cast(DoubleType) / count(lit(1)))
         .as("avg_qty"))
-    li.join(broadcast(avgQty), $"l_partkey" === $"a_partkey")
+    // UNHINTED join back: avgQty has one row per part of the brand —
+    // part-table-fraction cardinality, not broadcast-bounded at 100× —
+    // so AQE picks broadcast at small scale, SMJ/SHJ at scale.
+    li.join(avgQty, $"l_partkey" === $"a_partkey")
       .filter($"l_quantity" < lit(0.5) * $"avg_qty")
       .agg(graft.Det.r4(dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"))
   }
@@ -363,6 +366,43 @@ object TpchShapes {
       .filter($"part_value" > $"threshold")
       .select($"l_partkey".as("p_partkey"), $"part_value")
       .orderBy($"part_value".desc, $"p_partkey")
+  }
+
+  /** `q20_potential_promotion` (TPC-H Q20 shape; the lineitem-derived
+    * part↔supplier relation stands in for partsupp, the q16/q2
+    * precedent): suppliers in a nation slice holding "excess stock" of
+    * PROMO parts — available-quantity proxy (quantity shipped in the
+    * 1995 stock year) more than half of the 1996 demand-year shipped
+    * quantity for the same (part, supplier). Q20's nested IN + per-pair
+    * correlated scalar subquery decorrelates to ONE conditional
+    * aggregation over the part-pruned fact scan (both year sums in the
+    * same grouped pass — no second fact join), then a distinct-supplier
+    * semi join. Decimal sums keep the half-of-sum comparison exact, so
+    * the threshold cannot flip on double addend order. Part slice and
+    * qualified-supplier sides are UNHINTED (part-table-fraction and
+    * supplier-fraction cardinality — AQE broadcasts at small scale,
+    * shuffles at 100×). */
+  def q20PotentialPromotion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val promoParts = Tables.part(spark, sfDir)
+      .filter($"p_type" === "PROMO").select($"p_partkey")
+    val dec = (c: Column) => c.cast(DecimalType(18, 4))
+    val perPs = Tables.lineitem(spark, sfDir)
+      .join(promoParts, $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(
+        sum(when($"l_shipdate" >= ts("1995-01-01") && $"l_shipdate" < ts("1996-01-01"),
+          dec($"l_quantity"))).as("avail_qty"),
+        sum(when($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1997-01-01"),
+          dec($"l_quantity"))).as("demand_qty"))
+    val qualified = perPs
+      .filter($"demand_qty" > 0 && $"avail_qty" * 2 > $"demand_qty")
+      .select($"l_suppkey").distinct()
+    Tables.supplier(spark, sfDir)
+      .filter($"s_nationkey" < 5)
+      .join(qualified, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
   }
 
   /** `q22_idle_customers` (TPC-H Q22 shape; nation stands in for the
