@@ -289,17 +289,29 @@ object TpchShapes {
     * per-order supplier/late counts taken as window aggregates over the
     * same frame: a self-join formulation would evaluate the fact join
     * and aggregation twice (verified in the plan), doubling the
-    * workload's biggest shuffle at scale. Per-order groups are tiny, so
-    * the window is skew-free. */
+    * workload's biggest shuffle at scale. Exchange reuse (round 6): the
+    * groupBy(orderkey, suppkey) and the window(orderkey) would plan TWO
+    * fact-scale exchanges (verified in DevExplain — Catalyst does not
+    * coalesce them); an explicit `repartition(l_orderkey)` satisfies the
+    * aggregate's ClusteredDistribution (orderkey is a subset of its
+    * keys) AND the window's, so one exchange serves both. The late flag
+    * is projected to a long BEFORE the shuffle, so the exchanged row is
+    * (orderkey, suppkey, flag) — as narrow as the partial-agg row the
+    * removed plan exchanged; map-side combine loses almost nothing
+    * because (order, supplier) groups are ~1 row. Per-order groups are
+    * bounded, so partitioning by orderkey alone is skew-free. */
   def q21LateSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val wOrd = Window.partitionBy($"l_orderkey")
     Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate"),
         $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L).as("late_flag"))
+      .repartition($"l_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
-      .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"), 1L)
-        .otherwise(0L)).as("is_late"))
+      .agg(max($"late_flag").as("is_late"))
       .withColumn("n_supp", count(lit(1)).over(wOrd))
       .withColumn("n_late", sum($"is_late").over(wOrd))
       .filter($"is_late" === 1L && $"n_supp" > 1L && $"n_late" === 1L)
