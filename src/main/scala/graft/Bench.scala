@@ -9,8 +9,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is ns-precision parquet; read as long + exact µs convert
-      // (graft.Tables.events).
+      // back-compat for the legacy ns-precision events fixture; the
+      // current µs TIMESTAMP_NTZ fixture ignores this (graft.Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,8 +29,14 @@ object Bench {
     // topic/CDC log — copying the source into file-source layout is not
     // part of any streaming query's work, so it doesn't belong in the
     // timings. The streaming queries' own micro-batch/state work is
-    // still fully counted.
-    graft.cdc.StreamingLatest.stagedEventLog(spark, sfDir)
+    // still fully counted. Guarded: if one fixture table is unreadable
+    // (schema drift), only its queries degrade — the bench must still
+    // emit its JSON line for everything else (r06: an unguarded events
+    // read here zeroed the whole round).
+    try graft.cdc.StreamingLatest.stagedEventLog(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] staged event log warm-up failed: $e")
+    }
     // Catalog registration + first SQL-path parse/analysis are session
     // startup too (10 CREATE TABLE DDLs + analyzer warm-up otherwise
     // land on whichever sql_* query runs first alphabetically — measured
@@ -100,10 +106,8 @@ object Bench {
       // parquet sink: warms the streaming-aggregate planner and the
       // parquet-sink commit path inside a streaming context (otherwise
       // both land on whichever streaming query runs first)
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
-        .select(col("user_id"),
-          org.apache.spark.sql.functions.timestamp_micros(
-            (col("ts").cast("long") / 1000L).cast("long")).as("ts"))
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"))
         .limit(4)
       ev.write.mode("overwrite").parquet(s"$warmDir/ev.parquet")
       val wq2 = spark.readStream.schema(ev.schema)

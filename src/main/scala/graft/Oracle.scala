@@ -10,8 +10,10 @@ package graft
   *
   * Timestamps never appear raw in outputs: they are projected to epoch
   * millis/micros (`unix_millis`/`unix_micros` in Spark = `epoch_ms`/
-  * `epoch_us` in DuckDB) because events.ts is ns-precision parquet and the
-  * two engines read it at different native precisions.
+  * `epoch_us` in DuckDB) because the events.ts physical type has drifted
+  * across fixture refreshes (ns, ns-as-long, now µs no-tz) and the two
+  * engines read it at different native types; epoch integers are stable
+  * under all of them.
   */
 object Oracle {
   private val latestStateSql =

@@ -16,8 +16,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is ns-precision parquet; read as long + exact µs convert
-      // (graft.Tables.events).
+      // back-compat for the legacy ns-precision events fixture; the
+      // current µs TIMESTAMP_NTZ fixture ignores this (graft.Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -139,17 +139,17 @@ object Changelog {
     * change tail with real op codes and snapshot="false". */
   def snapshotUnion(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // 2024-01-15T00:00:00Z in nanos — filtering on the raw ts_ns long is
-    // parquet-pushable; a predicate on the converted `ts` would force a
-    // full scan (Tables.events scaladoc).
-    val cutoffNs = 1705276800L * 1000000000L
+    // 2024-01-15T00:00:00Z — a timestamp-literal predicate on `ts` reaches
+    // the parquet scan (Catalyst unwraps the NTZ cast; Tables.events
+    // scaladoc), so each phase reads only its row groups.
+    val cutoff = lit("2024-01-15 00:00:00").cast(TimestampType)
     val ev = Tables.events(spark, sfDir)
     val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
-    val snapshot = ev.filter($"ts_ns" < cutoffNs)
+    val snapshot = ev.filter($"ts" < cutoff)
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .select($"user_id", $"event_id", lit("r").as("op"),
         lit("true").as("snapshot"), unix_micros($"ts").as("ts_us"))
-    val tail = ev.filter($"ts_ns" >= cutoffNs)
+    val tail = ev.filter($"ts" >= cutoff)
       .select($"user_id", $"event_id", opCol($"event_type").as("op"),
         lit("false").as("snapshot"), unix_micros($"ts").as("ts_us"))
     snapshot.union(tail).orderBy($"event_id")

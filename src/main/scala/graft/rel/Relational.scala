@@ -869,7 +869,7 @@ object Relational {
     import spark.implicits._
     val WinUs = 300000000L // 5 minutes in microseconds
     val ev = Tables.events(spark, sfDir)
-      .select($"event_id", $"event_type", expr("ts_ns div 1000").as("us"))
+      .select($"event_id", $"event_type", unix_micros($"ts").as("us"))
     val clicks = ev.filter($"event_type" === "click")
       .select($"event_id".as("click_id"), $"us".as("click_us"),
         expr(s"us div ${WinUs}L").as("bucket"))
