@@ -99,7 +99,9 @@ object DevScale {
     spark.read.parquet(s"$Base/region.parquet").count()
     spark.read.parquet(s"$out/region.parquet").count()
     println(f"${"query"}%-24s ${"1x_sec"}%8s ${s"${m}x_sec"}%8s ${"slope"}%6s")
-    QuerySubset.foreach { q =>
+    // optional 2nd+ args: time only the named queries (replica reused)
+    val sel = if (args.length > 1) args.drop(1).toSeq else QuerySubset
+    sel.foreach { q =>
       val t1 = time(q, Base)
       val tm = time(q, out)
       println(f"$q%-24s $t1%8.3f $tm%8.3f ${tm / t1}%6.2f")
