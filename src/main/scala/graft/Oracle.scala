@@ -1887,6 +1887,27 @@ $iters
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
 
+    "source_binaryfile_scan" ->
+      // the oracle recomputes id/byte-length/digest from the ORIGINAL
+      // documents table — a hash match proves the per-file binary
+      // write/list/read cycle byte-lossless (corpus is UTF-8 text, so
+      // DuckDB's md5 over the varchar hashes the same bytes Spark's
+      // md5 hashes over the file content)
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""",
+
+    "window_sliding_time" ->
+      // rebuild the 4-overlapping-window membership explicitly: hour
+      // windows sliding every 15 min => each event belongs to starts
+      // (floor(ts_us/900e6) - k) * 900e6 for k in 0..3, all of which
+      // satisfy start <= ts < start + 1 hour by construction
+      """SELECT (epoch_us(ts) // 900000000 - k.k) * 900000000 AS win_start_us,
+                event_type, count(*) AS n_events,
+                min(event_id) AS min_event_id, max(event_id) AS max_event_id
+         FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "source_orc_roundtrip" ->
       // the oracle aggregates the ORIGINAL parquet — a hash match proves
       // the ORC write/read cycle lost nothing

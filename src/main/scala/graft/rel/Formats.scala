@@ -212,4 +212,53 @@ object Formats {
         $"n_orders", $"sum_price")
       .orderBy($"o_year", $"o_orderstatus")
   }
+
+  private val stagedBin =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** `source_binaryfile_scan`: the `binaryFile` source — the ingestion
+    * path a multimodal corpus actually arrives through at 100 TB (one
+    * opaque image/audio/doc file per record, no row format at all).
+    * Stages each document's UTF-8 bytes as an individual `.bin` file
+    * (written executor-side per partition — the driver never touches
+    * payload bytes), plus one `.tmp` decoy, then reads the directory
+    * back with `format("binaryFile")` + `pathGlobFilter`: the decoy is
+    * excluded at LISTING time, before any task reads a byte — the
+    * binary-corpus analogue of partition pruning (asserted in
+    * Round7OpsSpec). Output is one row per file (id from the path,
+    * byte length, content digest); the oracle recomputes all three
+    * from the original `documents` table, so a hash match proves the
+    * file write/list/read cycle byte-lossless. The fixture corpus is
+    * small; at scale this layout is the input, not a staging step. */
+  def binaryFileScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    if (stagedBin.size > 16) stagedBin.clear()
+    val dir = stagedBin.computeIfAbsent(
+      (spark, sfDir),
+      _ => {
+        val d = Files.createTempDirectory("graft-bin").toString
+        val outPath = s"$d/docs"
+        Files.createDirectories(java.nio.file.Paths.get(outPath))
+        graft.Tables.documents(spark, sfDir)
+          .select($"doc_id", $"text").as[(Long, String)]
+          .foreachPartition { (it: Iterator[(Long, String)]) =>
+            it.foreach { case (id, text) =>
+              Files.write(
+                java.nio.file.Paths.get(s"$outPath/doc_$id.bin"),
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        Files.write(java.nio.file.Paths.get(s"$outPath/listing-decoy.tmp"),
+          Array[Byte](0x7f, 0x45, 0x4c, 0x46))
+        d
+      })
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(s"$dir/docs")
+      .select(
+        regexp_extract($"path", "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        $"length".as("n_bytes"),
+        md5($"content").as("content_md5"))
+      .orderBy($"doc_id")
+  }
 }

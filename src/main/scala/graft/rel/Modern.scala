@@ -327,6 +327,32 @@ object Modern {
       .orderBy($"event_id")
   }
 
+  /** `window_sliding_time`: event-time SLIDING windows — `window(ts,
+    * "1 hour", "15 minutes")`: each event lands in exactly 4
+    * overlapping hour-long windows (duration/slide = 4; Spark aligns
+    * starts to the epoch slide grid, no startTime offset), counted per
+    * (window, event_type). The overlap factor is the difference from
+    * `cdc_stream_tumbling`'s disjoint buckets — the shape behind any
+    * "last hour, refreshed every 15 min" metric. Spark expands the
+    * per-row window list BEFORE the shuffle, so the plan is one
+    * generate + one hash-agg exchange keyed on (window, type): 4× the
+    * aggregate input, not 4 passes — the expansion cost is the
+    * operator's honest price at any scale. Integer-only aggregates
+    * (count + min/max event_id) keep the twin hash-exact; the oracle
+    * rebuilds the 4-window membership with an explicit 0..3 offset
+    * cross join on the same µs grid. */
+  def windowSlidingTime(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min($"event_id").as("min_event_id"),
+        max($"event_id").as("max_event_id"))
+      .select(unix_micros($"window.start").as("win_start_us"), $"event_type",
+        $"n_events", $"min_event_id", $"max_event_id")
+      .orderBy($"win_start_us", $"event_type")
+  }
+
   /** `xml_xpath_extract`: XPath extraction over XML documents — the
     * query-side complement of xml_roundtrip's (de)serialization: scalar
     * paths (`xpath_string`/`xpath_int`) plus a repeated-element path

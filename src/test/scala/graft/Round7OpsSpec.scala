@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rel.{Formats, Modern}
+
+class Round7OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = SparkFixture.Sf
+
+  test("binaryFile scan: one row per doc, decoy pruned at listing, digests byte-exact") {
+    val s = spark
+    import s.implicits._
+    val out = Formats.binaryFileScan(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    // the .tmp decoy sits in the same directory; pathGlobFilter must
+    // drop it before it can become a row
+    assert(out.count() == docs.count(), "row count != doc count (decoy leaked or docs lost)")
+    // digest + length must equal what Spark computes from the source
+    // column directly: proves the staged file bytes ARE the text bytes
+    val expected = docs.select($"doc_id",
+      length(encode($"text", "UTF-8")).cast("long").as("n_bytes"),
+      md5(encode($"text", "UTF-8")).as("content_md5"))
+    assert(out.except(expected).isEmpty && expected.except(out).isEmpty,
+      "binaryFile read disagrees with source-column digest/length")
+    out.unpersist()
+  }
+
+  test("sliding windows: every event in exactly 4 windows, starts on the slide grid") {
+    val s = spark
+    import s.implicits._
+    val out = Modern.windowSlidingTime(spark, sf).cache()
+    val nEvents = Tables.events(spark, sf).count()
+    val total = out.agg(sum($"n_events")).first().getLong(0)
+    assert(total == 4 * nEvents, s"expected 4x$nEvents memberships, got $total")
+    assert(out.filter($"win_start_us" % 900000000L =!= 0L).count() == 0,
+      "window start off the 15-minute slide grid")
+    // min/max ids must come from events that actually lie in the window
+    val bad = out.join(Tables.events(spark, sf), $"min_event_id" === $"event_id")
+      .filter(unix_micros($"ts") < $"win_start_us" ||
+        unix_micros($"ts") >= $"win_start_us" + 3600000000L)
+      .count()
+    assert(bad == 0, s"$bad windows whose min_event_id lies outside the window")
+    out.unpersist()
+  }
+}
