@@ -46,7 +46,11 @@ object DevScale {
     // round 8: the new single-pass data-path ops (the SQL-surface
     // queries are thin wrappers over already-audited plans; the state
     // reader's cost is the streaming floor, profiled separately)
-    "text_filter_funnel", "sample_domain_budget", "layout_zorder_cluster")
+    "text_filter_funnel", "sample_domain_budget", "layout_zorder_cluster",
+    // round 9: binary-corpus ingestion (file-count-linear staging +
+    // listing) and the 4x-expansion sliding window (events replicate
+    // into the same time range, so 10x density per window)
+    "source_binaryfile_scan", "window_sliding_time")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
