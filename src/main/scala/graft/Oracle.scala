@@ -1887,6 +1887,15 @@ $iters
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
 
+    "layout_compact_files" ->
+      // the oracle aggregates the ORIGINAL lineitem — a hash match
+      // proves compaction rewrote the file layout, not the data (the
+      // layout mechanics are asserted in BucketingSpec)
+      """SELECT l_returnflag, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "source_binaryfile_scan" ->
       // the oracle recomputes id/byte-length/digest from the ORIGINAL
       // documents table — a hash match proves the per-file binary

@@ -80,4 +80,58 @@ object Bucketing {
         min($"yk").as("min_y"), max($"yk").as("max_y"))
       .orderBy($"bucket")
   }
+
+  private val stagedCompact =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** `layout_compact_files`: small-file compaction — the maintenance
+    * operation every streaming/CDC ingest path owes its readers at
+    * 100 TB: micro-batches leave thousands of tiny files whose
+    * per-file open/footer cost eventually dominates scans. Stage a
+    * deliberately fragmented copy of lineitem (64 shards), then
+    * compact: `repartitionByRange(l_orderkey)` (re-established key
+    * clustering → per-file min/max stats prune again, same motivation
+    * as the z-order layout) + `maxRecordsPerFile` (bounds the large
+    * end; the range partitioning bounds the small end). The declared
+    * query aggregates the COMPACTED copy and the oracle aggregates
+    * the ORIGINAL table — a hash match proves compaction rewrote the
+    * layout, not the data. BucketingSpec asserts the mechanics: file
+    * count collapses 64 → ≤8, every file respects maxRecordsPerFile,
+    * and per-file l_orderkey ranges are pairwise disjoint (via the
+    * `_metadata.file_name` hidden column — the pruning guarantee). */
+  def compactFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    spark.read.parquet(compactedDir(spark, sfDir))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast(DecimalType(18, 4))).cast(DoubleType).as("sum_qty"),
+        min($"l_orderkey").as("min_key"), max($"l_orderkey").as("max_key"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Staged fragmented → compacted lineitem copies (once per session ×
+    * sfDir); returns the compacted directory. Exposed for the spec's
+    * file-level assertions. */
+  private[graft] def compactedDir(spark: SparkSession, sfDir: String): String = {
+    if (stagedCompact.size > 16) stagedCompact.clear()
+    stagedCompact.computeIfAbsent(
+      (spark, sfDir),
+      _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-compact").toString
+        val src = Tables.lineitem(spark, sfDir)
+        // the "damage": 64 hash-scattered shards, the layout a
+        // key-partitioned micro-batch ingest leaves behind
+        src.repartition(64).write.mode("overwrite").parquet(s"$d/fragmented")
+        val rowsPerFile = math.max(1L, src.count() / 4)
+        spark.read.parquet(s"$d/fragmented")
+          .repartitionByRange(4, org.apache.spark.sql.functions.col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", rowsPerFile)
+          .parquet(s"$d/compacted")
+        d
+      }) + "/compacted"
+  }
 }

@@ -66,4 +66,34 @@ class BucketingSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_rows")).sum ==
       Tables.lineitem(spark, sf).count())
   }
+
+  test("layout_compact_files: 64 shards collapse to few, range-disjoint, bounded files") {
+    val s = spark
+    import s.implicits._
+    val compacted = Bucketing.compactedDir(spark, sf)
+    val fragmented = compacted.stripSuffix("/compacted") + "/fragmented"
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(fragmented) == 64, "fragmented staging lost its shards")
+    assert(parquetFiles(compacted) <= 8,
+      s"compaction left ${parquetFiles(compacted)} files, expected <= 8")
+    val total = Tables.lineitem(spark, sf).count()
+    // per-file row counts respect maxRecordsPerFile; per-file key ranges
+    // are pairwise disjoint (the min/max pruning guarantee compaction
+    // exists to restore) — both via the _metadata hidden column
+    val perFile = spark.read.parquet(compacted)
+      .select($"l_orderkey", col("_metadata.file_name").as("f"))
+      .groupBy($"f")
+      .agg(count(lit(1)).as("n"), min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"))
+      .collect()
+    assert(perFile.map(_.getAs[Long]("n")).sum == total, "compaction lost rows")
+    perFile.foreach(r => assert(r.getAs[Long]("n") <= math.max(1L, total / 4),
+      s"file ${r.getAs[String]("f")} exceeds maxRecordsPerFile"))
+    val ranges = perFile.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping key ranges across files: $ranges")
+      case _ => ()
+    }
+  }
 }
