@@ -1887,6 +1887,16 @@ $iters
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
 
+    "source_json_corrupt_quarantine" ->
+      // rebuild the quarantine report from the original table + the
+      // deterministic corruption rule (event_id % 17 == 0 lines were
+      // made unparseable): corrupt rows count under '_corrupt' with
+      // zero parsed ids, everything else under its event_type
+      """SELECT CASE WHEN event_id % 17 = 0 THEN '_corrupt' ELSE event_type END AS bucket,
+                count(*) AS n_rows,
+                count(CASE WHEN event_id % 17 <> 0 THEN event_id END) AS n_parsed
+         FROM events GROUP BY 1 ORDER BY 1""",
+
     "layout_compact_files" ->
       // the oracle aggregates the ORIGINAL lineitem — a hash match
       // proves compaction rewrote the file layout, not the data (the

@@ -261,4 +261,56 @@ object Formats {
         md5($"content").as("content_md5"))
       .orderBy($"doc_id")
   }
+
+  private val stagedJsonl =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** JSONL staging shared by [[jsonCorruptQuarantine]] and its spec:
+    * one JSON object per line from events, with every line whose
+    * `event_id % 17 == 0` made unparseable (leading `#`) — the
+    * deterministic stand-in for the malformed records every real 100 TB
+    * JSON ingest contains. */
+  private[graft] def stagedCorruptJsonl(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    if (stagedJsonl.size > 16) stagedJsonl.clear()
+    stagedJsonl.computeIfAbsent(
+      (spark, sfDir),
+      _ => {
+        val d = Files.createTempDirectory("graft-jsonl").toString
+        Tables.events(spark, sfDir)
+          .select($"event_id", $"event_type", $"user_id")
+          .withColumn("line", to_json(struct($"event_id", $"event_type", $"user_id")))
+          .select(when($"event_id" % 17 === 0, concat(lit("#"), $"line"))
+            .otherwise($"line").as("value"))
+          .write.mode("overwrite").text(s"$d/events-jsonl")
+        d
+      }) + "/events-jsonl"
+  }
+
+  /** `source_json_corrupt_quarantine`: malformed-record routing on a
+    * semi-structured source — the ingest-robustness contract a 100 TB
+    * JSON feed is read under: an EXPLICIT schema (inference is a full
+    * extra pass and a schema-drift hazard) plus PERMISSIVE mode with
+    * `columnNameOfCorruptRecord`, so unparseable lines surface as rows
+    * with the raw text in the corrupt column and nulls elsewhere —
+    * quarantined and COUNTED, never silently dropped (DROPMALFORMED's
+    * failure mode, demonstrated by contrast in Round7OpsSpec) and never
+    * job-fatal (FAILFAST's). Output: per-bucket row/parsed-id counts
+    * with corrupt lines under `_corrupt`; the oracle reconstructs both
+    * from the original table and the deterministic corruption rule. */
+  def jsonCorruptQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, event_type STRING, user_id BIGINT, _corrupt_record STRING")
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(stagedCorruptJsonl(spark, sfDir))
+      .select(when($"_corrupt_record".isNotNull, lit("_corrupt"))
+        .otherwise($"event_type").as("bucket"),
+        $"event_id")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"), count($"event_id").as("n_parsed"))
+      .orderBy($"bucket")
+  }
 }

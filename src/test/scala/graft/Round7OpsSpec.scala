@@ -27,6 +27,27 @@ class Round7OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("json quarantine: corrupt lines routed not dropped; DROPMALFORMED shrinks exactly") {
+    val s = spark
+    import s.implicits._
+    val out = Formats.jsonCorruptQuarantine(spark, sf).cache()
+    val nEvents = Tables.events(spark, sf).count()
+    val nCorrupt = Tables.events(spark, sf).filter($"event_id" % 17 === 0).count()
+    // PERMISSIVE: nothing lost — every line is a row somewhere
+    assert(out.agg(sum($"n_rows")).first().getLong(0) == nEvents)
+    val corruptRow = out.filter($"bucket" === "_corrupt").collect()
+    assert(corruptRow.length == 1 && corruptRow.head.getAs[Long]("n_rows") == nCorrupt)
+    assert(corruptRow.head.getAs[Long]("n_parsed") == 0, "corrupt lines must not parse ids")
+    // DROPMALFORMED by contrast: silently loses exactly the corrupt lines —
+    // the failure mode the quarantine pattern exists to avoid
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, event_type STRING, user_id BIGINT")
+    val dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED")
+      .json(Formats.stagedCorruptJsonl(spark, sf)).count()
+    assert(dropped == nEvents - nCorrupt)
+    out.unpersist()
+  }
+
   test("sliding windows: every event in exactly 4 windows, starts on the slide grid") {
     val s = spark
     import s.implicits._
