@@ -1887,6 +1887,30 @@ $iters
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
 
+    "graph_triangle_count" ->
+      // replay the identical construction: ≥2-support co-purchase
+      // edges, (degree, id) orientation via row comparison, wedges at
+      // the low endpoint, closure by a third edge join
+      """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         pairs AS (SELECT a.p AS pa, b.p AS pb FROM po a
+                   JOIN po b ON a.ok = b.ok AND a.p < b.p
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (SELECT v, count(*) AS d FROM
+                   (SELECT pa AS v FROM pairs UNION ALL SELECT pb AS v FROM pairs) t
+                 GROUP BY v),
+         wd AS (SELECT pa, pb, da.d AS da, db.d AS db FROM pairs
+                JOIN deg da ON da.v = pa JOIN deg db ON db.v = pb),
+         o AS (SELECT CASE WHEN (da, pa) < (db, pb) THEN pa ELSE pb END AS lo,
+                      CASE WHEN (da, pa) < (db, pb) THEN pb ELSE pa END AS hi,
+                      CASE WHEN (da, pa) < (db, pb) THEN db ELSE da END AS dhi
+               FROM wd),
+         tri AS (SELECT count(*) AS n FROM o e1
+                 JOIN o e2 ON e1.lo = e2.lo AND (e1.dhi, e1.hi) < (e2.dhi, e2.hi)
+                 JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+         SELECT (SELECT count(*) FROM deg) AS n_vertices,
+                (SELECT count(*) FROM o) AS n_edges,
+                (SELECT n FROM tri) AS n_triangles""",
+
     "source_json_corrupt_quarantine" ->
       // rebuild the quarantine report from the original table + the
       // deterministic corruption rule (event_id % 17 == 0 lines were

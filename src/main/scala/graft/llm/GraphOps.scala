@@ -97,4 +97,57 @@ object GraphOps {
       spark.conf.set(partKey, prevParts)
     }
   }
+
+  /** `graph_triangle_count`: distributed triangle counting over the
+    * co-purchase graph (parts co-occurring in ≥2 orders — the
+    * market-basket graph construction), by the algorithm that actually
+    * survives scale: orient every edge from its (degree, id)-smaller
+    * endpoint to its larger one, enumerate wedges only at each edge's
+    * LOW endpoint, and close them with one more edge join. Degree
+    * orientation caps per-vertex wedge fan-out at O(√m) regardless of
+    * raw-degree skew — the difference between this and the naive
+    * 3-way self-join is the difference between a bounded shuffle and a
+    * hub-vertex blow-up. The pair expansion itself is per-order
+    * bounded (≤ C(7,2) pairs/order in TPC-H-shaped data), so the edge
+    * build is a constant-fan-out flatMap + one count shuffle at any
+    * scale; the ≥2-support threshold is the corpus-density knob. All
+    * outputs are integer counts; the oracle replays the identical
+    * construction (same orientation tuple-compare) in SQL. */
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val po = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val pairs = po.as("a").join(po.as("b"),
+        $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("pa"), $"b.p".as("pb"))
+      .agg(count(lit(1)).as("supp"))
+      .filter($"supp" >= 2)
+      .select($"pa", $"pb")
+      .cache()
+    val deg = pairs.select($"pa".as("v")).union(pairs.select($"pb".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.withColumnRenamed("v", "pa").withColumnRenamed("d", "da"), "pa")
+      .join(deg.withColumnRenamed("v", "pb").withColumnRenamed("d", "db"), "pb")
+    val oriented = withDeg.select(
+        when(struct($"da", $"pa") < struct($"db", $"pb"), $"pa").otherwise($"pb").as("lo"),
+        when(struct($"da", $"pa") < struct($"db", $"pb"), $"pb").otherwise($"pa").as("hi"),
+        when(struct($"da", $"pa") < struct($"db", $"pb"), $"db").otherwise($"da").as("dhi"))
+      .cache()
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        $"e1.lo" === $"e2.lo" &&
+          struct($"e1.dhi", $"e1.hi") < struct($"e2.dhi", $"e2.hi"))
+      .select($"e1.hi".as("v"), $"e2.hi".as("w"))
+    val triangles = wedges.join(oriented.select($"lo", $"hi"),
+        $"v" === $"lo" && $"w" === $"hi")
+      .count()
+    val out = Seq((
+        deg.count(),
+        oriented.count(),
+        triangles))
+      .toDF("n_vertices", "n_edges", "n_triangles")
+    pairs.unpersist(false)
+    oriented.unpersist(false)
+    out
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.llm.GraphOps
 import graft.rel.{Formats, Modern}
 
 class Round7OpsSpec extends AnyFunSuite {
@@ -46,6 +47,29 @@ class Round7OpsSpec extends AnyFunSuite {
       .json(Formats.stagedCorruptJsonl(spark, sf)).count()
     assert(dropped == nEvents - nCorrupt)
     out.unpersist()
+  }
+
+  test("triangle count agrees with a naive set-based recount") {
+    val s = spark
+    import s.implicits._
+    val row = GraphOps.triangleCount(spark, sf).collect().head
+    // naive recount at fixture scale: materialize the same >=2-support
+    // edge set and count triangles by set intersection
+    val po = Tables.lineitem(spark, sf)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val edges = po.as("a").join(po.as("b"), $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("pa"), $"b.p".as("pb")).agg(count(lit(1)).as("supp"))
+      .filter($"supp" >= 2).select($"pa", $"pb")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    val naive = edges.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c != a && c != b)
+    }.sum / 3L // each triangle counted once per edge
+    assert(row.getAs[Long]("n_triangles") == naive,
+      s"oriented-wedge count ${row.getAs[Long]("n_triangles")} != naive $naive")
+    assert(row.getAs[Long]("n_edges") == edges.length)
+    assert(row.getAs[Long]("n_vertices") == adj.size)
   }
 
   test("sliding windows: every event in exactly 4 windows, starts on the slide grid") {
