@@ -50,7 +50,9 @@ object DevScale {
     // round 9: binary-corpus ingestion (file-count-linear staging +
     // listing) and the 4x-expansion sliding window (events replicate
     // into the same time range, so 10x density per window)
-    "source_binaryfile_scan", "window_sliding_time")
+    "source_binaryfile_scan", "window_sliding_time",
+    "layout_compact_files", "source_json_corrupt_quarantine",
+    "graph_triangle_count")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
