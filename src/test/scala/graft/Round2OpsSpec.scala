@@ -182,7 +182,10 @@ class Round2OpsSpec extends AnyFunSuite {
     Seq(
       Relational.joinRangeBucketed(spark, sf),
       Relational.joinSaltedSkew(spark, sf),
-      graft.llm.TextOps.ngramJaccard(spark, sf)
+      graft.llm.TextOps.ngramJaccard(spark, sf),
+      // wedge enumeration + closure must stay equi-joins (the struct
+      // comparison is a residual, not the join condition)
+      graft.llm.GraphOps.triangleCount(spark, sf)
     ).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"), "nested loop join leaked into plan")
