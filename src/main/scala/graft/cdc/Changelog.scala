@@ -139,10 +139,13 @@ object Changelog {
     * change tail with real op codes and snapshot="false". */
   def snapshotUnion(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // 2024-01-15T00:00:00Z — a timestamp-literal predicate on `ts` reaches
-    // the parquet scan (Catalyst unwraps the NTZ cast; Tables.events
-    // scaladoc), so each phase reads only its row groups.
-    val cutoff = lit("2024-01-15 00:00:00").cast(TimestampType)
+    // 2024-01-15T00:00:00Z as an epoch-anchored literal (NOT a string
+    // cast, which would shift with the session timezone in an unpinned
+    // session); constant-folds to a timestamp literal, so the predicate
+    // on `ts` still reaches the parquet scan (Catalyst unwraps the NTZ
+    // cast; Tables.events scaladoc) and each phase reads only its row
+    // groups.
+    val cutoff = timestamp_micros(lit(1705276800L * 1000000L))
     val ev = Tables.events(spark, sfDir)
     val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
     val snapshot = ev.filter($"ts" < cutoff)

@@ -123,7 +123,6 @@ object GraphOps {
       .agg(count(lit(1)).as("supp"))
       .filter($"supp" >= 2)
       .select($"pa", $"pb")
-      .cache()
     val deg = pairs.select($"pa".as("v")).union(pairs.select($"pb".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("d"))
     val withDeg = pairs
@@ -133,21 +132,29 @@ object GraphOps {
         when(struct($"da", $"pa") < struct($"db", $"pb"), $"pa").otherwise($"pb").as("lo"),
         when(struct($"da", $"pa") < struct($"db", $"pb"), $"pb").otherwise($"pa").as("hi"),
         when(struct($"da", $"pa") < struct($"db", $"pb"), $"db").otherwise($"da").as("dhi"))
-      .cache()
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         $"e1.lo" === $"e2.lo" &&
           struct($"e1.dhi", $"e1.hi") < struct($"e2.dhi", $"e2.hi"))
       .select($"e1.hi".as("v"), $"e2.hi".as("w"))
-    val triangles = wedges.join(oriented.select($"lo", $"hi"),
-        $"v" === $"lo" && $"w" === $"hi")
-      .count()
-    val out = Seq((
-        deg.count(),
-        oriented.count(),
-        triangles))
-      .toDF("n_vertices", "n_edges", "n_triangles")
-    pairs.unpersist(false)
-    oriented.unpersist(false)
-    out
+    val closed = wedges.join(oriented.select($"lo", $"hi"),
+      $"v" === $"lo" && $"w" === $"hi")
+    // one LAZY single-row plan: tag-and-union the three relations and
+    // take conditional counts in a single aggregate — no driver-side
+    // actions (the DataFrame contract stays lazy, so DevExplain and the
+    // no-nested-loop audit see the real join strategies) and no 1-row
+    // crossJoins (those compile to BroadcastNestedLoopJoin and would
+    // trip that audit). The repeated pairs/oriented subplans
+    // canonicalize identically, so AQE's runtime stage reuse executes
+    // each shuffle once (warm wall time matches the previous eagerly
+    // cached version).
+    deg.select(lit("v").as("t"))
+      .union(oriented.select(lit("e").as("t")))
+      .union(closed.select(lit("t").as("t")))
+      .agg(
+        // coalesce: an edgeless corpus makes the union empty, and a
+        // sum over zero rows is NULL where the oracle says 0
+        coalesce(sum(when($"t" === "v", 1L).otherwise(0L)), lit(0L)).as("n_vertices"),
+        coalesce(sum(when($"t" === "e", 1L).otherwise(0L)), lit(0L)).as("n_edges"),
+        coalesce(sum(when($"t" === "t", 1L).otherwise(0L)), lit(0L)).as("n_triangles"))
   }
 }

@@ -119,7 +119,7 @@ object Bucketing {
     stagedCompact.computeIfAbsent(
       (spark, sfDir),
       _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-compact").toString
+        val d = graft.StageDirs.fresh("graft-compact").toString
         val src = Tables.lineitem(spark, sfDir)
         // the "damage": 64 hash-scattered shards, the layout a
         // key-partitioned micro-batch ingest leaves behind

@@ -37,13 +37,14 @@ object Formats {
   def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // same bounded-growth guard as TextOps.pairsCache: staged dirs for
-    // dead sessions must not accumulate in a long-lived JVM (the temp
-    // dirs themselves are OS-reclaimed; this caps the map)
+    // dead sessions must not accumulate in a long-lived JVM (the dirs
+    // themselves live under StageDirs' per-JVM root and are purged when
+    // their owning process dies; this caps the map)
     if (stagedOrc.size > 16) stagedOrc.clear()
     val dir = stagedOrc.computeIfAbsent(
       (spark, sfDir),
       _ => {
-        val d = Files.createTempDirectory("graft-orc").toString
+        val d = graft.StageDirs.fresh("graft-orc").toString
         Tables.orders(spark, sfDir).write.mode("overwrite").orc(s"$d/orders")
         d
       })
@@ -163,7 +164,7 @@ object Formats {
     val dir = stagedPart.computeIfAbsent(
       (spark, sfDir),
       _ => {
-        val d = Files.createTempDirectory("graft-part").toString
+        val d = graft.StageDirs.fresh("graft-part").toString
         Tables.orders(spark, sfDir)
           .withColumn("o_year", year($"o_orderdate"))
           .write.mode("overwrite").partitionBy("o_year").parquet(s"$d/orders")
@@ -236,7 +237,7 @@ object Formats {
     val dir = stagedBin.computeIfAbsent(
       (spark, sfDir),
       _ => {
-        val d = Files.createTempDirectory("graft-bin").toString
+        val d = graft.StageDirs.fresh("graft-bin").toString
         val outPath = s"$d/docs"
         Files.createDirectories(java.nio.file.Paths.get(outPath))
         graft.Tables.documents(spark, sfDir)
@@ -276,7 +277,7 @@ object Formats {
     stagedJsonl.computeIfAbsent(
       (spark, sfDir),
       _ => {
-        val d = Files.createTempDirectory("graft-jsonl").toString
+        val d = graft.StageDirs.fresh("graft-jsonl").toString
         Tables.events(spark, sfDir)
           .select($"event_id", $"event_type", $"user_id")
           .withColumn("line", to_json(struct($"event_id", $"event_type", $"user_id")))
