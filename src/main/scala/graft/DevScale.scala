@@ -52,7 +52,10 @@ object DevScale {
     // into the same time range, so 10x density per window)
     "source_binaryfile_scan", "window_sliding_time",
     "layout_compact_files", "source_json_corrupt_quarantine",
-    "graph_triangle_count")
+    "graph_triangle_count",
+    // round 10 (r08): the two heavy queries that had no slope rows —
+    // q20's decorrelated conditional agg and the bounded-build JSON shred
+    "q20_potential_promotion", "json_nested_shred")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

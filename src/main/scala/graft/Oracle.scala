@@ -146,6 +146,26 @@ $iters
                 epoch_us(ts) AS ts_us
          FROM events ORDER BY event_id""",
 
+    "cdc_envelope_build" ->
+      // the Spark side serialize→parse roundtrips key + after through
+      // Connect JSON and emits the PARSED fields; the oracle recomputes
+      // them straight from events (op rule, after=null on deletes, Cell
+      // values, constant topic, offset=event_id) — a lossy roundtrip or
+      // wrong envelope rule breaks the hash
+      """SELECT user_id AS key_user_id,
+                epoch_us(ts) AS ts_us,
+                CASE WHEN event_type = 'signup' THEN 'c'
+                     WHEN event_type = 'error'  THEN 'd'
+                     ELSE 'u' END AS op,
+                CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS after_user_id,
+                CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS after_event_type,
+                CASE WHEN event_type = 'error' THEN NULL ELSE value END AS after_value,
+                CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS INTEGER) AS after_is_null,
+                CAST(1 AS INTEGER) AS before_is_null,
+                'GraftNamespace.graft_keyspace.events' AS topic,
+                event_id AS "offset"
+         FROM events ORDER BY "offset"""",
+
     "cdc_envelope_evolution" ->
       // absent-field → NULL under the evolved read schema; the oracle
       // recomputes expected nulls from the producer-generation split

@@ -9,30 +9,43 @@ import java.nio.file.{Files, Path, Paths}
   * owning process is gone — so repeated bench/verify/dev sessions cannot
   * accumulate orphans (the binaryFile staging alone writes one file per
   * document; left in a shared temp dir that class of leak is measured in
-  * inodes, not megabytes). The root lives under `target/` so a clean
-  * build also reclaims everything. */
+  * inodes, not megabytes). The root lives under the checkout's `target/`
+  * so a clean build also reclaims everything. */
 object StageDirs {
-  private def root: Path = Files.createDirectories(Paths.get(sys.props.getOrElse(
-    "graft.stage.tmp", "/root/repo/target/stage-tmp")))
+  private def root: Path = Files.createDirectories(Paths.get(
+    sys.props.getOrElse("graft.stage.tmp",
+      // derive from the working directory, not a hardcoded checkout path
+      // (a clone elsewhere must stage under ITS OWN target/)
+      Paths.get(sys.props.getOrElse("user.dir", "."), "target", "stage-tmp")
+        .toString)))
+
+  /** Recursive delete; each Files.list stream is closed (try/finally) so
+    * a deep purge doesn't leak one fd per directory visited. */
+  private def rm(q: Path): Unit = {
+    if (Files.isDirectory(q)) {
+      val s = Files.list(q)
+      try s.forEach(rm(_)) finally s.close()
+    }
+    Files.deleteIfExists(q)
+  }
 
   /** Fresh `<root>/jvm-<pid>/<prefix>…` dir; purges dead owners first. */
   def fresh(prefix: String): Path = {
     val r = root
     val myPid = ProcessHandle.current().pid()
     try {
-      Files.list(r).forEach { p =>
+      val listing = Files.list(r)
+      try listing.forEach { p =>
         val name = p.getFileName.toString
+        // liveness via ProcessHandle (portable): /proc/<pid> exists only
+        // on Linux — probing it on macOS would call every other pid dead
+        // and delete a concurrently running JVM's staging mid-run
         val ownerGone = name.startsWith("jvm-") &&
           name.stripPrefix("jvm-").toLongOption.exists(pid =>
-            pid != myPid && !Files.isDirectory(Paths.get(s"/proc/$pid")))
-        if (Files.isDirectory(p) && ownerGone) {
-          def rm(q: Path): Unit = {
-            if (Files.isDirectory(q)) Files.list(q).forEach(rm(_))
-            Files.deleteIfExists(q)
-          }
+            pid != myPid && !ProcessHandle.of(pid).isPresent)
+        if (Files.isDirectory(p) && ownerGone)
           try rm(p) catch { case _: Throwable => () }
-        }
-      }
+      } finally listing.close()
     } catch { case _: Throwable => () }
     val mine = Files.createDirectories(r.resolve(s"jvm-$myPid"))
     Files.createTempDirectory(mine, prefix)

@@ -132,9 +132,16 @@ object Envelope {
       col("topic"), col("offset"))
   }
 
-  /** The declared `cdc_envelope_build` query (no SQL oracle — JSON field
-    * order is engine-specific; driver records a rows-only check): envelope
-    * over `events` with user_id as key, Cell-wrapped non-key columns. */
+  /** The declared `cdc_envelope_build` query: envelope over `events`
+    * with user_id as key, Cell-wrapped non-key columns. Both key and
+    * after-image go through a full serialize→parse ROUNDTRIP (to_json →
+    * from_json under the builder's own StructType — R14/R15) and the
+    * query emits the PARSED scalar fields, not the JSON text: JSON field
+    * order is engine-specific, so hashing the string could never be
+    * oracle-gated, while the parsed fields are plain columns DuckDB
+    * recomputes directly from `events` — making this the last Group-A op
+    * with a full DuckDB gate. A wrong Cell wrapping, op rule, dropped
+    * after-null, or lossy serialization all surface as a hash mismatch. */
   def envelopeBuild(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sfDir)
@@ -145,14 +152,27 @@ object Envelope {
       op = Changelog.opCol($"event_type"),
       ts = $"ts",
       offset = $"event_id")
+    val keyType = built.schema("key").dataType
+    val afterType = built.schema("value").dataType
+      .asInstanceOf[StructType]("after").dataType
     built
       .select(
-        to_json($"key").as("key_json"),
+        from_json(to_json($"key"), keyType).as("k"),
         $"value.source.ts_us".as("ts_us"),
         $"value.op".as("op"),
-        to_json($"value.after").as("after_json"),
+        // to_json(null struct) = null string → from_json = null struct,
+        // so the delete-path after=null survives the roundtrip
+        from_json(to_json($"value.after"), afterType).as("a"),
+        $"value.after".isNull.cast("int").as("after_is_null"),
         $"value.before".isNull.cast("int").as("before_is_null"),
         $"topic", $"offset")
+      .select(
+        $"k.user_id".as("key_user_id"),
+        $"ts_us", $"op",
+        $"a.user_id".as("after_user_id"),
+        $"a.event_type.value".as("after_event_type"),
+        $"a.value.value".as("after_value"),
+        $"after_is_null", $"before_is_null", $"topic", $"offset")
       .orderBy($"offset")
   }
 

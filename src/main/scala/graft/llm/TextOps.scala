@@ -162,12 +162,16 @@ object TextOps {
       .select($"doc_a", $"doc_b")
     // exact verify: candidate multiplicity is ~1.05 so verifying before
     // deduping trades a wide 200k-row shuffle for a few percent repeated
-    // O(|set|) merge scans; the doc-set side is a broadcast (per-executor
-    // map at cluster scale), and the intersection is the codegen merge
-    // scan over the sorted hash arrays — no per-pair allocation
+    // O(|set|) merge scans; the doc-set sides ride PLAIN shuffled
+    // equi-joins on doc_id — the corpus is corpus-proportional, so a
+    // broadcast here is exactly the 100 TB killer the customer-side
+    // hints were (a hint is honored regardless of size); at bench scale
+    // AQE still picks BHJ on its own, and the intersection is the
+    // codegen merge scan over the sorted hash arrays — no per-pair
+    // allocation
     cand
-      .join(broadcast(sets.select($"doc_id".as("doc_a"), $"toks".as("ta"), $"n".as("na"))), "doc_a")
-      .join(broadcast(sets.select($"doc_id".as("doc_b"), $"toks".as("tb"), $"n".as("nb"))), "doc_b")
+      .join(sets.select($"doc_id".as("doc_a"), $"toks".as("ta"), $"n".as("na")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"toks".as("tb"), $"n".as("nb")), "doc_b")
       .select($"doc_a", $"doc_b",
         graft.functions.ArrayFunctions.sorted_intersect_count($"ta", $"tb")
           .cast(DoubleType).as("inter"), $"na", $"nb")

@@ -10,11 +10,15 @@ import graft.Tables
   * payloads with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * The container has no media codecs, so the decode step is a STUB — a
-  * clearly-marked deterministic fake (see [[decodeStub]]) — while
-  * everything Spark-side is real and tested: the schema (binary payload +
-  * metadata struct), partition-parallel batch processing, and the typed
-  * Dataset surface a real decoder would slot into.
+  * The image DECODE path is real: each document's bytes are wrapped into
+  * a synthetic 24-bpp BMP (hand-built headers + pixel rows — see
+  * [[syntheticBmp]]) and decoded through `javax.imageio` (the JDK's own
+  * BMP codec), with pixel-level features extracted from the decoded
+  * raster. No external codec library is needed, and the Spark side —
+  * schema (binary payload + metadata struct), partition-parallel batch
+  * processing, typed Dataset surface — is exactly what a JPEG/WAV
+  * decoder slots into. The RESIZE step remains a declared stub (a
+  * bilinear resample needs a raster library this container lacks).
   *
   * The binary fixture derives from `documents.text` (UTF-8 bytes) because
   * the driver test data ships no media table; the operators only assume
@@ -70,45 +74,125 @@ object MultiModal {
   }
 
   case class MediaRow(media_id: Long, payload: Array[Byte])
-  case class MediaFeatures(
+  case class DecodedImage(
       media_id: Long,
-      n_frames: Int,
-      frame_sums: Array[Long],
-      checksum: Long)
+      img_w: Int,
+      img_h: Int,
+      pixel_sum: Long,
+      pixel_md5: String)
 
   val FrameBytes = 32
+  /** Synthetic image geometry: fixed width, height scales with payload. */
+  val BmpWidth = 16
+  val BmpMaxHeight = 64
 
-  /** STUB decoder — deterministic fake standing in for the real
-    * image/audio decode (codec libraries are not available in this
-    * environment). A production build replaces the body with e.g. a JPEG
-    * decode + feature extraction; the signature, batching shape, and the
-    * `mapPartitions` execution (one decoder instance per partition, no
-    * per-row setup cost) are the real, load-bearing part. */
-  def stubDecodeFrames(payload: Array[Byte]): MediaFeatures = {
-    val frames = payload.grouped(FrameBytes).toArray
-    val sums = frames.map(_.foldLeft(0L)((a, b) => a + (b & 0xff)))
-    val checksum = sums.foldLeft(1L)((a, s) => a * 31L + s)
-    MediaFeatures(-1L, frames.length, sums, checksum)
+  private[graft] def bmpHeight(payloadLen: Int): Int =
+    math.max(1, math.min(BmpMaxHeight, (payloadLen + BmpWidth - 1) / BmpWidth))
+
+  /** The deterministic pixel function: pixel (x,y) of a payload derives
+    * its channel values from the payload byte at the row-major position
+    * (mod length; 0 for an empty payload). Exposed so the spec can
+    * recompute expected decoded pixels independently. */
+  private[graft] def pixelChannels(seed: Array[Byte], x: Int, y: Int): (Int, Int, Int) = {
+    val v = if (seed.isEmpty) 0 else seed((y * BmpWidth + x) % seed.length) & 0xff
+    (v, 255 - v, v ^ 0x5a)
   }
 
-  /** `mm_decode_stub`: partition-parallel decode + frame feature extract
-    * over the media table. Real pipelines put the expensive per-payload
-    * work exactly here; Spark sees an opaque mapPartitions with a typed
-    * Encoder on both sides. */
+  /** Wrap payload bytes into a REAL 24-bpp uncompressed BMP file
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows, 4-byte
+    * row padding) whose pixels derive from the payload via
+    * [[pixelChannels]]. Hand-building the container means the decode
+    * below exercises an actual `javax.imageio` codec on actual image
+    * bytes — not a round-trip through the same library. */
+  def syntheticBmp(seed: Array[Byte]): Array[Byte] = {
+    val w = BmpWidth
+    val h = bmpHeight(seed.length)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val imageSize = rowSize * h
+    val fileSize = 54 + imageSize
+    val out = new Array[Byte](fileSize)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    // BITMAPFILEHEADER (14 bytes)
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, fileSize); le32(10, 54)
+    // BITMAPINFOHEADER (40 bytes)
+    le32(14, 40); le32(18, w); le32(22, h)
+    out(26) = 1                       // planes
+    out(28) = 24                      // bpp
+    le32(30, 0)                       // BI_RGB, uncompressed
+    le32(34, imageSize)
+    le32(38, 2835); le32(42, 2835)    // 72 dpi in px/m
+    // pixel array: bottom-up rows, BGR byte order
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixelChannels(seed, x, y)
+        out(rowOff + x * 3) = b.toByte
+        out(rowOff + x * 3 + 1) = g.toByte
+        out(rowOff + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL decode: parse BMP bytes through `javax.imageio` and extract
+    * pixel-level features from the decoded raster — dimensions, exact
+    * per-channel sum, and an md5 over the row-major RGB byte sequence.
+    * Total and deterministic: any byte payload yields a valid BMP via
+    * [[syntheticBmp]], and BI_RGB decoding is exact. */
+  def decodeBmp(mediaId: Long, bmp: Array[Byte],
+      md: java.security.MessageDigest): DecodedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    require(img != null, s"javax.imageio failed to decode BMP for media $mediaId")
+    val (w, h) = (img.getWidth, img.getHeight)
+    md.reset()
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        sum += r + g + b
+        md.update(r.toByte); md.update(g.toByte); md.update(b.toByte)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(mediaId, w, h, sum, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  /** `mm_decode_stub`: partition-parallel image decode + pixel feature
+    * extraction over the media table — the decode body is a REAL
+    * `javax.imageio` BMP decode (the query key keeps its historical
+    * `_stub` name for registry stability; only the resize op remains a
+    * stub). Real pipelines put the expensive per-payload work exactly
+    * here; Spark sees an opaque mapPartitions with a typed Encoder on
+    * both sides, one decoder context per PARTITION (digest instance
+    * reused, ImageIO disk cache off — decode stays in-memory and
+    * executor-local). No SQL oracle: DuckDB cannot decode BMP; the gate
+    * is ExtensionOps/PropertySpec asserting decoded dimensions and
+    * pixel sums against an independent recomputation. */
   def decodeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
       .select($"media_id", $"payload").as[MediaRow]
     media
       .mapPartitions { rows =>
-        // one "decoder" per partition (stub: nothing to initialize)
-        rows.map { m =>
-          val f = stubDecodeFrames(m.payload)
-          MediaFeatures(m.media_id, f.n_frames, f.frame_sums, f.checksum)
-        }
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map(m => decodeBmp(m.media_id, syntheticBmp(m.payload), md))
       }
-      .select($"media_id", $"n_frames",
-        element_at($"frame_sums", 1).as("first_frame_sum"), $"checksum")
+      .select($"media_id", $"img_w", $"img_h", $"pixel_sum", $"pixel_md5")
       .orderBy($"media_id")
   }
 

@@ -19,6 +19,22 @@ import graft.Tables
   * the same binary encoding a Connect Avro converter produces. */
 object Formats {
 
+  /** Eagerly build every staged derived input (ORC / partitioned /
+    * binary-file / corrupt-JSONL copies) for this (session, sfDir) —
+    * called from Bench's UNTIMED warm-up. Staging is harness
+    * scaffolding: a production pipeline reads an EXISTING table, so the
+    * one-time copy cost must not land inside whichever query happens to
+    * touch the staged dir first (r07: `layout_compact_files` absorbed
+    * ~4.7 s of its own staging into its timed window). Each builder is
+    * memoized per (session, sfDir), so the queries' own calls become
+    * no-ops after this. */
+  private[graft] def stageAll(spark: SparkSession, sfDir: String): Unit = {
+    orcRoundtrip(spark, sfDir)
+    stagedPartitionedOrders(spark, sfDir)
+    binaryFileScan(spark, sfDir)
+    stagedCorruptJsonl(spark, sfDir)
+  }
+
   // keyed on the session REFERENCE, not identityHashCode: hash codes can
   // be reused after a session is GC'd, which would hand a new session a
   // staging dir produced under different conf (same fix as
@@ -221,8 +237,12 @@ object Formats {
     * path a multimodal corpus actually arrives through at 100 TB (one
     * opaque image/audio/doc file per record, no row format at all).
     * Stages each document's UTF-8 bytes as an individual `.bin` file
-    * (written executor-side per partition — the driver never touches
-    * payload bytes), plus one `.tmp` decoy, then reads the directory
+    * (written executor-side per partition via `java.nio` — CORRECT IN
+    * LOCAL MODE ONLY: on a real cluster each executor would write to its
+    * own local filesystem and the driver-side listing would miss them;
+    * a cluster deployment stages through the Hadoop FileSystem API
+    * instead, or — the real-world case — the binary corpus already IS
+    * the input and no staging exists), plus one `.tmp` decoy, then reads the directory
     * back with `format("binaryFile")` + `pathGlobFilter`: the decoy is
     * excluded at LISTING time, before any task reads a byte — the
     * binary-corpus analogue of partition pruning (asserted in

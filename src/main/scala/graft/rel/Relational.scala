@@ -140,8 +140,14 @@ object Relational {
   }
 
   /** `join_5way_revenue`: TPC-H Q5 shape — region⋈nation⋈customer⋈orders⋈
-    * lineitem, revenue per nation in ASIA for orders in 1996. Dimension
-    * chain is broadcast; the orders⋈lineitem equi-join is left to AQE. */
+    * lineitem, revenue per nation in ASIA for orders in 1996. Only the
+    * FIXED-cardinality dims (nation 25 rows, region 5) carry explicit
+    * broadcast hints; the customer-proportional chain and the
+    * orders⋈lineitem equi-join are left to AQE — a hint is honored
+    * regardless of size, so broadcasting a customer-derived side would
+    * OOM at 100× while AQE picks BHJ at bench scale and demotes to SMJ
+    * when the build side outgrows the threshold (the q3 regime change
+    * measured in SCALE.md). */
   def join5WayRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val region   = Tables.region(spark, sfDir).filter($"r_name" === "ASIA")
@@ -151,11 +157,11 @@ object Relational {
       .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
               $"o_orderdate" <  lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
     val lineitem = Tables.lineitem(spark, sfDir)
-    val dims = broadcast(
+    val dims =
       customer
-        .join(nation, $"c_nationkey" === $"n_nationkey")
-        .join(region, $"n_regionkey" === $"r_regionkey")
-        .select($"c_custkey", $"n_name"))
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"n_name")
     orders
       .join(dims, $"o_custkey" === $"c_custkey")
       .join(lineitem, $"o_orderkey" === $"l_orderkey")
@@ -166,18 +172,21 @@ object Relational {
 
   /** `q5_local_supplier`: the FULL TPC-H Q5 shape — revenue from orders
     * where the supplying supplier sits in the customer's own nation
-    * (`c_nationkey = s_nationkey`), per ASIA nation. Six tables: the
-    * customer-side dimension chain and the supplier table both ride as
-    * broadcasts; the only shuffles are the orders⋈lineitem fact join.
+    * (`c_nationkey = s_nationkey`), per ASIA nation. Six tables: only
+    * nation/region/supplier (fixed or sub-linear cardinality — SURVEY
+    * §4's broadcast rule) carry explicit hints; the customer-derived
+    * chain is UNHINTED so AQE broadcasts it at bench scale and demotes
+    * to a shuffled join at 100× instead of OOMing on a forced
+    * customer-proportional build side.
     * (`join_5way_revenue` keeps the supplier-free 5-way variant.) */
   def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dims = broadcast(
+    val dims =
       Tables.customer(spark, sfDir)
-        .join(Tables.nation(spark, sfDir), $"c_nationkey" === $"n_nationkey")
-        .join(Tables.region(spark, sfDir).filter($"r_name" === "ASIA"),
+        .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(spark, sfDir).filter($"r_name" === "ASIA")),
           $"n_regionkey" === $"r_regionkey")
-        .select($"c_custkey", $"c_nationkey", $"n_name"))
+        .select($"c_custkey", $"c_nationkey", $"n_name")
     val sup = broadcast(
       Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey"))
     Tables.orders(spark, sfDir)
@@ -273,7 +282,11 @@ object Relational {
   }
 
   /** `q3_shipping_priority`: TPC-H Q3 shape — segment-filtered customers,
-    * date-split orders/lineitems, revenue per order, top-10. */
+    * date-split orders/lineitems, revenue per order, top-10. The
+    * segment-filtered customer side is customer-proportional (~1/5 of
+    * the table), so it carries NO broadcast hint: AQE picks BHJ while it
+    * fits and switches to SMJ past the threshold — the exact regime
+    * change measured for this query in SCALE.md. */
   def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cut = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
@@ -284,7 +297,7 @@ object Relational {
       .select($"o_orderkey", $"o_custkey", $"o_orderdate")
     val l = Tables.lineitem(spark, sfDir).filter($"l_shipdate" > lit(cut))
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate")
       .agg(round(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
       .select($"l_orderkey", $"revenue",

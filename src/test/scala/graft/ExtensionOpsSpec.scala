@@ -138,17 +138,30 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(joined.filter($"byte_len" =!= $"tl").count() == 0)
   }
 
-  test("decode stub: frame count matches ceil(byte_len / FrameBytes), checksum stable") {
+  test("image decode: javax.imageio dimensions and pixel sums match an independent recomputation") {
     val s = spark
     import s.implicits._
     val f1 = MultiModal.decodeFeatures(spark, sf).collect()
     val f2 = MultiModal.decodeFeatures(spark, sf).collect()
     assert(f1.toSeq == f2.toSeq) // deterministic across runs
-    val meta = MultiModal.binaryMeta(spark, sf).collect()
-      .map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("byte_len")).toMap
+    val texts = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f1.nonEmpty)
     f1.foreach { r =>
-      val expect = (meta(r.getAs[Long]("media_id")) + MultiModal.FrameBytes - 1) / MultiModal.FrameBytes
-      assert(r.getAs[Int]("n_frames") == expect)
+      val seed = texts(r.getAs[Long]("media_id"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // expected geometry + pixel sum recomputed WITHOUT going through
+      // the codec — a decode that returned wrong pixels would diverge
+      assert(r.getAs[Int]("img_w") == MultiModal.BmpWidth)
+      assert(r.getAs[Int]("img_h") == MultiModal.bmpHeight(seed.length))
+      val expectSum = (0 until r.getAs[Int]("img_h")).flatMap(y =>
+        (0 until MultiModal.BmpWidth).map { x =>
+          val (pr, pg, pb) = MultiModal.pixelChannels(seed, x, y)
+          (pr + pg + pb).toLong
+        }).sum
+      assert(r.getAs[Long]("pixel_sum") == expectSum,
+        s"decoded pixel sum diverged for media ${r.getAs[Long]("media_id")}")
+      assert(r.getAs[String]("pixel_md5").length == 32)
     }
   }
 

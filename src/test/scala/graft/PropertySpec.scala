@@ -167,14 +167,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("property: stub decoder is total and deterministic on arbitrary byte payloads") {
+  test("property: BMP encode + javax.imageio decode is total and exact on arbitrary byte payloads") {
     val byteGen = Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    javax.imageio.ImageIO.setUseCache(false)
     samples(byteGen, 20).foreach { bytes =>
-      val f1 = MultiModal.stubDecodeFrames(bytes)
-      val f2 = MultiModal.stubDecodeFrames(bytes)
-      assert(f1.n_frames == f2.n_frames && f1.checksum == f2.checksum)
-      assert(f1.n_frames == (bytes.length + MultiModal.FrameBytes - 1) / MultiModal.FrameBytes
-        || (bytes.isEmpty && f1.n_frames == 0))
+      val f1 = MultiModal.decodeBmp(0L, MultiModal.syntheticBmp(bytes), md)
+      val f2 = MultiModal.decodeBmp(0L, MultiModal.syntheticBmp(bytes), md)
+      assert(f1 == f2, "decode not deterministic")
+      assert(f1.img_w == MultiModal.BmpWidth)
+      assert(f1.img_h == MultiModal.bmpHeight(bytes.length))
+      // the decoded raster must be EXACTLY the pixel function — BI_RGB
+      // is lossless, so any divergence is a codec/header bug
+      val expect = (0 until f1.img_h).flatMap(y =>
+        (0 until f1.img_w).map { x =>
+          val (r, g, b) = MultiModal.pixelChannels(bytes, x, y)
+          (r + g + b).toLong
+        }).sum
+      assert(f1.pixel_sum == expect, s"pixel sum diverged for len=${bytes.length}")
     }
   }
 
