@@ -196,39 +196,78 @@ object MultiModal {
       .orderBy($"media_id")
   }
 
-  case class ResizedMedia(media_id: Long, orig_len: Int, resized_len: Int, resized_md5: String)
+  case class ResizedImage(media_id: Long, orig_w: Int, orig_h: Int,
+      resized_w: Int, resized_h: Int, resized_pixel_sum: Long, resized_md5: String)
 
-  /** STUB resize — deterministic fake standing in for a real image/audio
-    * downsample (no codec libraries in this environment): keep every
-    * `factor`-th byte. A production build swaps the body for a bilinear
-    * resample over the decoded raster; the load-bearing Spark side —
-    * typed Dataset in/out, per-partition execution, digest-only output
-    * so resized payloads never ride a shuffle — is real. */
-  def stubResize(payload: Array[Byte], factor: Int): Array[Byte] = {
-    val out = new Array[Byte]((payload.length + factor - 1) / factor)
-    var i = 0
-    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
-    out
+  val ResizeFactor = 4
+
+  /** REAL downsample: decode the BMP through `javax.imageio`, then
+    * area-average (box-filter) each `ResizeFactor`² block of the DECODED
+    * raster — the standard high-quality integer downscale, in exact
+    * integer arithmetic (per-block channel sums, floor division), so the
+    * result is bit-identical on any JVM (a Java2D `AffineTransformOp`
+    * resample would be real too, but its interpolation is
+    * implementation-defined — exactness is worth the hand-rolled loop).
+    * The last block on each axis absorbs the remainder, so every source
+    * pixel contributes. Output digests only (resized rasters never ride
+    * a shuffle). */
+  def resizeDecoded(mediaId: Long, bmp: Array[Byte],
+      md: java.security.MessageDigest): ResizedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    require(img != null, s"javax.imageio failed to decode BMP for media $mediaId")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rw = math.max(1, w / ResizeFactor)
+    val rh = math.max(1, h / ResizeFactor)
+    md.reset()
+    var sum = 0L
+    var by = 0
+    while (by < rh) {
+      val y0 = by * ResizeFactor
+      val y1 = if (by == rh - 1) h else y0 + ResizeFactor
+      var bx = 0
+      while (bx < rw) {
+        val x0 = bx * ResizeFactor
+        val x1 = if (bx == rw - 1) w else x0 + ResizeFactor
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        val (ar, ag, ab) = (rs / n, gs / n, bs / n)
+        sum += ar + ag + ab
+        md.update(ar.toByte); md.update(ag.toByte); md.update(ab.toByte)
+        bx += 1
+      }
+      by += 1
+    }
+    ResizedImage(mediaId, w, h, rw, rh, sum,
+      md.digest().map("%02x".format(_)).mkString)
   }
 
-  /** `mm_resize_stub`: partition-parallel media resize (stub body) —
-    * emits (orig_len, resized_len, md5 of the resized bytes). No SQL
-    * oracle (byte-level blob arithmetic is not sanely expressible in
-    * SQL); MultiModalSpec asserts length arithmetic + determinism. */
-  val ResizeFactor = 4
+  /** `mm_resize_stub`: partition-parallel media resize — like the decode
+    * op, the body is now REAL (decode via `javax.imageio`, box-filter
+    * downsample over decoded pixels; the key keeps its historical
+    * `_stub` name for registry stability). Emits original/resized
+    * dimensions, the exact resized pixel sum, and an md5 of the resized
+    * raster. No SQL oracle (DuckDB cannot decode BMP); Round2Ops/
+    * PropertySpec assert dimensions, exact block averages vs an
+    * independent recomputation, and cross-run determinism. */
   def resizeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
       .select($"media_id", $"payload").as[MediaRow]
     media
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
         val md = java.security.MessageDigest.getInstance("MD5")
-        rows.map { m =>
-          val r = stubResize(m.payload, ResizeFactor)
-          md.reset()
-          val digest = md.digest(r).map("%02x".format(_)).mkString
-          ResizedMedia(m.media_id, m.payload.length, r.length, digest)
-        }
+        rows.map(m => resizeDecoded(m.media_id, syntheticBmp(m.payload), md))
       }
       .toDF()
       .orderBy($"media_id")

@@ -210,15 +210,38 @@ class Round2OpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("mm_resize_stub: length arithmetic exact, deterministic across runs") {
+  test("mm_resize_stub: real decode+downsample — block averages match an independent recomputation") {
     val s = spark
     import s.implicits._
-    val out = graft.mm.MultiModal.resizeFeatures(spark, sf)
-    val bad = out.filter(
-      $"resized_len" =!= ceil($"orig_len" / lit(graft.mm.MultiModal.ResizeFactor.toDouble))
-        .cast("int")).count()
-    assert(bad == 0, "resized length != ceil(orig/factor)")
-    assert(out.collect().toSeq == graft.mm.MultiModal.resizeFeatures(spark, sf).collect().toSeq)
+    val MM = graft.mm.MultiModal
+    val out = MM.resizeFeatures(spark, sf).collect()
+    assert(out.toSeq == MM.resizeFeatures(spark, sf).collect().toSeq,
+      "resize not deterministic across runs")
+    val texts = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val seed = texts(r.getAs[Long]("media_id"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val (w, h) = (MM.BmpWidth, MM.bmpHeight(seed.length))
+      assert(r.getAs[Int]("orig_w") == w && r.getAs[Int]("orig_h") == h)
+      val (rw, rh) = (math.max(1, w / MM.ResizeFactor), math.max(1, h / MM.ResizeFactor))
+      assert(r.getAs[Int]("resized_w") == rw && r.getAs[Int]("resized_h") == rh)
+      // recompute the box-filter averages from the pixel function alone —
+      // no codec involved — and compare the exact pixel sum
+      var expect = 0L
+      for (by <- 0 until rh; bx <- 0 until rw) {
+        val y1 = if (by == rh - 1) h else (by + 1) * MM.ResizeFactor
+        val x1 = if (bx == rw - 1) w else (bx + 1) * MM.ResizeFactor
+        var (rs, gs, bs, n) = (0L, 0L, 0L, 0L)
+        for (y <- by * MM.ResizeFactor until y1; x <- bx * MM.ResizeFactor until x1) {
+          val (pr, pg, pb) = MM.pixelChannels(seed, x, y)
+          rs += pr; gs += pg; bs += pb; n += 1
+        }
+        expect += rs / n + gs / n + bs / n
+      }
+      assert(r.getAs[Long]("resized_pixel_sum") == expect,
+        s"resized pixel sum diverged for media ${r.getAs[Long]("media_id")}")
+    }
   }
 
   test("cdc_stream_sessionize: closed sessions match batch, completeness bound holds") {
