@@ -53,9 +53,11 @@ object TpchShapes {
 
   /** `q7_volume_shipping` (TPC-H Q7): two independent dimension chains on
     * the same fact row — supplier→nation and order→customer→nation — with
-    * a symmetric two-nation filter and per-year volume. Both nation maps
-    * ride as broadcasts; the only shuffles are lineitem⋈orders and the
-    * final small aggregate. */
+    * a symmetric two-nation filter and per-year volume. The supplier map
+    * rides as a broadcast (sub-linear cardinality); the customer map is
+    * UNHINTED — customer-proportional, so AQE owns the strategy — and
+    * the remaining shuffles are lineitem⋈orders and the final small
+    * aggregate. */
   def q7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nations = Seq("NATION_3", "NATION_8")
@@ -64,11 +66,13 @@ object TpchShapes {
         .join(Tables.nation(spark, sfDir), $"s_nationkey" === $"n_nationkey")
         .filter($"n_name".isin(nations: _*))
         .select($"s_suppkey", $"n_name".as("supp_nation")))
-    val custNation = broadcast(
+    // customer-derived: UNHINTED (customer-proportional — SURVEY §4's
+    // broadcast rule; AQE broadcasts while it fits, shuffles at 100×)
+    val custNation =
       Tables.customer(spark, sfDir)
-        .join(Tables.nation(spark, sfDir), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
         .filter($"n_name".isin(nations: _*))
-        .select($"c_custkey", $"n_name".as("cust_nation")))
+        .select($"c_custkey", $"n_name".as("cust_nation"))
     Tables.lineitem(spark, sfDir)
       .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1998-01-01"))
       .join(suppNation, $"l_suppkey" === $"s_suppkey")
@@ -93,12 +97,13 @@ object TpchShapes {
       Tables.supplier(spark, sfDir)
         .join(Tables.nation(spark, sfDir), $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey", $"n_name".as("supp_nation")))
-    val custRegion = broadcast(
+    // customer-derived: UNHINTED (same rule as q7's custNation)
+    val custRegion =
       Tables.customer(spark, sfDir)
-        .join(Tables.nation(spark, sfDir), $"c_nationkey" === $"n_nationkey")
-        .join(Tables.region(spark, sfDir).filter($"r_name" === "EUROPE"),
+        .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(spark, sfDir).filter($"r_name" === "EUROPE")),
           $"n_regionkey" === $"r_regionkey")
-        .select($"c_custkey"))
+        .select($"c_custkey")
     val volume = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 4))
     Tables.lineitem(spark, sfDir)
       .join(parts, $"l_partkey" === $"p_partkey")
@@ -181,7 +186,10 @@ object TpchShapes {
     val volume = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 4))
     Tables.lineitem(spark, sfDir)
       .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1997-04-01"))
-      .join(broadcast(Tables.part(spark, sfDir).select($"p_partkey", $"p_type")),
+      // the FULL part table rides unhinted: part-proportional (SF·200k
+      // rows — broadcasting it at 100× is the q5 failure mode); AQE
+      // picks BHJ at bench scale and demotes past the threshold
+      .join(Tables.part(spark, sfDir).select($"p_partkey", $"p_type"),
         $"l_partkey" === $"p_partkey")
       .agg(graft.Det.r4(
         lit(100.0) *
@@ -238,12 +246,14 @@ object TpchShapes {
 
   /** `q19_discounted_revenue` (TPC-H Q19): disjunctive multi-clause
     * predicate over a joined pair — three OR'd conjunctions of brand,
-    * size and quantity ranges. One broadcast join; the disjunction is a
-    * single codegen'd filter, and the common `l_quantity <= 40` bound is
-    * factored so the scan still prunes. */
+    * size and quantity ranges. One part equi-join (unhinted — AQE
+    * broadcasts while part fits); the disjunction is a single codegen'd
+    * filter, and the common `l_quantity <= 40` bound is factored so the
+    * scan still prunes. */
   def q19DiscountedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val p = broadcast(Tables.part(spark, sfDir).select($"p_partkey", $"p_brand", $"p_size"))
+    // full part table: unhinted for the same part-proportional reason as q14
+    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand", $"p_size")
     Tables.lineitem(spark, sfDir)
       .filter($"l_quantity" >= 1.0 && $"l_quantity" <= 40.0)
       .join(p, $"l_partkey" === $"p_partkey")
