@@ -1979,6 +1979,35 @@ $iters
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    "source_csv_roundtrip" ->
+      // the oracle aggregates the ORIGINAL parquet — a hash match proves
+      // the CSV text write/read cycle lost nothing, including the NTZ
+      // timestamp surviving its ISO text form (min/max epoch columns)
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                epoch_us(min(o_orderdate)) AS min_date_us,
+                epoch_us(max(o_orderdate)) AS max_date_us
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "text_bpe_pair_counts" ->
+      // same vocab-then-pairs construction in SQL: distinct-word counts,
+      // lateral unnest of each word's adjacent 2-grams, weighted sum
+      """SELECT pair, n_pairs, n_vocab FROM (
+           WITH words AS (
+             SELECT w.word AS word, count(*) AS wc
+             FROM documents, unnest(string_split(text, ' ')) AS w(word)
+             WHERE length(w.word) >= 2
+             GROUP BY 1
+           ), pairs AS (
+             SELECT substring(word, CAST(r.i AS INTEGER), 2) AS pair, wc
+             FROM words, unnest(range(1, length(word))) AS r(i)
+           )
+           SELECT pair, CAST(sum(wc) AS BIGINT) AS n_pairs, count(*) AS n_vocab
+           FROM pairs GROUP BY pair
+           ORDER BY n_pairs DESC, pair LIMIT 20
+         ) ORDER BY pair""",
+
     "source_avro_roundtrip" ->
       // the oracle aggregates the ORIGINAL parquet — a hash match proves
       // the Avro binary encode/decode cycle lost nothing across two

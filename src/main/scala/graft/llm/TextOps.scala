@@ -52,6 +52,32 @@ object TextOps {
       .limit(20)
   }
 
+  /** `text_bpe_pair_counts`: corpus-weighted adjacent symbol-pair
+    * frequencies — the statistic a BPE tokenizer-training run computes
+    * for every merge step — done the way a 100 TB run must: collapse the
+    * corpus to its DISTINCT word vocabulary first (one map-side-combined
+    * count shuffle; Zipf keeps the vocab sub-linear in corpus size),
+    * then explode each VOCAB word's adjacent character pairs weighted by
+    * its corpus count. The expensive generate runs over the vocabulary,
+    * not the corpus — the classic BPE-training trick (word-count
+    * dictionary, not token stream). Output: top-20 pairs by weighted
+    * count (pair tie-break), with the number of vocab pair occurrences. */
+  def bpePairCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+    words
+      .select($"wc", explode(transform(sequence(lit(1), length($"word") - 1),
+        i => $"word".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair")
+      .agg(sum($"wc").as("n_pairs"), count(lit(1)).as("n_vocab"))
+      .orderBy($"n_pairs".desc, $"pair")
+      .limit(20)
+      .orderBy($"pair")
+  }
+
   /** `dedup_ngram_jaccard`: exact near-dup pairs by Jaccard over word
     * 3-shingle sets — the AllPairs/PPJoin prefix-filter algorithm
     * (Bayardo/Ma/Srikant WWW'07, Xiao et al.), which is what survives

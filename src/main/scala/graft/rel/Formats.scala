@@ -30,9 +30,50 @@ object Formats {
     * no-ops after this. */
   private[graft] def stageAll(spark: SparkSession, sfDir: String): Unit = {
     orcRoundtrip(spark, sfDir)
+    csvRoundtrip(spark, sfDir)
     stagedPartitionedOrders(spark, sfDir)
     binaryFileScan(spark, sfDir)
     stagedCorruptJsonl(spark, sfDir)
+  }
+
+  private val stagedCsv =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** `source_csv_roundtrip`: orders written to CSV (header, default
+    * comma dialect) and read back under the EXPLICIT source schema —
+    * never inference, which is a second full pass and a schema-drift
+    * hazard at 100 TB — then aggregated; the oracle computes the SAME
+    * aggregate from the original parquet, so a hash match proves the
+    * text round-trip lossless across all four column classes: long keys,
+    * strings, IEEE doubles (Spark writes shortest-round-trip decimal
+    * text), and the NTZ timestamp through its ISO text form (the min/max
+    * epoch columns pin it). Staged once per (session, sfDir), same
+    * shared-stage pattern as [[orcRoundtrip]]; the staging write is
+    * pre-built in Bench's untimed warm-up via [[stageAll]]. */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    if (stagedCsv.size > 16) stagedCsv.clear()
+    val src = Tables.orders(spark, sfDir)
+    val dir = stagedCsv.computeIfAbsent(
+      (spark, sfDir),
+      _ => {
+        val d = graft.StageDirs.fresh("graft-csv").toString
+        src.write.mode("overwrite").option("header", "true").csv(s"$d/orders")
+        d
+      })
+    spark.read.schema(src.schema).option("header", "true").csv(s"$dir/orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"),
+        unix_micros(min($"o_orderdate")
+          .cast(org.apache.spark.sql.types.TimestampType)).as("min_date_us"),
+        unix_micros(max($"o_orderdate")
+          .cast(org.apache.spark.sql.types.TimestampType)).as("max_date_us"))
+      .orderBy($"o_orderstatus")
   }
 
   // keyed on the session REFERENCE, not identityHashCode: hash codes can

@@ -11,6 +11,31 @@ class FormatsSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sf = SparkFixture.Sf
 
+  test("source_csv_roundtrip: text cycle lossless vs the original parquet, incl. NTZ timestamps") {
+    val s = spark
+    import s.implicits._
+    val df = graft.rel.Formats.csvRoundtrip(spark, sf)
+    val direct = Tables.orders(spark, sf)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"),
+        unix_micros(min($"o_orderdate")
+          .cast(org.apache.spark.sql.types.TimestampType)).as("min_date_us"),
+        unix_micros(max($"o_orderdate")
+          .cast(org.apache.spark.sql.types.TimestampType)).as("max_date_us"))
+      .orderBy($"o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == direct,
+      "CSV write/read cycle diverged from the original parquet")
+    // explicit schema means the read plan carries the declared types —
+    // no inference pass ran (a wrong type would already break the
+    // epoch/decimal equality above; this pins the schema on the scan)
+    assert(df.schema("min_date_us").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("source_partitioned_roundtrip: directory pruning, lossless values") {
     val s = spark
     import s.implicits._

@@ -9,6 +9,29 @@ class LlmSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sf = SparkFixture.Sf
 
+  test("text_bpe_pair_counts: weighted pair counts equal a naive corpus recount") {
+    val s = spark
+    import s.implicits._
+    val out = graft.llm.TextOps.bpePairCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 20 && out.sortBy(_._1).toSeq == out.toSeq)
+    // naive recount straight off the token stream (no vocab collapse):
+    // pair -> (corpus-weighted count, vocab occurrence count)
+    val wordCounts = Tables.documents(spark, sf).select($"text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val naive = wordCounts.toSeq.flatMap { case (w, c) =>
+      w.sliding(2).map(p => (p, c))
+    }.groupBy(_._1).map { case (p, xs) => p -> (xs.map(_._2).sum, xs.length.toLong) }
+    out.foreach { case (pair, nPairs, nVocab) =>
+      assert(naive(pair) == ((nPairs, nVocab)),
+        s"pair $pair: got ($nPairs,$nVocab) expected ${naive(pair)}")
+    }
+    // the top-20 really are the global maxima under (count desc, pair)
+    val top = naive.toSeq.sortBy { case (p, (n, _)) => (-n, p) }.take(20).map(_._1).sorted
+    assert(out.map(_._1).toSeq == top)
+  }
+
   test("dedup_exact output is a subset of input ids; hash variant agrees") {
     val s = spark
     import s.implicits._
