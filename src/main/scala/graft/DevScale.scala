@@ -55,7 +55,10 @@ object DevScale {
     "graph_triangle_count",
     // round 10 (r08): the two heavy queries that had no slope rows —
     // q20's decorrelated conditional agg and the bounded-build JSON shred
-    "q20_potential_promotion", "json_nested_shred")
+    "q20_potential_promotion", "json_nested_shred",
+    // round 10 additions: CSV file source (staging is file-count-linear,
+    // the read is the scan path) and the vocab-collapsed BPE pair count
+    "source_csv_roundtrip", "text_bpe_pair_counts")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
