@@ -816,6 +816,22 @@ $iters
          FROM toks JOIN freqs USING (tok) CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id""",
 
+    "text_bigram_logprob" ->
+      // same quantized-ln construction one model order up: conditional
+      // bigram NLL = ln(prefix count) - ln(bigram count); docs with a
+      // single token have no transitions and no row on either side
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         bgr AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
+                 FROM t, unnest(range(1, len(toks))) AS r(i)),
+         fbg AS (SELECT bg, count(*) AS bg_cnt FROM bgr GROUP BY bg),
+         fw1 AS (SELECT w1, count(*) AS w1_cnt FROM bgr GROUP BY w1)
+         SELECT doc_id, count(*) AS n_bigrams,
+                floor((CAST(sum(CAST(floor((ln(w1_cnt) - ln(bg_cnt)) * 1e6 + 0.5) / 1e6
+                                     AS DECIMAL(18,10))) AS DOUBLE) / count(*))
+                      * 10000.0 + 0.5) / 10000.0 AS avg_nll
+         FROM bgr JOIN fbg USING (bg) JOIN fw1 USING (w1)
+         GROUP BY doc_id ORDER BY doc_id""",
+
     "vec_label_centroids" ->
       """SELECT label, dim, count(*) AS n_vecs,
                 floor((CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*))

