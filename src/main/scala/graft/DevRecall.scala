@@ -18,7 +18,9 @@ object DevRecall {
         .map(_.getAs[Long]("vec_id")).toSet
       val ivf = graft.llm.IvfAnn.simAnnIvf(spark, sf).collect()
         .map(_.getAs[Long]("vec_id")).toSet
-      println(s"[recall] $sf lsh=${lsh.intersect(exact).size}/10 ivf=${ivf.intersect(exact).size}/10")
+      val pq = graft.llm.PqAnn.simAnnPq(spark, sf).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      println(s"[recall] $sf lsh=${lsh.intersect(exact).size}/10 ivf=${ivf.intersect(exact).size}/10 pq=${pq.intersect(exact).size}/10")
     }
     spark.stop()
   }

@@ -58,7 +58,14 @@ object DevScale {
     "q20_potential_promotion", "json_nested_shred",
     // round 10 additions: CSV file source (staging is file-count-linear,
     // the read is the scan path) and the vocab-collapsed BPE pair count
-    "source_csv_roundtrip", "text_bpe_pair_counts")
+    "source_csv_roundtrip", "text_bpe_pair_counts",
+    // round 11: bigram LM (model joins grow with the bigram vocab),
+    // substring-span dedup (hash-keyed span shuffle; replication makes
+    // every span cross-replica duplicated — output stays per-doc), and
+    // PQ ANN (fixed probe output; encode is corpus-linear).
+    // cdc_stream_foreachbatch stays out like the rest of cdc_stream_*:
+    // its cost is the profiled streaming floor
+    "text_bigram_logprob", "dedup_substring_spans", "sim_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

@@ -105,6 +105,9 @@ $iters
     // incremental MERGE (snapshot + delta) must equal the full-log
     // rebuild — the gate proves the equivalence through DuckDB.
     "cdc_merge_upsert"     -> latestStateDelSql,
+    // N-batch streaming foreachBatch MERGE must equal the one-shot
+    // full-log rebuild — incremental apply proven through DuckDB.
+    "cdc_stream_foreachbatch" -> latestStateDelSql,
 
     "cdc_op_counts" ->
       """SELECT CASE WHEN event_type = 'signup' THEN 'c'
@@ -814,6 +817,21 @@ $iters
                                      AS DECIMAL(18,10))) AS DOUBLE) / count(*))
                       * 10000.0 + 0.5) / 10000.0 AS avg_nll
          FROM toks JOIN freqs USING (tok) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "dedup_substring_spans" ->
+      // raw-string twin of the hash-keyed Spark plan (counts are hash-
+      // invariant absent 64-bit collisions, the dedup_exact_hash rule)
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents WHERE len(string_split(text, ' ')) >= 8),
+            sp AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+8], ' ') AS span
+                   FROM docs, unnest(range(len(toks) - 7)) t(i)),
+            g AS (SELECT span, count(*) AS n_docs FROM sp GROUP BY span)
+         SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                floor((CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*)) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+         FROM sp JOIN g USING (span)
          GROUP BY doc_id ORDER BY doc_id""",
 
     "text_bigram_logprob" ->

@@ -736,6 +736,87 @@ object StreamingLatest {
       .orderBy($"user_id")
   }
 
+  /** `cdc_stream_foreachbatch`: the CDC → lakehouse MERGE sink — the
+    * deployment shape the reference pipeline feeds (topic consumer
+    * maintaining a queryable table): each micro-batch of the replayed
+    * change log is MERGEd into a versioned parquet snapshot inside
+    * `foreachBatch` — delta reduced to per-key latest (one max-struct
+    * agg, map-side combined), unioned with the current snapshot,
+    * latest-wins re-resolved, keys whose winner is a delete dropped.
+    * Per-batch cost is ∝ snapshot + delta (the [[Changelog.mergeUpsert]]
+    * incremental-apply invariant, here iterated across real streaming
+    * batches with a checkpoint); at 100 TB the union+window step is what
+    * a Delta/Iceberg MERGE INTO plans, with file pruning replacing the
+    * full snapshot rewrite. Dropping deleted keys from the snapshot is
+    * sound because the staged log replays in event-time order (see
+    * [[stagedEventLog]]): no later batch can carry an older event that
+    * would wrongly resurrect a deleted key. The final snapshot equals
+    * the batch full-log rebuild, so the query shares
+    * `cdc_latest_state_del`'s oracle SQL — the gate proves N-batch
+    * incremental MERGE ≡ one-shot materialization through DuckDB. */
+  def streamForeachBatchMerge(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
+    import spark.implicits._
+    val inDir   = stagedEventLog(spark, sfDir)
+    val runDir  = jvmTmpDir("fbm")
+    val ckptDir = s"$runDir/ckpt"
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").schema
+
+    // driver-side pointer to the current snapshot version; foreachBatch
+    // bodies run sequentially on the driver, so a plain var is safe
+    var snapDir: Option[String] = None
+
+    val source = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val q = source.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rec = struct(unix_micros(col("ts")).as("last_ts_us"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+        val delta = batch.groupBy(col("user_id")).agg(max(rec).as("rec"))
+          .select(col("user_id"), col("rec.last_ts_us").as("last_ts_us"),
+            col("rec.last_event_id").as("last_event_id"),
+            col("rec.last_event_type").as("last_event_type"),
+            col("rec.last_value").as("last_value"))
+        val merged = snapDir match {
+          case None => delta
+          case Some(cur) =>
+            val w = Window.partitionBy(col("user_id"))
+              .orderBy(col("last_ts_us").desc, col("last_event_id").desc)
+            spark.read.parquet(cur).unionByName(delta)
+              .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+              .drop("rn")
+        }
+        val next = s"$runDir/snap-$id"
+        merged.filter(Changelog.opCol(col("last_event_type")) =!= "d")
+          .write.mode("overwrite").parquet(next)
+        snapDir = Some(next)
+      }
+      .start()
+    q.awaitTermination()
+
+    val out = spark.read.parquet(snapDir.getOrElse(
+      sys.error("foreachBatch merge produced no snapshot")))
+      .select($"user_id", $"last_event_id", $"last_event_type",
+        round($"last_value", 4).as("last_value"))
+      .orderBy($"user_id")
+      // materialize before deleting the snapshot dirs the plan reads
+      .localCheckpoint(true)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rmTree(_))
+      Files.deleteIfExists(p)
+    }
+    rmTree(runDir)
+    out
+  } }
+
   /** `cdc_state_reader`: the state-store BATCH READER (Spark 4.x
     * `spark.read.format("statestore")`) — operational state
     * introspection. A streaming aggregation (per-user event count +

@@ -930,6 +930,40 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `dedup_substring_spans`: exact substring-duplication accounting —
+    * the span-granular dedup primitive of large-corpus pipelines (a doc
+    * can be 95% unique yet carry a boilerplate paragraph repeated across
+    * thousands of pages; doc-level dedup never sees it). Every 8-token
+    * span is keyed by `xxhash64` so the shuffle carries (doc_id, 8-byte
+    * key) pairs and NEVER raw token strings — the only shape that
+    * survives a 100 TB token stream (a production run would widen to a
+    * 128-bit hash; at any test scale 64-bit collisions are
+    * negligible, the dedup_exact_hash precedent). Distinct spans per
+    * doc → global span→doc-count → join back (both shuffles on the
+    * hash key, Exchange reused between the two consumers) → per-doc
+    * duplicated-span count and fraction. Docs shorter than the span
+    * width have no spans and no row. */
+  def dedupSubstringSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sp = Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 8)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks) - 8), i -> xxhash64(array_join(slice(toks, i + 1, 8), ' ')))"))
+        .as("h"))
+      .distinct()
+    // sp is already distinct per (doc, span) so count(1) = distinct docs
+    val g = sp.groupBy($"h").agg(count(lit(1)).as("n_docs"))
+    sp.join(g, "h")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select($"doc_id", $"n_spans", $"n_dup_spans",
+        graft.Det.r4($"n_dup_spans".cast(DoubleType) / $"n_spans").as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
   /** `text_bigram_logprob`: per-document mean negative log-probability
     * under the corpus BIGRAM model — the next-order perplexity proxy
     * after [[unigramLogprob]]: p(w2|w1) = cnt(w1 w2) / cnt(w1 ·), so a

@@ -83,6 +83,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(recall >= 8, s"LSH recall@10 regressed: $recall/10 (recorded 10/10)")
   }
 
+  test("sim_ann_pq: deterministic, correctly ranked, overlaps exact top-10") {
+    val s = spark
+    import s.implicits._
+    val ann1 = graft.llm.PqAnn.simAnnPq(spark, sf).collect()
+    val ann2 = graft.llm.PqAnn.simAnnPq(spark, sf).collect()
+    assert(ann1.toSeq == ann2.toSeq) // codebook training + ADC deterministic
+    assert(ann1.length <= 10 && ann1.nonEmpty)
+    val cos = ann1.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(cos == cos.sorted.reverse) // exact re-rank order
+    // pinned recall@10 vs the exact panel: PQ measures 10/10 at
+    // sf0.001/0.01/0.1 (DevRecall, this round) with the 2% shortlist;
+    // threshold 8 leaves head-room for corpus regeneration, and a
+    // codebook/ADC regression fails loudly here
+    val exact = VectorOps.simTopkCosine(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = ann1.map(_.getAs[Long]("vec_id")).toSet.intersect(exact).size
+    assert(recall >= 8, s"PQ recall@10 regressed: $recall/10 (recorded 10/10)")
+  }
+
   // ── text analysis ──────────────────────────────────────────────────
   test("lang_id confusion matrix covers every document") {
     val df = TextOps.langId(spark, sf)

@@ -62,6 +62,34 @@ class LlmSpec extends AnyFunSuite {
     assert(out.map(_._3).forall(v => v >= 0.0))
   }
 
+  test("dedup_substring_spans: per-doc duplicated-span accounting matches a raw-string recount") {
+    val s = spark
+    import s.implicits._
+    val out = TextOps.dedupSubstringSpans(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_dup_spans"), r.getAs[Double]("dup_frac")))
+    // naive recount on raw strings (no hashing): distinct 8-token spans
+    // per doc, global doc-count per span, per-doc dup accounting
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 8)
+    val spans = docs.map { case (id, ts) =>
+      id -> ts.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet }
+    val docCount = spans.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).map { case (sp, xs) => sp -> xs.map(_._2).distinct.length }
+    val expect = spans.map { case (id, ss) =>
+      val dup = ss.count(docCount(_) >= 2)
+      id -> (ss.size.toLong, dup.toLong,
+        math.floor(dup.toDouble / ss.size * 1e4 + 0.5) / 1e4)
+    }.toMap
+    assert(out.length == expect.size)
+    out.foreach { case (id, n, d, f) =>
+      assert(expect(id) == ((n, d, f)), s"doc $id: got ($n,$d,$f) expected ${expect(id)}")
+    }
+    // the fixture contains exact duplicate docs, so duplicated spans exist
+    assert(out.map(_._3).sum > 0, "fixture should contain cross-doc repeated spans")
+  }
+
   test("dedup_exact output is a subset of input ids; hash variant agrees") {
     val s = spark
     import s.implicits._

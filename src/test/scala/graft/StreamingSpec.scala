@@ -26,6 +26,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch, "stateless stream-static join must equal the batch join")
   }
 
+  test("cdc_stream_foreachbatch incremental MERGE equals batch latest-state-with-deletes") {
+    val streamRows = StreamingLatest.streamForeachBatchMerge(spark, sf).collect().toSeq
+    val batchRows  = Changelog.latestStateWithDeletes(spark, sf).collect().toSeq
+    assert(streamRows.length == batchRows.length)
+    assert(streamRows == batchRows,
+      "N-batch foreachBatch MERGE must equal the one-shot full-log rebuild")
+  }
+
   test("cdc_stream_stateful final state equals batch cdc_latest_state") {
     val streamRows = StreamingLatest.streamStateful(spark, sf).collect().toSeq
     val batchRows  = Changelog.latestState(spark, sf).collect().toSeq
