@@ -65,7 +65,14 @@ object DevScale {
     // PQ ANN (fixed probe output; encode is corpus-linear).
     // cdc_stream_foreachbatch stays out like the rest of cdc_stream_*:
     // its cost is the profiled streaming floor
-    "text_bigram_logprob", "dedup_substring_spans", "sim_ann_pq")
+    "text_bigram_logprob", "dedup_substring_spans", "sim_ann_pq",
+    // round 11 second batch: funnel/nearest (events windows), prefix
+    // retrieval + keyframe (fixed output / generate+agg), weighted
+    // percentile (per-group sorted cumsum). dedup_containment stays out
+    // with the other near-dup pair miners: cloning the corpus makes the
+    // TRUE containment pair set quadratic (every doc gains 9 clones)
+    "window_funnel_steps", "join_asof_nearest", "sim_topk_prefix",
+    "mm_video_keyframe", "agg_weighted_percentile")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

@@ -819,6 +819,146 @@ $iters
          FROM toks JOIN freqs USING (tok) CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id""",
 
+    "agg_weighted_percentile" ->
+      // same integer boundary rule: smallest value whose running token
+      // cumsum reaches p of the group total
+      """WITH d AS (SELECT lang, n_chars, doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+                    FROM documents),
+         c AS (SELECT lang, n_chars, tk,
+                      sum(tk) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+                      sum(tk) OVER (PARTITION BY lang) AS totw
+               FROM d)
+         SELECT lang, count(*) AS n_docs,
+                CAST(max(totw) AS BIGINT) AS tot_tokens,
+                min(CASE WHEN cumw * 2 >= totw THEN n_chars END) AS w_p50_chars,
+                min(CASE WHEN cumw * 10 >= totw * 9 THEN n_chars END) AS w_p90_chars
+         FROM c GROUP BY lang ORDER BY lang""",
+
+    "mm_video_keyframe" ->
+      // same integer variance numerator; argmax via QUALIFY-style rank
+      // (vn DESC, idx ASC) — equivalent to the min-of-struct; the empty
+      // fixture payload's zero-length frame is dropped by the guard
+      """WITH docs AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT -1, ''),
+         fr AS (
+           SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+                  substring(text, CAST(i * 32 + 1 AS INTEGER), 32) AS f
+           FROM docs,
+                unnest(range(CAST(greatest(floor(octet_length(encode(text)) / 32.0), 1) AS BIGINT))) AS t(i)
+           WHERE length(substring(text, CAST(i * 32 + 1 AS INTEGER), 32)) > 0),
+         st AS (
+           SELECT media_id, frame_idx, CAST(length(f) AS BIGINT) AS fr_len,
+                  CAST(list_aggregate(list_transform(range(length(f)),
+                      i -> ascii(substring(f, CAST(i + 1 AS INTEGER), 1))), 'sum') AS BIGINT) AS s1,
+                  CAST(list_aggregate(list_transform(range(length(f)),
+                      i -> ascii(substring(f, CAST(i + 1 AS INTEGER), 1))
+                           * ascii(substring(f, CAST(i + 1 AS INTEGER), 1))), 'sum') AS BIGINT) AS s2
+           FROM fr),
+         v AS (SELECT media_id, frame_idx, fr_len, s1,
+                      fr_len * s2 - s1 * s1 AS var_num,
+                      count(*) OVER (PARTITION BY media_id) AS n_frames,
+                      row_number() OVER (PARTITION BY media_id
+                        ORDER BY fr_len * s2 - s1 * s1 DESC, frame_idx) AS rk
+               FROM st)
+         SELECT media_id, CAST(n_frames AS INTEGER) AS n_frames,
+                frame_idx AS kf_idx, fr_len AS kf_len,
+                s1 AS kf_byte_sum, var_num AS kf_var_num
+         FROM v WHERE rk = 1 ORDER BY media_id""",
+
+    "join_asof_nearest" ->
+      // same interleaved per-user order, both directional frames, same
+      // backward-tie CASE
+      """SELECT event_id AS purchase_event_id, user_id,
+                CASE WHEN use_b THEN prev_id ELSE next_id END AS click_event_id,
+                (CASE WHEN use_b THEN prev_us ELSE next_us END) - p_us AS signed_gap_us
+         FROM (
+           SELECT *, prev_us IS NOT NULL AND
+                  (next_us IS NULL OR (p_us - prev_us) <= (next_us - p_us)) AS use_b
+           FROM (
+             SELECT event_id, user_id, event_type, epoch_us(ts) AS p_us,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                 OVER w_prev AS prev_id,
+               last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+                 OVER w_prev AS prev_us,
+               first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                 OVER w_next AS next_id,
+               first_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+                 OVER w_next AS next_us
+             FROM events
+             WINDOW
+               w_prev AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               w_next AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
+         WHERE event_type = 'purchase'
+         ORDER BY purchase_event_id""",
+
+    "sim_topk_prefix" ->
+      // same ordered float->double accumulation as sim_topk_cosine,
+      // staged: 16-dim prefix shortlist of 100, full-width re-rank
+      """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         pre AS (
+           SELECT e.vec_id, e.embedding,
+             list_aggregate(list_transform(list_zip(e.embedding[1:16], p.pe[1:16]),
+               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(e.embedding[1:16],
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(p.pe[1:16],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS pre_raw
+           FROM embeddings e, p WHERE e.vec_id <> 0
+           ORDER BY pre_raw DESC, e.vec_id LIMIT 100)
+         SELECT vec_id, round(pre_raw, 4) AS prefix_sim,
+                round(cos_raw, 4) AS cos_sim FROM (
+           SELECT pre.vec_id, pre.pre_raw,
+             list_aggregate(list_transform(list_zip(pre.embedding, p.pe),
+               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(pre.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(p.pe,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos_raw
+           FROM pre, p
+           ORDER BY cos_raw DESC, pre.vec_id LIMIT 10)
+         ORDER BY vec_id""",
+
+    "dedup_containment" ->
+      // exact recompute on raw shingle strings (no prefix filter — the
+      // oracle's exactness is independent of the candidate pruning);
+      // same shingle construction as the dedup_ngram_jaccard twin
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(string_split(text,' ')) - 2, 1)),
+             i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))) AS s
+           FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                round(CAST(count(*) AS DOUBLE) / a.n, 4) AS containment
+         FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+         GROUP BY a.doc_id, b.doc_id, a.n
+         HAVING round(CAST(count(*) AS DOUBLE) / a.n, 4) >= 0.8
+         ORDER BY doc_a, doc_b""",
+
+    "window_funnel_steps" ->
+      // sequential conditional mins as chained CTEs: each step's min is
+      // taken only over events strictly after the previous step's time
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+                    JOIN v USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+                    JOIN c USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+         SELECT u.user_id, epoch_us(tv) AS view_us, epoch_us(tc) AS click_us,
+                epoch_us(tp) AS purchase_us,
+                CASE WHEN tp IS NOT NULL THEN 3 WHEN tc IS NOT NULL THEN 2
+                     WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+         LEFT JOIN p USING (user_id)
+         ORDER BY user_id""",
+
     "dedup_substring_spans" ->
       // raw-string twin of the hash-keyed Spark plan (counts are hash-
       // invariant absent 64-bit collisions, the dedup_exact_hash rule)

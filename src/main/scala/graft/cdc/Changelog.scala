@@ -205,6 +205,41 @@ object Changelog {
       .orderBy($"purchase_event_id")
   }
 
+  /** `join_asof_nearest`: NEAREST-event temporal join — for each
+    * purchase, the same user's click with the smallest absolute time
+    * gap in EITHER direction (ties → the earlier, backward click).
+    * The backward-only as-of ([[asofAttribution]]) mis-attributes a
+    * purchase that races its click by milliseconds; nearest repairs
+    * that with one more frame over the SAME interleaved per-user
+    * order: last-click-before (unbounded..-1) and first-click-after
+    * (+1..unbounded) share one exchange+sort, then a per-row CASE
+    * picks the closer side. Signed gap (negative = click before)
+    * keeps both directions distinguishable. No join materializes:
+    * state per row is two (id, ts) pairs. */
+  def asofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+    val clickId = when($"event_type" === "click", $"event_id")
+    val clickUs = when($"event_type" === "click", unix_micros($"ts"))
+    val annotated = Tables.events(spark, sfDir)
+      .withColumn("prev_id", last(clickId, ignoreNulls = true).over(wPrev))
+      .withColumn("prev_us", last(clickUs, ignoreNulls = true).over(wPrev))
+      .withColumn("next_id", first(clickId, ignoreNulls = true).over(wNext))
+      .withColumn("next_us", first(clickUs, ignoreNulls = true).over(wNext))
+      .filter($"event_type" === "purchase")
+    val pUs = unix_micros($"ts")
+    val useBackward = $"prev_us".isNotNull &&
+      ($"next_us".isNull || (pUs - $"prev_us") <= ($"next_us" - pUs))
+    annotated.select(
+      $"event_id".as("purchase_event_id"),
+      $"user_id",
+      when(useBackward, $"prev_id").otherwise($"next_id").as("click_event_id"),
+      (when(useBackward, $"prev_us").otherwise($"next_us") - pUs).as("signed_gap_us"))
+      .orderBy($"purchase_event_id")
+  }
+
   /** `cdc_sessionize`: gap-based sessions (30 min) per user via Spark's
     * native `session_window`. The oracle reproduces the same semantics in
     * plain SQL (lag + cumulative new-session flags), which doubles as a

@@ -930,6 +930,52 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `dedup_containment`: asymmetric near-dup detection — doc A is
+    * CONTAINED in doc B when |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    * ≥ τ. This is the quote/excerpt case symmetric Jaccard structurally
+    * misses: a paragraph fully embedded in a 100× longer page has
+    * containment 1.0 but Jaccard ≈ 0.01. Same canonical machinery as
+    * [[ngramJaccard]] (sorted shingle-hash sets, codegen merge-scan
+    * verify), with the containment variant of the prefix filter: the
+    * required overlap ⌈τ·|A|⌉ depends only on the CONTAINED side, so
+    * A joins through its (|A| − ⌈τ·|A|⌉ + 1)-element prefix while B
+    * must index every shingle (no size-symmetric bound exists — that
+    * asymmetry is the price of the asymmetric predicate); the
+    * first-common-token positional bound min(|A|−pa, |B|−pb) ≥ τ·|A|
+    * and the |B| ≥ τ·|A| size gate prune before the verify join.
+    * Output: directed (contained, container, containment) pairs. */
+  def dedupContainment(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val sets = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        graft.functions.ShingleFunctions
+          .word_shingle_hashes($"text", MinHash.ShingleSize, sorted = true).as("toks"))
+      .select($"doc_id", $"toks", size($"toks").as("n"))
+      .localCheckpoint()
+    val prefixLen = ($"n" - ceil($"n" * lit(threshold)) + 1).cast("int")
+    val a = sets
+      .select($"doc_id".as("doc_a"), $"n".as("na"),
+        posexplode(slice($"toks", lit(1), prefixLen)))
+      .toDF("doc_a", "na", "pa", "tok")
+    val b = sets
+      .select($"doc_id".as("doc_b"), $"n".as("nb"), posexplode($"toks"))
+      .toDF("doc_b", "nb", "pb", "tok")
+    val alpha = lit(threshold) * $"na" - lit(1e-9)
+    val cand = a.join(b, Seq("tok"))
+      .filter($"doc_a" =!= $"doc_b" && $"nb" >= alpha &&
+        least($"na" - $"pa", $"nb" - $"pb") >= alpha)
+      .select($"doc_a", $"doc_b")
+    cand
+      .join(sets.select($"doc_id".as("doc_a"), $"toks".as("ta"), $"n".as("na")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"toks".as("tb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        round(graft.functions.ArrayFunctions.sorted_intersect_count($"ta", $"tb")
+          .cast(DoubleType) / $"na", 4).as("containment"))
+      .filter($"containment" >= threshold)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** `dedup_substring_spans`: exact substring-duplication accounting —
     * the span-granular dedup primitive of large-corpus pipelines (a doc
     * can be 95% unique yet carry a boilerplate paragraph repeated across

@@ -128,6 +128,43 @@ object VectorOps {
       .orderBy($"vec_id")
   }
 
+  /** `sim_topk_prefix`: two-stage truncated-prefix retrieval (the
+    * Matryoshka-embedding serving pattern): candidates are ranked first
+    * by cosine over only the LEADING 16 of 64 dims — a scan that reads
+    * a quarter of the bytes (at scale the 16-dim prefix is its own
+    * column/index and the full vectors never leave storage for
+    * non-candidates) — then the top-100 prefix shortlist is re-ranked
+    * by full-width cosine. Both stages are exact arithmetic on ordered
+    * float→double accumulation, so unlike the LSH/IVF/PQ paths this
+    * one has a DuckDB oracle: the gate proves the two-stage plan's
+    * exact output, prefix-boundary ties and all. Output: top-10 with
+    * both scores (the prefix-vs-full gap is the truncation-quality
+    * signal a Matryoshka deployment monitors). */
+  def simTopkPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val probe = e.filter($"vec_id" === 0)
+      .select(slice($"embedding", 1, 16).as("probe_pre"),
+        $"embedding".as("probe_emb"))
+    val pre = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .select($"vec_id", $"embedding", $"probe_emb",
+        (dot(slice($"embedding", 1, 16), $"probe_pre") /
+          (l2Norm(slice($"embedding", 1, 16)) * l2Norm($"probe_pre")))
+          .as("pre_raw"))
+      .orderBy($"pre_raw".desc, $"vec_id")
+      .limit(100)
+    pre
+      .select($"vec_id", $"pre_raw",
+        (dot($"embedding", $"probe_emb") /
+          (l2Norm($"embedding") * l2Norm($"probe_emb"))).as("cos_raw"))
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(10)
+      .select($"vec_id", round($"pre_raw", 4).as("prefix_sim"),
+        round($"cos_raw", 4).as("cos_sim"))
+      .orderBy($"vec_id")
+  }
+
   /** `sim_knn_join`: brute-force k-NN JOIN — for each probe vector
     * (vec_id < 5), its top-3 nearest neighbours by cosine among all other
     * vectors. The probe side is a broadcast (tiny, by construction): the

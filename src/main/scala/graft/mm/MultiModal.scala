@@ -362,6 +362,49 @@ object MultiModal {
       .orderBy($"media_id", $"win_idx")
   }
 
+  val KeyframeLen = 32
+
+  /** `mm_video_keyframe`: decode-free keyframe selection — the frame a
+    * thumbnail/sampling pipeline keeps per video: among each payload's
+    * consecutive 32-byte frames, the one with the highest byte-value
+    * variance (the cheap "most visually busy" proxy; a constant-filler
+    * frame scores 0). All math integer-exact: per-frame Σx and Σx², the
+    * variance NUMERATOR n·Σx² − (Σx)² (never the float division), and
+    * the per-media argmax as a min-of-struct on (−varNum, frameIdx) —
+    * one generate + one map-side-combinable aggregate, no window sort,
+    * ties broken to the earliest frame. The trailing partial frame is
+    * scored over its real length (the guard drops zero-length frames —
+    * exercised by the empty-payload fixture row, which must vanish
+    * rather than produce a NULL-variance winner). */
+  def videoKeyframe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val blen = length($"text")
+    val nf = greatest(
+      (floor(blen.cast(DoubleType) / KeyframeLen)).cast(IntegerType), lit(1))
+    val byteAt = (w: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(1), length(w)), i => ascii(w.substr(i, lit(1))).cast(LongType))
+    documentsWithFixture(spark, sfDir)
+      .select($"doc_id".as("media_id"), $"text", nf.as("nf"))
+      .select($"media_id", $"text", explode(sequence(lit(0), $"nf" - 1)).as("f"))
+      .select($"media_id", $"f".as("frame_idx"),
+        $"text".substr($"f" * KeyframeLen + 1, lit(KeyframeLen)).as("fr"))
+      .filter(length($"fr") > 0)
+      .select($"media_id", $"frame_idx", length($"fr").cast(LongType).as("fr_len"),
+        aggregate(byteAt($"fr"), lit(0L), (a, v) => a + v).as("s1"),
+        aggregate(byteAt($"fr"), lit(0L), (a, v) => a + v * v).as("s2"))
+      .select($"media_id", $"frame_idx", $"fr_len", $"s1",
+        ($"fr_len" * $"s2" - $"s1" * $"s1").as("var_num"))
+      .groupBy($"media_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_frames"),
+        min(struct((-$"var_num").as("nv"), $"frame_idx", $"fr_len", $"s1")).as("kf"))
+      .select($"media_id", $"n_frames",
+        $"kf.frame_idx".as("kf_idx"),
+        $"kf.fr_len".as("kf_len"),
+        $"kf.s1".as("kf_byte_sum"),
+        (-$"kf.nv").as("kf_var_num"))
+      .orderBy($"media_id")
+  }
+
   def patchGrid(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nPatches = ceil(length($"payload") / lit(PatchBytes.toDouble)).cast("int")

@@ -405,4 +405,37 @@ object FuncSurface {
           acc => sqrt(acc))).as("l2_norm"))
       .orderBy($"vec_id")
   }
+
+  /** `agg_weighted_percentile`: WEIGHTED percentiles — "the document
+    * length below which 50% / 90% of corpus TOKENS live", per language.
+    * The unweighted percentile family (`agg_percentiles`/`_disc`)
+    * answers the wrong question for a training-data budget: a corpus of
+    * many tiny docs and a few huge ones has most of its TOKENS in the
+    * huge tail. No built-in computes this, and the classic construction
+    * is exact with what Spark has: per group, sort by value (doc_id
+    * tie-break), running token cumsum, then the smallest value whose
+    * cumulative weight reaches p·total — ALL comparisons integer
+    * (cumw·k ≥ total·(k·p) with integer k·p), so the boundary row is
+    * engine-exact, no float percentile interpolation anywhere. One
+    * sort+window per group then a hash agg — the per-group sorted scan
+    * IS the weighted-percentile lower bound at any scale. */
+  def aggWeightedPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tk = size(split($"text", " ")).cast(LongType)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    Tables.documents(spark, sfDir)
+      .select($"lang", $"n_chars", $"doc_id", tk.as("tk"))
+      .withColumn("cumw", sum($"tk").over(wCum))
+      .withColumn("totw", sum($"tk").over(wAll))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max($"totw").as("tot_tokens"),
+        min(when($"cumw" * 2 >= $"totw", $"n_chars")).as("w_p50_chars"),
+        min(when($"cumw" * 10 >= $"totw" * 9, $"n_chars")).as("w_p90_chars"))
+      .orderBy($"lang")
+  }
 }

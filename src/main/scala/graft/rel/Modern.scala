@@ -353,6 +353,41 @@ object Modern {
       .orderBy($"win_start_us", $"event_type")
   }
 
+  /** `window_funnel_steps`: ordered-step conversion funnel (the
+    * MATCH_RECOGNIZE-shaped sequence question every product-analytics
+    * deployment asks, expressed with what Spark has): per user, the
+    * earliest `view`, the earliest `click` strictly AFTER that view,
+    * and the earliest `purchase` strictly after that click — order
+    * matters, which is what separates this from three independent
+    * mins. Three chained full-partition window minimums share ONE
+    * hash-partition exchange (no ORDER BY → no sort; each Window
+    * stage's conditional min reads the previous stage's column), then
+    * one per-user reduce. Funnel depth = how many steps completed, in
+    * order. At 100 TB this is one shuffle of the events keyed by user
+    * — state per user is three timestamps, never an event array. */
+  def windowFunnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"ts")
+      .withColumn("t_view",
+        min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("t_click",
+        min(when($"event_type" === "click" && $"ts" > $"t_view", $"ts")).over(w))
+      .withColumn("t_purchase",
+        min(when($"event_type" === "purchase" && $"ts" > $"t_click", $"ts")).over(w))
+      .groupBy($"user_id")
+      .agg(
+        min($"t_view").as("tv"), min($"t_click").as("tc"), min($"t_purchase").as("tp"))
+      .select($"user_id",
+        unix_micros($"tv").as("view_us"),
+        unix_micros($"tc").as("click_us"),
+        unix_micros($"tp").as("purchase_us"),
+        when($"tp".isNotNull, 3).when($"tc".isNotNull, 2)
+          .when($"tv".isNotNull, 1).otherwise(0).as("funnel_depth"))
+      .orderBy($"user_id")
+  }
+
   /** `xml_xpath_extract`: XPath extraction over XML documents — the
     * query-side complement of xml_roundtrip's (de)serialization: scalar
     * paths (`xpath_string`/`xpath_int`) plus a repeated-element path
