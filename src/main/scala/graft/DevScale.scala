@@ -72,7 +72,18 @@ object DevScale {
     // with the other near-dup pair miners: cloning the corpus makes the
     // TRUE containment pair set quadratic (every doc gains 9 clones)
     "window_funnel_steps", "join_asof_nearest", "sim_topk_prefix",
-    "mm_video_keyframe", "agg_weighted_percentile")
+    "mm_video_keyframe", "agg_weighted_percentile",
+    // round 11 third batch: temperature mixing (per-lang agg + tiny
+    // frame), the CCNet perplexity terciles (bigram pipeline + per-lang
+    // ntile over corpus/#langs frames), and the vocab-free hashing-trick
+    // features (one explode + hash agg). mm_image_phash stays out with
+    // the other near-dup pair miners (cloning makes the TRUE pair set
+    // quadratic — every image gains 9 identical clones)
+    "sample_temperature_weights", "text_perplexity_bucket",
+    "text_hash_features",
+    // round 11 fourth batch: the classifier gate (one scan, scalar
+    // exprs) and the DQ rule report (two fact-side RI joins dominate)
+    "text_quality_classifier", "table_quality_checks")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

@@ -990,6 +990,138 @@ $iters
          FROM bgr JOIN fbg USING (bg) JOIN fw1 USING (w1)
          GROUP BY doc_id ORDER BY doc_id""",
 
+    "text_quality_classifier" ->
+      // same ppm divisions (one double rounding each), same literal
+      // weights and thresholds, pure integer score
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                    AS n_distinct,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+           FROM documents),
+         p AS (
+           SELECT doc_id, n_tokens,
+                  CAST(floor(n_distinct * 1000000.0 / n_tokens + 0.5) AS BIGINT)
+                    AS rep_ppm,
+                  CAST(floor(n_stop * 1000000.0 / n_tokens + 0.5) AS BIGINT)
+                    AS stop_ppm
+           FROM f)
+         SELECT doc_id, n_tokens, rep_ppm, stop_ppm,
+                rep_ppm + 4 * stop_ppm + 10000 * least(n_tokens, 64) AS score,
+                CASE WHEN rep_ppm + 4 * stop_ppm + 10000 * least(n_tokens, 64)
+                          >= 1400000 THEN 'keep'
+                     WHEN rep_ppm + 4 * stop_ppm + 10000 * least(n_tokens, 64)
+                          >= 1100000 THEN 'review'
+                     ELSE 'drop' END AS verdict
+         FROM p ORDER BY doc_id""",
+
+    "table_quality_checks" ->
+      // the same seven rules as UNION ALL one-row aggregates
+      """WITH r AS (
+           SELECT 'lineitem' AS table_name, 'quantity_in_1_50' AS rule,
+                  count(*) AS n_checked,
+                  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+           FROM lineitem
+           UNION ALL
+           SELECT 'lineitem', 'discount_in_0_0.1', count(*),
+                  CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'lineitem', 'shipdate_in_range', count(*),
+                  CAST(sum(CASE WHEN NOT (l_shipdate BETWEEN
+                           TIMESTAMP '1992-01-01' AND TIMESTAMP '1998-12-31')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'orders', 'custkey_in_customer', count(*),
+                  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+           FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+           UNION ALL
+           SELECT 'lineitem', 'orderkey_in_orders', count(*),
+                  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+           FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+           UNION ALL
+           SELECT 'customer', 'acctbal_not_null', count(*),
+                  CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+           FROM customer
+           UNION ALL
+           SELECT 'part', 'retailprice_positive', count(*),
+                  CAST(sum(CASE WHEN p_retailprice <= 0.0 THEN 1 ELSE 0 END)
+                       AS BIGINT)
+           FROM part)
+         SELECT table_name, rule, n_checked, n_violations,
+                n_violations = 0 AS pass
+         FROM r ORDER BY table_name, rule""",
+
+    "text_hash_features" ->
+      // same two-hex-digit bucket arithmetic (strpos ≡ instr, 1-based)
+      """SELECT doc_id,
+                CAST(((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1))
+                     % 64 AS INTEGER) AS bucket,
+                count(*) AS tf,
+                CAST(count(DISTINCT tok) AS BIGINT) AS n_terms
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         GROUP BY 1, 2 ORDER BY doc_id, bucket""",
+
+    "sample_temperature_weights" ->
+      // identical one-float-step construction: sqrt(share) quantized to
+      // ppm, then pure 64-bit integer largest-remainder apportionment
+      """WITH l AS (SELECT lang, count(*) AS n_docs,
+                  CAST(sum(CAST(length(text) - length(replace(text, ' ', '')) + 1
+                           AS BIGINT)) AS BIGINT) AS lang_tokens
+           FROM documents GROUP BY lang),
+         t AS (SELECT *, CAST(sum(lang_tokens) OVER () AS BIGINT) AS total_toks
+               FROM l),
+         w AS (SELECT *, CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE)
+                   / CAST(total_toks AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                   AS weight_ppm FROM t),
+         s AS (SELECT *, CAST(sum(weight_ppm) OVER () AS BIGINT) AS sum_w,
+                      total_toks // 2 AS budget FROM w),
+         a AS (SELECT *, (budget * weight_ppm) // sum_w AS alloc_floor,
+                      (budget * weight_ppm) % sum_w AS rem FROM s),
+         r AS (SELECT *, budget - CAST(sum(alloc_floor) OVER () AS BIGINT)
+                        AS leftover,
+                      row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM a)
+         SELECT lang, n_docs, lang_tokens, weight_ppm,
+                alloc_floor + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                  AS alloc_tokens,
+                ((alloc_floor + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END))
+                 * 1000000) // lang_tokens AS rate_ppm
+         FROM r ORDER BY lang""",
+
+    "text_perplexity_bucket" ->
+      // the bigram-NLL CTE verbatim, then per-lang terciles: both
+      // engines emit bit-identical avg_nll (the text_bigram_logprob
+      // gate), so ntile over (avg_nll, doc_id) is deterministic
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         bgr AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
+                 FROM t, unnest(range(1, len(toks))) AS r(i)),
+         fbg AS (SELECT bg, count(*) AS bg_cnt FROM bgr GROUP BY bg),
+         fw1 AS (SELECT w1, count(*) AS w1_cnt FROM bgr GROUP BY w1),
+         sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                floor((CAST(sum(CAST(floor((ln(w1_cnt) - ln(bg_cnt)) * 1e6 + 0.5) / 1e6
+                                     AS DECIMAL(18,10))) AS DOUBLE) / count(*))
+                      * 10000.0 + 0.5) / 10000.0 AS avg_nll
+                FROM bgr JOIN fbg USING (bg) JOIN fw1 USING (w1)
+                GROUP BY doc_id)
+         SELECT doc_id, lang, n_bigrams, avg_nll,
+                CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+         FROM (SELECT sc.*, d.lang,
+                      ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY avg_nll, doc_id) AS nt
+               FROM sc JOIN documents d USING (doc_id))
+         ORDER BY doc_id""",
+
     "vec_label_centroids" ->
       """SELECT label, dim, count(*) AS n_vecs,
                 floor((CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*))

@@ -1065,4 +1065,140 @@ object TextOps {
         graft.Det.r4(sum($"n_tokens").cast(DoubleType) / count(lit(1))).as("avg_tokens"))
       .orderBy($"lang")
   }
+
+  /** `sample_temperature_weights`: temperature-scaled language mixing —
+    * the multilingual sampling step of a pretraining pipeline: raw
+    * token shares are flattened with T=2 temperature (weight ∝ share^(1/2))
+    * so low-resource languages are up-sampled relative to their natural
+    * share, and a global token budget (half the corpus) is allocated
+    * across languages by largest-remainder apportionment so the integer
+    * allocations sum EXACTLY to the budget.
+    *
+    * Exactness across engines: the only floating step is
+    * `sqrt(lang_tokens / total_tokens)` — one IEEE-correctly-rounded
+    * division and one IEEE-correctly-rounded sqrt, identical on any
+    * conforming engine — which is immediately quantized to an integer
+    * ppm weight; every downstream step (weight sum, budget products,
+    * floor division, remainder ranking) is 64-bit integer arithmetic.
+    * α=1/2 specifically because sqrt is the one power the IEEE standard
+    * requires correctly rounded — `pow(x, 0.71)` would be libm-dependent.
+    *
+    * Plan shape at scale: one scan → per-lang partial agg → all
+    * remaining math on the language-cardinality frame (the empty-key
+    * windows run over #langs rows, not the corpus). Budget×weight
+    * products stay under 2^63 up to ~10^12-token corpora per the ppm
+    * scaling; beyond that the ppm constant drops a digit. */
+  def sampleTemperatureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nTokens = (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
+      .cast(LongType)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy($"rem".desc, $"lang")
+    Tables.documents(spark, sfDir)
+      .select($"lang", nTokens.as("toks"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("lang_tokens"))
+      .withColumn("total_toks", sum($"lang_tokens").over(wAll))
+      .withColumn("weight_ppm",
+        floor(sqrt($"lang_tokens".cast(DoubleType) / $"total_toks".cast(DoubleType))
+          * 1e6 + 0.5).cast(LongType))
+      .withColumn("sum_w", sum($"weight_ppm").over(wAll))
+      .withColumn("budget", expr("total_toks div 2"))
+      .withColumn("alloc_floor", expr("(budget * weight_ppm) div sum_w"))
+      .withColumn("rem", expr("(budget * weight_ppm) % sum_w"))
+      .withColumn("leftover", $"budget" - sum($"alloc_floor").over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .select($"lang", $"n_docs", $"lang_tokens", $"weight_ppm",
+        ($"alloc_floor" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+          .as("alloc_tokens"),
+        expr("((alloc_floor + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END))" +
+          " * 1000000) div lang_tokens").as("rate_ppm"))
+      .orderBy($"lang")
+  }
+
+  /** `text_quality_classifier`: model-based quality filtering — the
+    * fastText-classifier stage of a pretraining pipeline (heuristic
+    * ratios feed a TRAINED model whose verdict gates the document),
+    * expressed as a fixed-weight linear model over integer ppm features:
+    * lexical diversity (distinct/total tokens), stopword presence
+    * (natural prose HAS function words — their absence flags keyword
+    * stuffing), and capped length credit. Weights and thresholds are
+    * literals (a deployed model is a constant at inference time); the
+    * score is pure 64-bit integer arithmetic after the one
+    * double-rounded ppm division each feature makes (identical
+    * expression on both engines), so the three-way keep/review/drop
+    * verdict is oracle-exact. One scan, no joins, no windows — the
+    * shape that lets a classifier gate run inline with ingestion at
+    * 100 TB. */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val nToks = size(toks).cast(LongType)
+    val stopCnt = (size(toks) -
+      size(array_remove(array_remove(toks, "the"), "a"))).cast(LongType)
+    val distinctCnt = size(array_distinct(toks)).cast(LongType)
+    val ppm = (num: org.apache.spark.sql.Column) =>
+      floor(num * 1000000.0 / nToks + 0.5).cast(LongType)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", nToks.as("n_tokens"),
+        ppm(distinctCnt).as("rep_ppm"), ppm(stopCnt).as("stop_ppm"))
+      .withColumn("score",
+        $"rep_ppm" + lit(4L) * $"stop_ppm" + lit(10000L) * least($"n_tokens", lit(64L)))
+      .withColumn("verdict",
+        when($"score" >= 1400000L, "keep")
+          .when($"score" >= 1100000L, "review")
+          .otherwise("drop"))
+      .orderBy($"doc_id")
+  }
+
+  /** `text_hash_features`: hashing-trick featurization (the HashingTF
+    * shape) — tokens are mapped straight into a FIXED 64-dim feature
+    * space by content hash, with no vocabulary pass at all: the property
+    * that makes the trick the 100 TB default (a vocab build is a global
+    * distinct + dense-rank over the token stream; the hash needs zero
+    * coordination and is stable as the corpus grows). Bucket = first two
+    * md5 hex digits (engine-independent integer arithmetic, the
+    * `sample_domain_budget` idiom) mod 64. Emits the long-form sparse
+    * matrix (doc, bucket, term count, distinct terms — the collision
+    * monitor); one explode + one (doc, bucket) hash agg with map-side
+    * combine, no windows, no joins. */
+  def hashFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hex = "0123456789abcdef"
+    val h = md5($"tok")
+    val bucket = pmod(
+      (instr(lit(hex), substring(h, 1, 1)) - 1) * 16 +
+        (instr(lit(hex), substring(h, 2, 1)) - 1),
+      lit(64)).cast(IntegerType)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", bucket.as("bucket"), $"tok")
+      .groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("tf"),
+        count_distinct($"tok").as("n_terms"))
+      .orderBy($"doc_id", $"bucket")
+  }
+
+  /** `text_perplexity_bucket`: CCNet-style perplexity filtering — each
+    * language's documents are split into head/middle/tail terciles by
+    * bigram-LM average NLL (lowest third = head = most natural text;
+    * the bucket is THE quality gate CCNet-descended pipelines train on).
+    * Builds on [[bigramLogprob]]'s oracle-exact per-doc scores: since
+    * both engines produce bit-identical `avg_nll`, the `ntile(3)` over
+    * `(avg_nll, doc_id)` is fully deterministic — the windows run per
+    * language, so frame size is corpus/#langs, and the score computation
+    * itself stays the one-scan explode + two count joins shape. */
+  def perplexityBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy($"avg_nll", $"doc_id")
+    bigramLogprob(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"lang"), "doc_id")
+      .withColumn("tercile", ntile(3).over(w))
+      .select($"doc_id", $"lang", $"n_bigrams", $"avg_nll",
+        when($"tercile" === 1, "head").when($"tercile" === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy($"doc_id")
+  }
 }

@@ -405,6 +405,106 @@ object MultiModal {
       .orderBy($"media_id")
   }
 
+  case class PhashRow(media_id: Long, phash: Long)
+
+  /** dHash grid geometry: 8 gradient bits per row × 8 rows = 64 bits,
+    * computed from a 9-column × 8-row box grid over the decoded raster. */
+  val PhashCols = 9
+  val PhashRows = 8
+  val PhashMaxHamming = 3
+  val PhashBands = 4
+  val PhashBandBits = 16
+
+  /** 64-bit difference hash (dHash) of a decoded raster — the standard
+    * perceptual fingerprint for image near-dup detection: the image is
+    * box-reduced to a 9×8 grid of integer brightness sums and each bit
+    * records whether a cell is brighter than its right neighbour.
+    * Brightness = r+g+b per pixel (no luma weights — stays integer);
+    * cells are compared CROSS-MULTIPLIED (`sumL·nR > sumR·nL`) so
+    * unequal cell pixel counts never pass through a rounding division —
+    * the hash is bit-identical on any JVM. Empty cells (image shorter
+    * than 8 rows) compare as equal-brightness → bit 0, total for any
+    * payload. */
+  def dhashDecoded(bmp: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    require(img != null, "javax.imageio failed to decode BMP")
+    val (w, h) = (img.getWidth, img.getHeight)
+    // integer box grid: sums(by)(bx) over pixel block
+    // [bx*w/9, (bx+1)*w/9) × [by*h/8, (by+1)*h/8)
+    val sums = Array.ofDim[Long](PhashRows, PhashCols)
+    val cnts = Array.ofDim[Long](PhashRows, PhashCols)
+    var y = 0
+    while (y < h) {
+      val by = math.min(PhashRows - 1, y * PhashRows / h)
+      var x = 0
+      while (x < w) {
+        val bx = math.min(PhashCols - 1, x * PhashCols / w)
+        val rgb = img.getRGB(x, y)
+        sums(by)(bx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        cnts(by)(bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < PhashRows) {
+      var c = 0
+      while (c < PhashCols - 1) {
+        if (sums(r)(c) * cnts(r)(c + 1) > sums(r)(c + 1) * cnts(r)(c))
+          hash |= 1L << (r * (PhashCols - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** `mm_image_phash`: perceptual-hash image near-dup pairs — the
+    * multimodal counterpart of `dedup_simhash`: every payload is decoded
+    * (REAL `javax.imageio` BMP path, one decoder context per partition),
+    * dHashed to 64 bits, and pairs within Hamming ≤ 3 are found by the
+    * banded join (4 × 16-bit chunks → bucket equi-join → `bit_count(xor)`
+    * verify — by pigeonhole ≤3 differing bits leave at least one band
+    * intact, so recall at the threshold is EXACT, not probabilistic, and
+    * the plan is never all-pairs). No SQL oracle (DuckDB cannot decode
+    * BMP); the spec recomputes every fingerprint from [[pixelChannels]]
+    * independently of the codec and recounts the naive ≤3-Hamming pair
+    * set. */
+  def imagePhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, sfDir)
+      .select($"media_id", $"payload").as[MediaRow]
+    val fp = media
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map(m => PhashRow(m.media_id, dhashDecoded(syntheticBmp(m.payload))))
+      }
+      .toDF()
+      .localCheckpoint()
+    val bandCols = (0 until PhashBands).map { i =>
+      struct(lit(i).as("band_idx"),
+        shiftright($"phash", i * PhashBandBits)
+          .bitwiseAND(lit((1L << PhashBandBits) - 1)).as("band_val"))
+    }
+    val banded = fp
+      .select($"media_id", $"phash", explode(array(bandCols: _*)).as("b"))
+      .select($"media_id", $"phash",
+        $"b.band_idx".as("band_idx"), $"b.band_val".as("band_val"))
+    val a = banded.select($"media_id".as("media_a"), $"phash".as("ph_a"),
+      $"band_idx", $"band_val")
+    val b = banded.select($"media_id".as("media_b"), $"phash".as("ph_b"),
+      $"band_idx", $"band_val")
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter($"media_a" < $"media_b")
+      .select($"media_a", $"media_b", $"ph_a", $"ph_b")
+      .dropDuplicates("media_a", "media_b")
+      .select($"media_a", $"media_b",
+        bit_count($"ph_a".bitwiseXOR($"ph_b")).cast("int").as("hamming"))
+      .filter($"hamming" <= PhashMaxHamming)
+      .orderBy($"media_a", $"media_b")
+  }
+
   def patchGrid(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nPatches = ceil(length($"payload") / lit(PatchBytes.toDouble)).cast("int")

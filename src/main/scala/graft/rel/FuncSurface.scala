@@ -438,4 +438,61 @@ object FuncSurface {
         min(when($"cumw" * 10 >= $"totw" * 9, $"n_chars")).as("w_p90_chars"))
       .orderBy($"lang")
   }
+
+  /** `table_quality_checks`: declarative data-quality RULE evaluation —
+    * the contract-enforcement counterpart of `table_profile_stats`
+    * (which describes data; this one judges it): each rule is a
+    * (table, rule, rows checked, violations, pass) report row. Range
+    * and null rules are single-scan conditional aggregates; the
+    * referential-integrity rules are one left join + conditional count
+    * each (null probe side = orphan) — the join runs shuffled-or-broadcast
+    * by size exactly like any other equi-join, so the audit costs what
+    * one pass over each fact costs, never more. All counts integer;
+    * the report unions seven one-row aggregates. The shipdate-range rule
+    * is deliberately stricter than the fixture (dates run into 2001), so
+    * the report carries one genuinely FAILING row — the oracle verifies
+    * the non-zero violation count, not just the all-green path. */
+  def tableQualityChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def report(tbl: String, rule: String, df: DataFrame): DataFrame =
+      df.select(lit(tbl).as("table_name"), lit(rule).as("rule"),
+        $"n_checked", $"n_violations", ($"n_violations" === 0L).as("pass"))
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val part = Tables.part(spark, sfDir)
+    val r1 = report("lineitem", "quantity_in_1_50",
+      li.agg(count(lit(1)).as("n_checked"),
+        sum(when(!$"l_quantity".between(1.0, 50.0), 1L).otherwise(0L))
+          .as("n_violations")))
+    val r2 = report("lineitem", "discount_in_0_0.1",
+      li.agg(count(lit(1)).as("n_checked"),
+        sum(when(!$"l_discount".between(0.0, 0.1), 1L).otherwise(0L))
+          .as("n_violations")))
+    val r3 = report("lineitem", "shipdate_in_range",
+      li.agg(count(lit(1)).as("n_checked"),
+        sum(when(!$"l_shipdate".between(
+          lit("1992-01-01").cast("timestamp_ntz"),
+          lit("1998-12-31").cast("timestamp_ntz")), 1L).otherwise(0L))
+          .as("n_violations")))
+    val r4 = report("orders", "custkey_in_customer",
+      ord.select($"o_custkey")
+        .join(cust.select($"c_custkey"), $"o_custkey" === $"c_custkey", "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("n_violations")))
+    val r5 = report("lineitem", "orderkey_in_orders",
+      li.select($"l_orderkey")
+        .join(ord.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("n_violations")))
+    val r6 = report("customer", "acctbal_not_null",
+      cust.agg(count(lit(1)).as("n_checked"),
+        sum(when($"c_acctbal".isNull, 1L).otherwise(0L)).as("n_violations")))
+    val r7 = report("part", "retailprice_positive",
+      part.agg(count(lit(1)).as("n_checked"),
+        sum(when($"p_retailprice" <= 0.0, 1L).otherwise(0L)).as("n_violations")))
+    r1.unionByName(r2).unionByName(r3).unionByName(r4)
+      .unionByName(r5).unionByName(r6).unionByName(r7)
+      .orderBy($"table_name", $"rule")
+  }
 }

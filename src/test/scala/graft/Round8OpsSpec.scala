@@ -56,4 +56,112 @@ class Round8OpsSpec extends AnyFunSuite {
     // denominator in the recount above, not by fixture asymmetry)
     assert(expect.nonEmpty, "fixture should contain containment pairs")
   }
+
+  test("mm_image_phash: banded pairs equal the codec-independent all-pairs recount") {
+    val s = spark
+    import s.implicits._
+    import graft.mm.MultiModal._
+    // recompute every dHash from pixelChannels directly — no BMP bytes,
+    // no javax.imageio — so the assertion is independent of the codec
+    def expectedHash(seed: Array[Byte]): Long = {
+      val (w, h) = (BmpWidth, bmpHeight(seed.length))
+      val sums = Array.ofDim[Long](PhashRows, PhashCols)
+      val cnts = Array.ofDim[Long](PhashRows, PhashCols)
+      for (y <- 0 until h; x <- 0 until w) {
+        val by = math.min(PhashRows - 1, y * PhashRows / h)
+        val bx = math.min(PhashCols - 1, x * PhashCols / w)
+        val (r, g, b) = pixelChannels(seed, x, y)
+        sums(by)(bx) += r + g + b
+        cnts(by)(bx) += 1
+      }
+      (for {
+        r <- 0 until PhashRows; c <- 0 until PhashCols - 1
+        if sums(r)(c) * cnts(r)(c + 1) > sums(r)(c + 1) * cnts(r)(c)
+      } yield 1L << (r * (PhashCols - 1) + c)).foldLeft(0L)(_ | _)
+    }
+    val hashes = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        expectedHash(r.getString(1).getBytes("UTF-8")))
+    val expect = (for {
+      (ida, ha) <- hashes; (idb, hb) <- hashes if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= PhashMaxHamming
+    } yield (ida, idb, d)).toSet
+    val got = graft.mm.MultiModal.imagePhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    assert(expect.exists(_._3 == 0) && expect.exists(_._3 > 0),
+      "fixture should contain both exact and near image dups")
+  }
+
+  test("sample_temperature_weights: allocations sum to budget and flatten shares") {
+    val s = spark
+    import s.implicits._
+    val out = graft.llm.TextOps.sampleTemperatureWeights(spark, sf).collect()
+    val totalToks = out.map(_.getAs[Long]("lang_tokens")).sum
+    // largest-remainder: integer allocations sum EXACTLY to the budget
+    assert(out.map(_.getAs[Long]("alloc_tokens")).sum == totalToks / 2)
+    // temperature flattening: smaller languages get a strictly higher
+    // effective sampling rate than larger ones (α<1 upsamples the tail)
+    val byTok = out.sortBy(_.getAs[Long]("lang_tokens"))
+    val rates = byTok.map(_.getAs[Long]("rate_ppm"))
+    assert(rates.zip(rates.tail).forall { case (small, big) => small >= big },
+      s"rates should be non-increasing in language size: ${byTok.map(r =>
+        (r.getAs[String]("lang"), r.getAs[Long]("lang_tokens"),
+          r.getAs[Long]("rate_ppm"))).toSeq}")
+  }
+
+  test("table_quality_checks: six rules pass, the strict range rule reports violations") {
+    val out = graft.rel.FuncSurface.tableQualityChecks(spark, sf).collect()
+      .map(r => (r.getAs[String]("rule"), r.getAs[Long]("n_violations"),
+        r.getAs[Boolean]("pass"))).toSeq
+    assert(out.length == 7)
+    val (range, rest) = out.partition(_._1 == "shipdate_in_range")
+    assert(rest.forall { case (_, v, p) => v == 0L && p },
+      s"clean rules should pass: ${rest.filterNot(_._3)}")
+    // the deliberately-strict rule must exercise the non-zero path
+    assert(range.head._2 > 0L && !range.head._3)
+    out.foreach { case (_, v, p) => assert(p == (v == 0L)) }
+  }
+
+  test("text_quality_classifier: verdict agrees with an independent recount") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = graft.llm.TextOps.qualityClassifier(spark, sf).collect()
+    assert(out.length == docs.size)
+    val verdicts = out.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts == Set("keep", "review", "drop"),
+      s"fixture should hit all three verdicts, got $verdicts")
+    out.take(50).foreach { r =>
+      val ts = docs(r.getAs[Long]("doc_id")).split(" ", -1)
+      val n = ts.length.toLong
+      def ppm(c: Long) = math.floor(c * 1000000.0 / n + 0.5).toLong
+      val score = ppm(ts.distinct.length) +
+        4 * ppm(ts.count(t => t == "the" || t == "a")) + 10000 * math.min(n, 64)
+      assert(r.getAs[Long]("score") == score)
+      val expect = if (score >= 1400000) "keep"
+        else if (score >= 1100000) "review" else "drop"
+      assert(r.getAs[String]("verdict") == expect)
+    }
+  }
+
+  test("text_perplexity_bucket: per-lang terciles are balanced and ordered") {
+    val s = spark
+    import s.implicits._
+    val out = graft.llm.TextOps.perplexityBucket(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("avg_nll"),
+        r.getAs[String]("ppl_bucket")))
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._3).view.mapValues(_.length)
+      // ntile(3): bucket sizes differ by at most one
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang sizes $sizes")
+      // every head score <= every middle score <= every tail score
+      def mx(b: String) = rows.filter(_._3 == b).map(_._2).maxOption.getOrElse(-1e9)
+      def mn(b: String) = rows.filter(_._3 == b).map(_._2).minOption.getOrElse(1e9)
+      assert(mx("head") <= mn("middle") && mx("middle") <= mn("tail"),
+        s"$lang bucket boundaries out of order")
+    }
+  }
 }
