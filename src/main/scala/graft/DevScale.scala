@@ -83,7 +83,11 @@ object DevScale {
     "text_hash_features",
     // round 11 fourth batch: the classifier gate (one scan, scalar
     // exprs) and the DQ rule report (two fact-side RI joins dominate)
-    "text_quality_classifier", "table_quality_checks")
+    "text_quality_classifier", "table_quality_checks",
+    // round 11 fifth batch: the relational power iteration (corpus
+    // explode staged once, two equi-joins per iteration) and the
+    // one-exchange islands pass
+    "vec_pca_power", "window_gap_islands")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

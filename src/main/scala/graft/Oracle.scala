@@ -1122,6 +1122,108 @@ $iters
                FROM sc JOIN documents d USING (doc_id))
          ORDER BY doc_id""",
 
+    "window_gap_islands" ->
+      // same change-flag -> running-sum numbering; unique (ts, event_id)
+      // ordering makes island ids deterministic
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, ts,
+                  CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         i AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS island
+               FROM e)
+         SELECT user_id, island AS island_no, min(event_type) AS event_type,
+                count(*) AS n_events,
+                epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+         FROM i GROUP BY user_id, island ORDER BY user_id, island_no""",
+
+    "vec_pca_power" ->
+      // the three power iterations unrolled (graph_pagerank idiom): each
+      // step's reduction is a LONG or DECIMAL(38,0) sum — order-free —
+      // and each float step (two decimal->double casts, one divide, one
+      // sqrt) is a single correctly-rounded IEEE operation chain
+      """WITH e AS (
+           SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+                  CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                    AS x_u
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                        unnest(range(len(embedding))) AS dim
+                 FROM embeddings)),
+         v0 AS (SELECT CAST(i AS INTEGER) AS dim, CAST(125000 AS BIGINT) AS v_u
+                FROM unnest(range(64)) t(i)),
+         s1 AS (SELECT vec_id, (s_raw - (s_raw % 1000000)) // 1000000 AS s_sc
+                FROM (SELECT e.vec_id, CAST(sum(e.x_u * v.v_u) AS BIGINT)
+                        AS s_raw
+                      FROM e JOIN v0 v USING (dim) GROUP BY e.vec_id)),
+         u1 AS (SELECT dim,
+                  CAST(sum(CAST(e.x_u * s.s_sc AS DECIMAL(38,0)))
+                       AS DECIMAL(38,0)) AS u_raw
+                FROM e JOIN s1 s USING (vec_id) GROUP BY dim),
+         n1 AS (SELECT dim, w, CAST(floor(w * 1e9 + 0.5) AS BIGINT) AS wq
+                FROM (SELECT dim,
+                        CAST(u_raw AS DOUBLE) / CAST(greatest(
+                          CAST(max(abs(u_raw)) OVER () AS DECIMAL(38,0)),
+                          CAST(1 AS DECIMAL(38,0))) AS DOUBLE) AS w
+                      FROM u1)),
+         v1 AS (SELECT dim,
+                  CAST(floor(w / (sqrt(CAST(n2 AS DOUBLE)) / 1e9) * 1e6 + 0.5)
+                       AS BIGINT) AS v_u
+                FROM (SELECT dim, w,
+                        CAST(sum(CAST(wq * wq AS DECIMAL(38,0))) OVER ()
+                             AS DECIMAL(38,0)) AS n2
+                      FROM n1)),
+         s2 AS (SELECT vec_id, (s_raw - (s_raw % 1000000)) // 1000000 AS s_sc
+                FROM (SELECT e.vec_id, CAST(sum(e.x_u * v.v_u) AS BIGINT)
+                        AS s_raw
+                      FROM e JOIN v1 v USING (dim) GROUP BY e.vec_id)),
+         u2 AS (SELECT dim,
+                  CAST(sum(CAST(e.x_u * s.s_sc AS DECIMAL(38,0)))
+                       AS DECIMAL(38,0)) AS u_raw
+                FROM e JOIN s2 s USING (vec_id) GROUP BY dim),
+         n2_ AS (SELECT dim, w, CAST(floor(w * 1e9 + 0.5) AS BIGINT) AS wq
+                FROM (SELECT dim,
+                        CAST(u_raw AS DOUBLE) / CAST(greatest(
+                          CAST(max(abs(u_raw)) OVER () AS DECIMAL(38,0)),
+                          CAST(1 AS DECIMAL(38,0))) AS DOUBLE) AS w
+                      FROM u2)),
+         v2 AS (SELECT dim,
+                  CAST(floor(w / (sqrt(CAST(n2 AS DOUBLE)) / 1e9) * 1e6 + 0.5)
+                       AS BIGINT) AS v_u
+                FROM (SELECT dim, w,
+                        CAST(sum(CAST(wq * wq AS DECIMAL(38,0))) OVER ()
+                             AS DECIMAL(38,0)) AS n2
+                      FROM n2_)),
+         s3 AS (SELECT vec_id, (s_raw - (s_raw % 1000000)) // 1000000 AS s_sc
+                FROM (SELECT e.vec_id, CAST(sum(e.x_u * v.v_u) AS BIGINT)
+                        AS s_raw
+                      FROM e JOIN v2 v USING (dim) GROUP BY e.vec_id)),
+         u3 AS (SELECT dim,
+                  CAST(sum(CAST(e.x_u * s.s_sc AS DECIMAL(38,0)))
+                       AS DECIMAL(38,0)) AS u_raw
+                FROM e JOIN s3 s USING (vec_id) GROUP BY dim),
+         n3 AS (SELECT dim, w, CAST(floor(w * 1e9 + 0.5) AS BIGINT) AS wq
+                FROM (SELECT dim,
+                        CAST(u_raw AS DOUBLE) / CAST(greatest(
+                          CAST(max(abs(u_raw)) OVER () AS DECIMAL(38,0)),
+                          CAST(1 AS DECIMAL(38,0))) AS DOUBLE) AS w
+                      FROM u3)),
+         v3 AS (SELECT dim,
+                  CAST(floor(w / (sqrt(CAST(n2 AS DOUBLE)) / 1e9) * 1e6 + 0.5)
+                       AS BIGINT) AS v_u
+                FROM (SELECT dim, w,
+                        CAST(sum(CAST(wq * wq AS DECIMAL(38,0))) OVER ()
+                             AS DECIMAL(38,0)) AS n2
+                      FROM n3))
+         SELECT dim, v_u * (CASE WHEN tot < 0 THEN -1 ELSE 1 END)
+                  AS loading_ppm
+         FROM (SELECT dim, v_u, CAST(sum(v_u) OVER () AS BIGINT) AS tot
+               FROM v3)
+         ORDER BY dim""",
+
     "vec_label_centroids" ->
       """SELECT label, dim, count(*) AS n_vecs,
                 floor((CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*))

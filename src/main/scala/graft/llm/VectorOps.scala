@@ -190,4 +190,64 @@ object VectorOps {
       .select($"probe_id", $"rk", $"cand_id", round($"cos_raw", 4).as("cos_sim"))
       .orderBy($"probe_id", $"rk")
   }
+
+  /** `vec_pca_power`: top principal direction of the embedding corpus by
+    * THREE unrolled power iterations (v ← normalize(EᵀEv)) — the
+    * whitening/compression primitive an embedding pipeline runs before
+    * indexing, expressed fully relationally (the `graph_pagerank` rule:
+    * fixed iteration count, integer/decimal-exact per-step arithmetic,
+    * so the result is bit-identical on any engine and partitioning — a
+    * float MLlib-style implementation could not be oracle-gated).
+    *
+    * Numerics per iteration, every reduction order-free:
+    *  1. `s_i = Σ_d x_u·v_u` — 64-term LONG sums (x quantized once to
+    *     micro-units, |x_u| ≤ 6·10⁵, v_u ≤ 10⁶ ⇒ no overflow), rescaled
+    *     by 10⁶;
+    *  2. `u_d = Σ_i x_u·s` — corpus-sized sum carried as DECIMAL(38,0)
+    *     (exact at any corpus size; a LONG would overflow past ~10⁶
+    *     vectors);
+    *  3. normalize on the 64-row frame: max-abs rescale (double division
+    *     of exactly-converted decimals), nano-quantized L2 norm via a
+    *     DECIMAL sum of LONG squares, re-quantize to ppm.
+    * Sign is canonicalized (Σ loadings ≥ 0) since power iteration
+    * converges to ±v. The corpus is exploded/quantized ONCE and
+    * localCheckpoint'd; each iteration re-joins it on `dim` (64-row
+    * broadcast) and `vec_id` (equi-shuffle) — at 100 TB you'd
+    * pre-partition the exploded matrix by `vec_id` and reuse it across
+    * the handful of iterations, exactly this staging. */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"vec_id", $"dim",
+        floor($"x".cast(DoubleType) * 1e6 + 0.5).cast(LongType).as("x_u"))
+      .localCheckpoint()
+    def iterate(v: DataFrame): DataFrame = {
+      val s = e.join(broadcast(v), "dim")
+        .groupBy($"vec_id")
+        .agg(sum($"x_u" * $"v_u").as("s_raw"))
+        // subtract-remainder-then-divide: exactly divisible, so trunc
+        // (Spark div) and floor (DuckDB //) agree on negative values
+        .select($"vec_id",
+          expr("(s_raw - (s_raw % 1000000)) div 1000000").as("s_sc"))
+      e.join(s, "vec_id")
+        .groupBy($"dim")
+        .agg(sum(($"x_u" * $"s_sc").cast(DecimalType(38, 0))).as("u_raw"))
+        .withColumn("maxu", greatest(max(abs($"u_raw")).over(wAll),
+          lit(1).cast(DecimalType(38, 0))))
+        .withColumn("w", $"u_raw".cast(DoubleType) / $"maxu".cast(DoubleType))
+        .withColumn("wq", floor($"w" * 1e9 + 0.5).cast(LongType))
+        .withColumn("n2", sum(($"wq" * $"wq").cast(DecimalType(38, 0))).over(wAll))
+        .select($"dim",
+          floor($"w" / (sqrt($"n2".cast(DoubleType)) / 1e9) * 1e6 + 0.5)
+            .cast(LongType).as("v_u"))
+    }
+    val v0 = spark.range(64) // the fixture's embedding width
+      .select($"id".cast(IntegerType).as("dim"), lit(125000L).as("v_u"))
+    val v3 = iterate(iterate(iterate(v0)))
+    v3.withColumn("flip", when(sum($"v_u").over(wAll) < 0, -1L).otherwise(1L))
+      .select($"dim", ($"v_u" * $"flip").as("loading_ppm"))
+      .orderBy($"dim")
+  }
 }

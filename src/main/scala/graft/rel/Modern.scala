@@ -388,6 +388,36 @@ object Modern {
       .orderBy($"user_id")
   }
 
+  /** `window_gap_islands`: gaps-and-islands — the run-length view of a
+    * behavior stream (consecutive same-type event runs per user): the
+    * classic change-flag → running-sum island numbering, then one
+    * grouped aggregate per island (bounds, length). Everything rides a
+    * single `partitionBy(user_id)` exchange — the lag, the running sum,
+    * and the final group-by all reuse it, so the plan is one shuffle no
+    * matter how long the history; per-user state is one row. Ordering
+    * ties are impossible (event_id is unique), making island numbers —
+    * and the oracle hash — deterministic. */
+  def windowGapIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val prev = lag($"event_type", 1).over(w)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("chg",
+        when(prev.isNull || prev =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("island", sum($"chg").over(w))
+      .groupBy($"user_id", $"island")
+      .agg(
+        min($"event_type").as("event_type"),
+        count(lit(1)).as("n_events"),
+        unix_micros(min($"ts")).as("start_us"),
+        unix_micros(max($"ts")).as("end_us"))
+      .select($"user_id", $"island".as("island_no"), $"event_type",
+        $"n_events", $"start_us", $"end_us")
+      .orderBy($"user_id", $"island_no")
+  }
+
   /** `xml_xpath_extract`: XPath extraction over XML documents — the
     * query-side complement of xml_roundtrip's (de)serialization: scalar
     * paths (`xpath_string`/`xpath_int`) plus a repeated-element path

@@ -147,6 +147,56 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_pca_power: returned direction dominates seeded alternatives") {
+    val s = spark
+    import s.implicits._
+    val v = graft.llm.VectorOps.pcaPower(spark, sf).collect()
+      .sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("loading_ppm").toDouble / 1e6)
+    assert(v.length == 64)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"loading vector should be unit, norm=$norm")
+    val corpus = Tables.embeddings(spark, sf).select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def rayleigh(d: Array[Double]): Double = {
+      val n = math.sqrt(d.map(x => x * x).sum)
+      corpus.map { e =>
+        val p = e.zip(d).map { case (a, b) => a * b }.sum / n
+        p * p
+      }.sum
+    }
+    val rPca = rayleigh(v)
+    // deterministic pseudo-random alternatives (hash-derived, no RNG state)
+    val alts = (1 to 10).map { seed =>
+      Array.tabulate(64)(d =>
+        (((seed * 2654435761L + d * 40503L) & 0xffff) / 65535.0) - 0.5)
+    }
+    alts.foreach { a =>
+      assert(rPca >= rayleigh(a),
+        s"power-iteration direction should dominate a random direction")
+    }
+  }
+
+  test("window_gap_islands: islands partition each user's stream with alternating types") {
+    val s = spark
+    import s.implicits._
+    val out = graft.rel.Modern.windowGapIslands(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("island_no"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events")))
+    val perUser = Tables.events(spark, sf).groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._1).foreach { case (uid, rows) =>
+      // island lengths partition the user's event count
+      assert(rows.map(_._4).sum == perUser(uid))
+      // island numbering is 1..k dense and adjacent islands change type
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length).toSeq)
+      sorted.map(_._3).sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(0) != pair(1), s"user $uid adjacent islands share type")
+      }
+    }
+  }
+
   test("text_perplexity_bucket: per-lang terciles are balanced and ordered") {
     val s = spark
     import s.implicits._
