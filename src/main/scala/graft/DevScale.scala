@@ -87,7 +87,14 @@ object DevScale {
     // round 11 fifth batch: the relational power iteration (corpus
     // explode staged once, two equi-joins per iteration) and the
     // one-exchange islands pass
-    "vec_pca_power", "window_gap_islands")
+    "vec_pca_power", "window_gap_islands",
+    // round 11 sixth batch: the SCD2 lookup (per-user history join) and
+    // boilerplate-line removal (hash-keyed freq + ordered rebuild)
+    "join_scd2_pointintime", "text_dedup_lines",
+    // round 11 seventh batch: the 3VL anti-join counts (three
+    // subquery scans) and session x campaign overlap (session agg +
+    // 3-row broadcast)
+    "join_null_aware_anti", "join_interval_overlap")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

@@ -1122,6 +1122,101 @@ $iters
                FROM sc JOIN documents d USING (doc_id))
          ORDER BY doc_id""",
 
+    "join_null_aware_anti" ->
+      // DuckDB's 3VL must agree: NOT IN over a null-bearing set is empty
+      """SELECT
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END
+               FROM orders)) AS not_in_nullable,
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT')) AS not_in_clean,
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS
+              (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT')) AS not_exists""",
+
+    "join_interval_overlap" ->
+      // manual lag+cumsum sessionization (the cdc_sessionize twin, end =
+      // last event + gap) x a VALUES campaign dim, same overlap predicate
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sess AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged),
+         sw AS (SELECT user_id, min(ts_us) AS s_us,
+                       max(ts_us) + 1800000000 AS e_us
+                FROM sess GROUP BY user_id, sid),
+         win AS (SELECT * FROM (VALUES
+           (1, epoch_us(TIMESTAMP '2024-01-05 00:00:00'),
+               epoch_us(TIMESTAMP '2024-01-08 00:00:00')),
+           (2, epoch_us(TIMESTAMP '2024-01-12 12:00:00'),
+               epoch_us(TIMESTAMP '2024-01-14 00:00:00')),
+           (3, epoch_us(TIMESTAMP '2024-01-20 00:00:00'),
+               epoch_us(TIMESTAMP '2024-01-25 00:00:00')))
+           t(window_id, w_start_us, w_end_us))
+         SELECT window_id, w_start_us, w_end_us,
+                count(*) AS n_sessions,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(least(e_us, w_end_us) - greatest(s_us, w_start_us))
+                     AS BIGINT) AS total_overlap_us
+         FROM sw JOIN win
+           ON sw.s_us < win.w_end_us AND win.w_start_us < sw.e_us
+         GROUP BY window_id, w_start_us, w_end_us
+         ORDER BY window_id""",
+
+    "join_scd2_pointintime" ->
+      // same interval-containment lookup over the lead-closed history
+      """WITH hist AS (
+           SELECT user_id, event_id AS state_event_id,
+                  event_type AS state_event_type,
+                  epoch_us(ts) AS valid_from_us,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS valid_to_us
+           FROM events),
+         fact AS (SELECT event_id AS purchase_event_id, user_id,
+                         epoch_us(ts) - 1 AS t_us
+                  FROM events WHERE event_type = 'purchase')
+         SELECT f.purchase_event_id, f.user_id,
+                h.state_event_id, h.state_event_type,
+                f.t_us - h.valid_from_us AS state_age_us
+         FROM fact f LEFT JOIN hist h
+           ON f.user_id = h.user_id
+          AND h.valid_from_us <= f.t_us
+          AND (h.valid_to_us IS NULL OR h.valid_to_us > f.t_us)
+         ORDER BY f.purchase_event_id""",
+
+    "text_dedup_lines" ->
+      // raw-segment twin of the hash-keyed plan (counts hash-invariant
+      // absent 64-bit collisions); coalesce('' ) matches Spark's empty
+      // concat_ws when every segment is boilerplate
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         seg AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+                        array_to_string(toks[i*16+1 : i*16+16], ' ') AS seg
+                 FROM t,
+                      unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT)))
+                        r(i)),
+         fr AS (SELECT seg, count(DISTINCT doc_id) AS ndocs
+                FROM seg GROUP BY seg)
+         SELECT doc_id, count(*) AS n_segments,
+                CAST(sum(CASE WHEN ndocs >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_removed,
+                md5(coalesce(
+                  string_agg(CASE WHEN ndocs < 4 THEN seg END, ' '
+                             ORDER BY i), '')) AS cleaned_md5
+         FROM seg JOIN fr USING (seg)
+         GROUP BY doc_id ORDER BY doc_id""",
+
     "window_gap_islands" ->
       // same change-flag -> running-sum numbering; unique (ts, event_id)
       // ordering makes island ids deterministic

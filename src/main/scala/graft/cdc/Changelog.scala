@@ -311,6 +311,42 @@ object Changelog {
       .orderBy($"user_id", $"valid_from_us", $"event_id")
   }
 
+  /** `join_scd2_pointintime`: point-in-time dimension lookup against the
+    * SCD2 history — the read side [[scd2History]]'s build exists for:
+    * each purchase is joined to the version of its user's state that was
+    * in effect STRICTLY BEFORE the purchase (query time t−1 µs, so the
+    * purchase's own just-opened version never matches itself). The join
+    * is equi-key on `user_id` plus interval containment
+    * `valid_from ≤ t < valid_to` — Spark plans the equi-key as a normal
+    * shuffled/broadcast hash join and applies the interval predicate as
+    * a post-join filter, and because SCD2 intervals PARTITION time per
+    * key, at most one version matches: no fan-out, output ≤ fact rows,
+    * at any scale. A first purchase has no prior version (left join →
+    * nulls). This is the interval-join counterpart of
+    * `join_asof_attribution`'s window composition: the lookup shape you
+    * use when the dim history is already materialized and the fact
+    * stream arrives separately. */
+  def scd2PointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = scd2History(spark, sfDir)
+      .select($"user_id", $"event_id".as("state_event_id"),
+        $"event_type".as("state_event_type"),
+        $"valid_from_us", $"valid_to_us")
+    val fact = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_event_id"), $"user_id",
+        (unix_micros($"ts") - 1).as("t_us"))
+    fact.join(dim,
+        fact("user_id") === dim("user_id") &&
+          $"valid_from_us" <= $"t_us" &&
+          ($"valid_to_us".isNull || $"valid_to_us" > $"t_us"),
+        "left")
+      .select($"purchase_event_id", fact("user_id"),
+        $"state_event_id", $"state_event_type",
+        ($"t_us" - $"valid_from_us").as("state_age_us"))
+      .orderBy($"purchase_event_id")
+  }
+
   /** R7/R18 (batch shape): 1-hour tumbling window x event_type.
     * Decimal-cast sums make the aggregate exact and order-insensitive, so
     * the result is bit-stable across partition orderings (and matches the

@@ -1117,6 +1117,45 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** `text_dedup_lines`: C4-style boilerplate-line removal — the
+    * REWRITE step the span-accounting op (`dedup_substring_spans`)
+    * deliberately stops short of: documents are cut into ALIGNED
+    * 16-token segments (the "line" unit), any segment whose exact text
+    * appears in ≥ 4 distinct documents is removed as boilerplate, and
+    * each document is re-assembled from its kept segments in order —
+    * emitted as a content digest (the cleaned corpus never rides the
+    * final shuffle, only its md5). The segment-frequency shuffle carries
+    * `xxhash64(segment)` keys, not segment text (the
+    * `dedup_substring_spans` rule — counts are hash-invariant absent
+    * 64-bit collisions, which the raw-string oracle proves); the
+    * reassembly is one (doc, segment) sort-free collect_list +
+    * array_sort on segment ordinals. */
+  def dedupLines(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val SegTokens = 16
+    val MinDocs = 4
+    val toks = split($"text", " ")
+    val segs = Tables.documents(spark, sfDir)
+      .select($"doc_id", toks.as("toks"),
+        ceil(size(toks) / lit(SegTokens.toDouble)).cast(IntegerType).as("nseg"))
+      .select($"doc_id", $"toks", explode(sequence(lit(0), $"nseg" - 1)).as("i"))
+      .select($"doc_id", $"i",
+        concat_ws(" ", slice($"toks", $"i" * SegTokens + 1, lit(SegTokens)))
+          .as("seg"))
+      .withColumn("h", xxhash64($"seg"))
+    val freq = segs.groupBy($"h").agg(count_distinct($"doc_id").as("ndocs"))
+    segs.join(freq, "h")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when($"ndocs" >= MinDocs, 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when($"ndocs" < MinDocs,
+            struct($"i", $"seg")))),
+          s => s.getField("seg")))).as("cleaned_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** `text_quality_classifier`: model-based quality filtering — the
     * fastText-classifier stage of a pretraining pipeline (heuristic
     * ratios feed a TRAINED model whose verdict gates the document),

@@ -388,6 +388,46 @@ object Modern {
       .orderBy($"user_id")
   }
 
+  /** `join_interval_overlap`: interval OVERLAP join — sessions
+    * (30-minute-gap `session_window`s per user, end = last event + gap)
+    * joined to a literal campaign-window dimension on
+    * `s.start < w.end AND w.start < s.end`, reporting per campaign the
+    * overlapping session count, distinct users, and total overlap
+    * microseconds (exact integer min/max arithmetic). The non-equi
+    * predicate rides a BROADCAST nested loop against the 3-row dim —
+    * the probe-panel pattern (constant-size build side, one streaming
+    * pass over sessions), NOT an interval self-join; a fact×fact
+    * overlap would use the bucketed-range decomposition
+    * (`join_range_bucketed`). Completes the interval-join family:
+    * containment lookup (`join_scd2_pointintime`), bucketed range
+    * (`join_range_bucketed`), overlap (this). */
+  def joinIntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_micros($"sw.start").as("s_us"), unix_micros($"sw.end").as("e_us"))
+    val windows = Seq(
+      (1, "2024-01-05 00:00:00", "2024-01-08 00:00:00"),
+      (2, "2024-01-12 12:00:00", "2024-01-14 00:00:00"),
+      (3, "2024-01-20 00:00:00", "2024-01-25 00:00:00"))
+      .toDF("window_id", "ws", "we")
+      .select($"window_id",
+        unix_micros(to_timestamp($"ws")).as("w_start_us"),
+        unix_micros(to_timestamp($"we")).as("w_end_us"))
+    sessions
+      .join(broadcast(windows),
+        $"s_us" < $"w_end_us" && $"w_start_us" < $"e_us")
+      .groupBy($"window_id", $"w_start_us", $"w_end_us")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        count_distinct($"user_id").as("n_users"),
+        sum(least($"e_us", $"w_end_us") - greatest($"s_us", $"w_start_us"))
+          .as("total_overlap_us"))
+      .orderBy($"window_id")
+  }
+
   /** `window_gap_islands`: gaps-and-islands — the run-length view of a
     * behavior stream (consecutive same-type event runs per user): the
     * classic change-flag → running-sum island numbering, then one

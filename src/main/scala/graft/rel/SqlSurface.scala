@@ -239,4 +239,35 @@ object SqlSurface {
         |FROM graft.customer c
         |ORDER BY c_custkey""".stripMargin)
   }
+
+  /** `join_null_aware_anti`: NOT IN vs NOT EXISTS under three-valued
+    * logic — the SQL-semantics corner that silently zeroes reports: when
+    * the NOT IN subquery's projection can be NULL, `x NOT IN (set)` is
+    * UNKNOWN for every x (x ≠ NULL is never TRUE), so the nullable
+    * variant returns ZERO customers; NOT EXISTS (and NOT IN over the
+    * null-free set) return the real anti-join count. Spark plans the
+    * single-column NOT IN as its dedicated NULL-AWARE ANTI JOIN
+    * (`isNullAwareAntiJoin` on the broadcast hash join) rather than the
+    * quadratic null-checking nested loop — the reason the pattern is
+    * usable at 100 TB at all. One row, three counts; the oracle pins
+    * that DuckDB's 3VL agrees bit-for-bit. */
+  def nullAwareAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """SELECT
+        |  (SELECT count(*) FROM graft.customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END
+        |      FROM graft.orders)) AS not_in_nullable,
+        |  (SELECT count(*) FROM graft.customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM graft.orders
+        |      WHERE o_orderpriority = '1-URGENT')) AS not_in_clean,
+        |  (SELECT count(*) FROM graft.customer c
+        |   WHERE NOT EXISTS
+        |     (SELECT 1 FROM graft.orders o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_orderpriority = '1-URGENT')) AS not_exists
+        |""".stripMargin)
+  }
 }

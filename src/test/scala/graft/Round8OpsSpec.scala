@@ -197,6 +197,106 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("join_scd2_pointintime: lookup returns the latest strictly-prior version") {
+    val s = spark
+    import s.implicits._
+    val events = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val out = graft.cdc.Changelog.scd2PointInTime(spark, sf).collect()
+    val purchases = events.filter(_._3 == "purchase")
+    assert(out.length == purchases.length, "exactly one row per purchase (no fan-out)")
+    out.take(80).foreach { r =>
+      val pid = r.getAs[Long]("purchase_event_id")
+      val (uid, _, _, pus) = events.find(_._2 == pid).get
+      // naive recount: the version in effect at t = pus-1 is the latest
+      // event with a strictly earlier timestamp (a same-microsecond
+      // event's interval [pus, …) opens after t)
+      val prior = events.filter(e => e._1 == uid && e._4 < pus)
+      if (prior.isEmpty) assert(r.isNullAt(r.fieldIndex("state_event_id")))
+      else {
+        val best = prior.maxBy(e => (e._4, e._2))
+        assert(r.getAs[Long]("state_event_id") == best._2,
+          s"purchase $pid expected state ${best._2}")
+      }
+    }
+  }
+
+  test("text_dedup_lines: digests match a naive rebuild and removal fires") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val segsOf = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).grouped(16).map(_.mkString(" ")).toVector
+    }.toMap
+    val freq = segsOf.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val out = graft.llm.TextOps.dedupLines(spark, sf).collect()
+    assert(out.length == docs.length)
+    var removedTotal = 0L
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val segs = segsOf(id)
+      assert(r.getAs[Long]("n_segments") == segs.length)
+      val kept = segs.filter(sg => freq(sg) < 4)
+      assert(r.getAs[Long]("n_removed") == segs.length - kept.length)
+      removedTotal += r.getAs[Long]("n_removed")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dig = md.digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("cleaned_md5") == dig)
+    }
+    assert(removedTotal > 0, "fixture should contain boilerplate segments")
+  }
+
+  test("join_null_aware_anti: 3VL semantics and the null-aware anti plan") {
+    val df = graft.rel.SqlSurface.nullAwareAnti(spark, sf)
+    val r = df.collect().head
+    assert(r.getAs[Long]("not_in_nullable") == 0L,
+      "NOT IN over a null-bearing set must return zero rows")
+    assert(r.getAs[Long]("not_in_clean") == r.getAs[Long]("not_exists"))
+    assert(r.getAs[Long]("not_exists") > 0L)
+    // the NOT IN must ride Spark's null-aware anti join, not a nested loop
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "expected an anti-join in the plan")
+  }
+
+  test("join_interval_overlap: overlap accounting matches a naive recount") {
+    val s = spark
+    import s.implicits._
+    val events = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val gap = 1800000000L
+    val sessions = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val ts = evs.map(_._2).sorted
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (start, last) = (ts.head, ts.head)
+      ts.tail.foreach { t =>
+        if (t - last >= gap) { bounds += ((start, last + gap)); start = t }
+        last = t
+      }
+      bounds += ((start, last + gap))
+      bounds
+    }
+    val wins = Seq(
+      (1, 1704412800000000L, 1704672000000000L),
+      (2, 1705060800000000L, 1705190400000000L),
+      (3, 1705708800000000L, 1706140800000000L))
+    val expect = wins.map { case (id, ws, we) =>
+      val ov = sessions.filter { case (s0, e0) => s0 < we && ws < e0 }
+      id -> (ov.length.toLong,
+        ov.map { case (s0, e0) => math.min(e0, we) - math.max(s0, ws) }.sum)
+    }.toMap
+    graft.rel.Modern.joinIntervalOverlap(spark, sf).collect().foreach { r =>
+      val (n, total) = expect(r.getAs[Int]("window_id"))
+      assert(r.getAs[Long]("n_sessions") == n)
+      assert(r.getAs[Long]("total_overlap_us") == total)
+    }
+  }
+
   test("text_perplexity_bucket: per-lang terciles are balanced and ordered") {
     val s = spark
     import s.implicits._
