@@ -94,7 +94,10 @@ object DevScale {
     // round 11 seventh batch: the 3VL anti-join counts (three
     // subquery scans) and session x campaign overlap (session agg +
     // 3-row broadcast)
-    "join_null_aware_anti", "join_interval_overlap")
+    "join_null_aware_anti", "join_interval_overlap",
+    // round 11 capstone: the composed corpus-build funnel (quality
+    // prune -> dedup shuffle -> tiny-frame mixing -> broadcast keep)
+    "pipeline_corpus_build")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

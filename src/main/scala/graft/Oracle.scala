@@ -1122,6 +1122,78 @@ $iters
                FROM sc JOIN documents d USING (doc_id))
          ORDER BY doc_id""",
 
+    "pipeline_corpus_build" ->
+      // the identical funnel: classifier score gate, min-doc_id dedup,
+      // sqrt-temperature largest-remainder rates, 5-hex-digit bucket keep
+      """WITH f AS (
+           SELECT doc_id, lang, text,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                    AS n_distinct,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+           FROM documents),
+         q AS (
+           SELECT doc_id, lang, text, n_toks,
+                  (CAST(floor(n_distinct * 1000000.0 / n_toks + 0.5) AS BIGINT)
+                   + 4 * CAST(floor(n_stop * 1000000.0 / n_toks + 0.5) AS BIGINT)
+                   + 10000 * least(n_toks, 64)) >= 1100000 AS q_ok
+           FROM f),
+         raw AS (SELECT lang, count(*) AS n_docs_raw,
+                        CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_docs_quality
+                 FROM q GROUP BY lang),
+         uniq AS (
+           SELECT doc_id, lang, n_toks FROM (
+             SELECT doc_id, lang, n_toks,
+                    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM q WHERE q_ok) WHERE rn = 1),
+         l AS (SELECT lang, count(*) AS n_docs_unique,
+                      CAST(sum(n_toks) AS BIGINT) AS lang_tokens
+               FROM uniq GROUP BY lang),
+         t AS (SELECT *, CAST(sum(lang_tokens) OVER () AS BIGINT) AS total_toks
+               FROM l),
+         w AS (SELECT *, CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE)
+                   / CAST(total_toks AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                   AS weight_ppm FROM t),
+         s AS (SELECT *, CAST(sum(weight_ppm) OVER () AS BIGINT) AS sum_w,
+                      total_toks // 2 AS budget FROM w),
+         a AS (SELECT *, (budget * weight_ppm) // sum_w AS alloc_floor,
+                      (budget * weight_ppm) % sum_w AS rem FROM s),
+         r AS (SELECT *, budget - CAST(sum(alloc_floor) OVER () AS BIGINT)
+                        AS leftover,
+                      row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM a),
+         rates AS (SELECT lang, n_docs_unique, lang_tokens,
+                     least(((alloc_floor +
+                       (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)) * 1000000)
+                       // lang_tokens, 1000000) AS rate_ppm
+                   FROM r),
+         k AS (SELECT u.lang, u.n_toks, rates.rate_ppm,
+                      rates.n_docs_unique, rates.lang_tokens,
+                      ((strpos('0123456789abcdef',
+                          substring(md5(CAST(u.doc_id AS VARCHAR)), 1, 1)) - 1) * 65536
+                      + (strpos('0123456789abcdef',
+                          substring(md5(CAST(u.doc_id AS VARCHAR)), 2, 1)) - 1) * 4096
+                      + (strpos('0123456789abcdef',
+                          substring(md5(CAST(u.doc_id AS VARCHAR)), 3, 1)) - 1) * 256
+                      + (strpos('0123456789abcdef',
+                          substring(md5(CAST(u.doc_id AS VARCHAR)), 4, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef',
+                          substring(md5(CAST(u.doc_id AS VARCHAR)), 5, 1)) - 1))
+                        AS b
+               FROM uniq u JOIN rates USING (lang))
+         SELECT k.lang, min(raw.n_docs_raw) AS n_docs_raw,
+                min(raw.n_docs_quality) AS n_docs_quality,
+                min(k.n_docs_unique) AS n_docs_unique,
+                min(k.lang_tokens) AS lang_tokens,
+                min(k.rate_ppm) AS rate_ppm,
+                CAST(sum(CASE WHEN k.b * 1000000 < k.rate_ppm * 1048576
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+                CAST(sum(CASE WHEN k.b * 1000000 < k.rate_ppm * 1048576
+                         THEN k.n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept
+         FROM k JOIN raw ON k.lang = raw.lang
+         GROUP BY k.lang ORDER BY k.lang""",
+
     "join_null_aware_anti" ->
       // DuckDB's 3VL must agree: NOT IN over a null-bearing set is empty
       """SELECT

@@ -1117,6 +1117,82 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** `pipeline_corpus_build`: the END-TO-END corpus build — the query a
+    * user of this engine actually ships: quality gate → exact dedup →
+    * temperature-budget sampling, composed as ONE declarative plan so
+    * Catalyst sees the whole funnel (the quality filter prunes before
+    * the dedup shuffle; the per-lang mixing math runs on the
+    * #langs-row aggregate; the final keep decision is a broadcast join
+    * of that tiny rate table back onto the deduped docs). Per language
+    * the report carries every funnel stage: raw docs → quality
+    * survivors (the `text_quality_classifier` score ≥ its review
+    * threshold) → unique texts (min-doc_id canonical, the `dedup_exact`
+    * rule) → token-budget keeps (sqrt-temperature weights, largest
+    * remainder, the `sample_temperature_weights` math; selection by
+    * md5-bucket cross-multiplication — five unrolled hex digits, so
+    * the keep set is engine- and partition-independent). All integer
+    * after the one sqrt; the oracle replays the identical funnel. */
+  def corpusBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val nToks = size(toks).cast(LongType)
+    val stopCnt = (size(toks) -
+      size(array_remove(array_remove(toks, "the"), "a"))).cast(LongType)
+    val distinctCnt = size(array_distinct(toks)).cast(LongType)
+    val ppm = (num: org.apache.spark.sql.Column) =>
+      floor(num * 1000000.0 / nToks + 0.5).cast(LongType)
+    val score = ppm(distinctCnt) + lit(4L) * ppm(stopCnt) +
+      lit(10000L) * least(nToks, lit(64L))
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text", nToks.as("n_toks"),
+        (score >= 1100000L).as("q_ok"))
+    val rawStats = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs_raw"),
+        sum(when($"q_ok", 1L).otherwise(0L)).as("n_docs_quality"))
+    val uniq = docs.filter($"q_ok")
+      .groupBy($"text")
+      .agg(min(struct($"doc_id", $"lang", $"n_toks")).as("m"))
+      .select($"m.doc_id".as("doc_id"), $"m.lang".as("lang"),
+        $"m.n_toks".as("n_toks"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy($"rem".desc, $"lang")
+    val rates = uniq.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs_unique"), sum($"n_toks").as("lang_tokens"))
+      .withColumn("total_toks", sum($"lang_tokens").over(wAll))
+      .withColumn("weight_ppm",
+        floor(sqrt($"lang_tokens".cast(DoubleType) / $"total_toks".cast(DoubleType))
+          * 1e6 + 0.5).cast(LongType))
+      .withColumn("sum_w", sum($"weight_ppm").over(wAll))
+      .withColumn("budget", expr("total_toks div 2"))
+      .withColumn("alloc_floor", expr("(budget * weight_ppm) div sum_w"))
+      .withColumn("rem", expr("(budget * weight_ppm) % sum_w"))
+      .withColumn("leftover", $"budget" - sum($"alloc_floor").over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .select($"lang", $"n_docs_unique", $"lang_tokens",
+        least(expr("((alloc_floor + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END))" +
+          " * 1000000) div lang_tokens"), lit(1000000L)).as("rate_ppm"))
+    val hex = "0123456789abcdef"
+    val h = md5($"doc_id".cast(StringType))
+    val bucket = (0 until 5).map { i =>
+      (instr(lit(hex), substring(h, i + 1, 1)) - 1).cast(LongType) *
+        (1L << (4 * (4 - i)))
+    }.reduce(_ + _)
+    uniq.join(broadcast(rates), "lang")
+      .withColumn("kept", bucket * 1000000L < $"rate_ppm" * 1048576L)
+      .groupBy($"lang")
+      .agg(
+        first($"n_docs_unique").as("n_docs_unique"),
+        first($"lang_tokens").as("lang_tokens"),
+        first($"rate_ppm").as("rate_ppm"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when($"kept", $"n_toks").otherwise(0L)).as("n_tokens_kept"))
+      .join(rawStats, "lang")
+      .select($"lang", $"n_docs_raw", $"n_docs_quality", $"n_docs_unique",
+        $"lang_tokens", $"rate_ppm", $"n_docs_kept", $"n_tokens_kept")
+      .orderBy($"lang")
+  }
+
   /** `text_dedup_lines`: C4-style boilerplate-line removal — the
     * REWRITE step the span-accounting op (`dedup_substring_spans`)
     * deliberately stops short of: documents are cut into ALIGNED

@@ -297,6 +297,38 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_corpus_build: funnel stages are coherent and keep set is hash-stable") {
+    val s = spark
+    import s.implicits._
+    val out = graft.llm.TextOps.corpusBuild(spark, sf).collect()
+    val langs = Tables.documents(spark, sf).select($"lang").distinct().count()
+    assert(out.length == langs)
+    var budgetTokens = 0L
+    var keptTokens = 0L
+    out.foreach { r =>
+      val (raw, q, u) = (r.getAs[Long]("n_docs_raw"),
+        r.getAs[Long]("n_docs_quality"), r.getAs[Long]("n_docs_unique"))
+      val (kd, kt, lt) = (r.getAs[Long]("n_docs_kept"),
+        r.getAs[Long]("n_tokens_kept"), r.getAs[Long]("lang_tokens"))
+      assert(raw >= q && q >= u && u >= kd, "funnel must be monotone")
+      assert(kd > 0L && kt > 0L && kt <= lt)
+      assert(r.getAs[Long]("rate_ppm") <= 1000000L)
+      budgetTokens += lt
+      keptTokens += kt
+    }
+    // the hash-bucket selection approximates the half-corpus budget;
+    // expectation is exact, realization fluctuates with bucket draws
+    val ratio = keptTokens.toDouble / (budgetTokens / 2)
+    assert(ratio > 0.5 && ratio < 1.5,
+      s"kept tokens should be near the half-corpus budget, ratio=$ratio")
+    // determinism: a second run keeps the identical per-lang counts
+    val again = graft.llm.TextOps.corpusBuild(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs_kept"))).toMap
+    out.foreach { r =>
+      assert(again(r.getAs[String]("lang")) == r.getAs[Long]("n_docs_kept"))
+    }
+  }
+
   test("text_perplexity_bucket: per-lang terciles are balanced and ordered") {
     val s = spark
     import s.implicits._
