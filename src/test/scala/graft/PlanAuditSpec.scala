@@ -109,6 +109,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!ls.contains("Generate"), "lang_stats should not explode tokens")
   }
 
+  test("round-11 data-path ops keep their intended plan shapes") {
+    def plan(n: String) =
+      SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+    def count(p: String, needle: String) = needle.r.findAllIn(p).length
+    // gaps-and-islands: lag, running sum, AND the island aggregate all
+    // ride ONE user_id hash exchange (plus only the final output sort)
+    val gi = plan("window_gap_islands")
+    assert(count(gi, "Exchange hashpartitioning") == 1,
+      "islands must reuse a single user_id exchange")
+    assert(!gi.contains("Join"))
+    // hashing-trick features: no vocabulary join, no window — just the
+    // explode + the standard two-phase exact count-distinct aggregate
+    val hf = plan("text_hash_features")
+    assert(!hf.contains("Join") && !hf.contains("Window"))
+    assert(count(hf, "Exchange hashpartitioning") <= 2,
+      "hash features must stay the distinct-agg exchange pair")
+    // SCD2 lookup: exactly one (left outer) join, no fan-out shapes
+    val pit = plan("join_scd2_pointintime")
+    assert(count(pit, "Join") == 1 && pit.contains("LeftOuter"))
+    // corpus build: the tiny rate/raw-stat frames ride broadcasts back
+    // onto the deduped docs — never a shuffle of the corpus against them
+    assert(plan("pipeline_corpus_build").contains("BroadcastHashJoin"))
+  }
+
   test("the one intentional cartesian stays broadcast, never a shuffle cartesian") {
     val plan = SparkEntry.queries("join_cross_dims")(spark, sf)
       .queryExecution.executedPlan.toString
