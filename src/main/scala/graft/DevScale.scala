@@ -97,7 +97,10 @@ object DevScale {
     "join_null_aware_anti", "join_interval_overlap",
     // round 11 capstone: the composed corpus-build funnel (quality
     // prune -> dedup shuffle -> tiny-frame mixing -> broadcast keep)
-    "pipeline_corpus_build")
+    // and exact class rebalancing (per-class window rank)
+    "pipeline_corpus_build", "sample_balanced_classes",
+    // cohort retention: two user-keyed aggs + equi-join
+    "window_retention_cohorts")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

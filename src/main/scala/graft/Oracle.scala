@@ -1122,6 +1122,42 @@ $iters
                FROM sc JOIN documents d USING (doc_id))
          ORDER BY doc_id""",
 
+    "window_retention_cohorts" ->
+      // same fixed-epoch integer week arithmetic and bp division
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+                  (epoch_us(ts) - 1704067200000000) // 604800000000 AS w
+           FROM events),
+         coh AS (SELECT user_id, CAST(min(w) AS BIGINT) AS w0
+                 FROM act GROUP BY user_id),
+         siz AS (SELECT w0 AS cohort_week, count(*) AS n_cohort
+                 FROM coh GROUP BY w0),
+         ret AS (SELECT c.w0 AS cohort_week, a.w - c.w0 AS week_offset,
+                        CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+                 FROM act a JOIN coh c USING (user_id)
+                 WHERE a.w - c.w0 <= 4
+                 GROUP BY 1, 2)
+         SELECT cohort_week, week_offset, n_cohort, n_active,
+                (n_active * 10000) // n_cohort AS retained_bp
+         FROM ret JOIN siz USING (cohort_week)
+         ORDER BY cohort_week, week_offset""",
+
+    "sample_balanced_classes" ->
+      // same md5 ranking, min class size, and ordered kept-set digest
+      """WITH r AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+                  count(*) OVER (PARTITION BY lang) AS cls_n
+           FROM documents),
+         m AS (SELECT *, CAST(min(cls_n) OVER () AS BIGINT) AS min_n FROM r)
+         SELECT lang, CAST(min(cls_n) AS BIGINT) AS n_docs,
+                count(*) AS n_kept,
+                md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                               ORDER BY doc_id)) AS kept_ids_md5
+         FROM m WHERE rk <= min_n
+         GROUP BY lang ORDER BY lang""",
+
     "pipeline_corpus_build" ->
       // the identical funnel: classifier score gate, min-doc_id dedup,
       // sqrt-temperature largest-remainder rates, 5-hex-digit bucket keep

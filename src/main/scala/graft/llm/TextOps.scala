@@ -1117,6 +1117,39 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** `sample_balanced_classes`: exact class rebalancing — every language
+    * downsampled to the SMALLEST class's size (the classifier-training
+    * prep step where unequal classes bias the model): docs are ranked
+    * within their class by content hash (md5 of doc_id, doc_id
+    * tie-break — so the kept set is engine-, partition- and
+    * insertion-order-independent, unlike RNG sampling) and the first
+    * min-class-size ranks survive. The per-class rank is one window
+    * sort per class partition — the standard shape; the min-size is a
+    * #langs-frame scalar. The kept SET itself is pinned, not just its
+    * size: the output carries an md5 over the ordered kept doc_ids,
+    * which the oracle recomputes — a count could mask a different
+    * selection, the digest cannot. */
+  def balancedClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wLang = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"h", $"doc_id")
+    val wCls = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", md5($"doc_id".cast(StringType)).as("h"))
+      .withColumn("rk", row_number().over(wLang))
+      .withColumn("cls_n", count(lit(1)).over(wCls))
+      .withColumn("min_n", min($"cls_n").over(wAll))
+      .filter($"rk" <= $"min_n")
+      .groupBy($"lang")
+      .agg(
+        first($"cls_n").as("n_docs"),
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(",", transform(sort_array(collect_list($"doc_id")),
+          x => x.cast(StringType)))).as("kept_ids_md5"))
+      .orderBy($"lang")
+  }
+
   /** `pipeline_corpus_build`: the END-TO-END corpus build — the query a
     * user of this engine actually ships: quality gate → exact dedup →
     * temperature-budget sampling, composed as ONE declarative plan so

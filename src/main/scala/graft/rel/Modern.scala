@@ -388,6 +388,39 @@ object Modern {
       .orderBy($"user_id")
   }
 
+  /** `window_retention_cohorts`: cohort retention — the
+    * product-analytics staple: users are cohorted by FIRST-activity week
+    * (fixed epoch 2024-01-01, integer µs week arithmetic) and each
+    * (cohort, week-offset 0..4) cell reports how many cohort members
+    * were active that week, as exact basis points. Self-join-free: one
+    * per-user min (the cohort), one (user, week) distinct, one equi-join
+    * of the two per-user frames, one (cohort, offset) count-distinct —
+    * every shuffle is user- or cohort-keyed, nothing quadratic, and the
+    * integer week/bp math is engine-exact. */
+  def windowRetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val WeekUs = 7L * 24 * 3600 * 1000000L
+    val Epoch0 = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
+    // integer div, not double /: Spark's long/long is a double divide
+    // whose long-cast truncates while DuckDB's double->int cast rounds
+    val activity = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .select($"user_id", expr(s"(us - $Epoch0) div $WeekUs").as("w"))
+      .distinct()
+    val cohorts = activity.groupBy($"user_id").agg(min($"w").as("w0"))
+    val cohortSize = cohorts.groupBy($"w0".as("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    activity.join(cohorts, "user_id")
+      .select($"user_id", $"w0".as("cohort_week"), ($"w" - $"w0").as("week_offset"))
+      .filter($"week_offset" <= 4)
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count_distinct($"user_id").as("n_active"))
+      .join(cohortSize, "cohort_week")
+      .select($"cohort_week", $"week_offset", $"n_cohort", $"n_active",
+        expr("(n_active * 10000) div n_cohort").as("retained_bp"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   /** `join_interval_overlap`: interval OVERLAP join — sessions
     * (30-minute-gap `session_window`s per user, end = last event + gap)
     * joined to a literal campaign-window dimension on

@@ -329,6 +329,51 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_balanced_classes: every class lands at the min size with the hash-ranked set") {
+    val s = spark
+    import s.implicits._
+    val byLang = Tables.documents(spark, sf).select($"doc_id", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    val minN = byLang.values.map(_.length).min
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = graft.llm.TextOps.balancedClasses(spark, sf).collect()
+    assert(out.length == byLang.size)
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("n_kept") == minN)
+      assert(r.getAs[Long]("n_docs") == byLang(lang).length)
+      val kept = byLang(lang).map(_._1)
+        .sortBy(id => (md5hex(id.toString), id)).take(minN).sorted
+      assert(r.getAs[String]("kept_ids_md5") == md5hex(kept.mkString(",")))
+    }
+  }
+
+  test("window_retention_cohorts: offset-0 is full retention and cells match a recount") {
+    val s = spark
+    import s.implicits._
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val epoch0 = 1704067200000000L
+    val act = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("us")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1) - epoch0) / weekUs)).distinct
+    val cohortOf = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val out = graft.rel.Modern.windowRetentionCohorts(spark, sf).collect()
+    out.foreach { r =>
+      val (c, k) = (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"))
+      val members = cohortOf.filter(_._2 == c).keySet
+      assert(r.getAs[Long]("n_cohort") == members.size)
+      val active = act.filter { case (u, w) =>
+        members(u) && w - c == k
+      }.map(_._1).distinct.length
+      assert(r.getAs[Long]("n_active") == active, s"cell ($c, $k)")
+      if (k == 0L) assert(r.getAs[Long]("retained_bp") == 10000L,
+        "offset 0 is the cohort definition week — everyone is active")
+    }
+    assert(out.exists(r => r.getAs[Long]("week_offset") > 0L),
+      "fixture spans multiple weeks")
+  }
+
   test("text_perplexity_bucket: per-lang terciles are balanced and ordered") {
     val s = spark
     import s.implicits._
