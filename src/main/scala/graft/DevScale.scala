@@ -99,8 +99,9 @@ object DevScale {
     // prune -> dedup shuffle -> tiny-frame mixing -> broadcast keep)
     // and exact class rebalancing (per-class window rank)
     "pipeline_corpus_build", "sample_balanced_classes",
-    // cohort retention: two user-keyed aggs + equi-join
-    "window_retention_cohorts")
+    // cohort retention: two user-keyed aggs + equi-join; rolling WAU:
+    // bounded 7x generate + (day, user) distinct
+    "window_retention_cohorts", "window_rolling_distinct")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

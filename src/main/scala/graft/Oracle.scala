@@ -1122,6 +1122,20 @@ $iters
                FROM sc JOIN documents d USING (doc_id))
          ORDER BY doc_id""",
 
+    "window_rolling_distinct" ->
+      // same coverage explode + (day, user) distinct + per-day count
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+                  (epoch_us(ts) - 1704067200000000) // 86400000000 AS d
+           FROM events),
+         cover AS (SELECT DISTINCT user_id, d + i AS report_day
+                   FROM act, unnest(range(7)) r(i)),
+         mx AS (SELECT max(d) AS max_d FROM act)
+         SELECT CAST(report_day AS BIGINT) AS report_day,
+                count(*) AS wau
+         FROM cover, mx WHERE report_day <= max_d
+         GROUP BY report_day ORDER BY report_day""",
+
     "window_retention_cohorts" ->
       // same fixed-epoch integer week arithmetic and bp division
       """WITH act AS (

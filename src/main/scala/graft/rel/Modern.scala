@@ -388,6 +388,34 @@ object Modern {
       .orderBy($"user_id")
   }
 
+  /** `window_rolling_distinct`: trailing-7-day distinct actives (rolling
+    * WAU) — the sliding-window DISTINCT that window functions cannot
+    * express (a frame-bounded count_distinct isn't mergeable): each
+    * (user, active-day) pair CONTRIBUTES itself to the 7 report days it
+    * covers (one bounded 7× generate), duplicates collapse in a
+    * (day, user) distinct, and a plain per-day count finishes — the
+    * standard scale-out shape, shuffles keyed on (day, user), nothing
+    * holds per-window state. Report days clipped to the observed day
+    * span (integer day arithmetic on the fixed 2024-01-01 epoch). */
+  def windowRollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val DayUs = 24L * 3600 * 1000000L
+    val Epoch0 = 1704067200000000L
+    val activity = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .select($"user_id", expr(s"(us - $Epoch0) div $DayUs").as("d"))
+      .distinct()
+    val span = activity.agg(max($"d").as("max_d")).select($"max_d")
+    activity
+      .select($"user_id", explode(sequence($"d", $"d" + 6)).as("report_day"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .filter($"report_day" <= $"max_d")
+      .groupBy($"report_day")
+      .agg(count(lit(1)).as("wau"))
+      .orderBy($"report_day")
+  }
+
   /** `window_retention_cohorts`: cohort retention — the
     * product-analytics staple: users are cohorted by FIRST-activity week
     * (fixed epoch 2024-01-01, integer µs week arithmetic) and each

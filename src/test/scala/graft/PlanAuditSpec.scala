@@ -40,7 +40,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val broadcastConstOk = Set("join_cross_dims", "q22_idle_customers",
     "q11_important_stock", "sim_ann_ivf", "sim_ann_lsh", "sim_topk_cosine",
     "sim_knn_join", "sim_ann_pq", "sim_topk_prefix",
-    "join_interval_overlap")
+    "join_interval_overlap", "window_rolling_distinct")
 
   test("no declared batch query plans an accidental cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

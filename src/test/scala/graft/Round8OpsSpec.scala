@@ -374,6 +374,25 @@ class Round8OpsSpec extends AnyFunSuite {
       "fixture spans multiple weeks")
   }
 
+  test("window_rolling_distinct: WAU equals the naive per-day trailing recount") {
+    val s = spark
+    import s.implicits._
+    val dayUs = 24L * 3600 * 1000000L
+    val epoch0 = 1704067200000000L
+    val act = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("us")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1) - epoch0) / dayUs)).distinct
+    val maxD = act.map(_._2).max
+    val out = graft.rel.Modern.windowRollingDistinct(spark, sf).collect()
+      .map(r => r.getAs[Long]("report_day") -> r.getAs[Long]("wau")).toMap
+    (0L to maxD).foreach { d =>
+      val expect = act.filter { case (_, ad) => ad <= d && ad >= d - 6 }
+        .map(_._1).distinct.length.toLong
+      if (expect > 0) assert(out(d) == expect, s"day $d")
+      else assert(!out.contains(d))
+    }
+  }
+
   test("text_perplexity_bucket: per-lang terciles are balanced and ordered") {
     val s = spark
     import s.implicits._
