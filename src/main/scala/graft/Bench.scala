@@ -139,14 +139,7 @@ object Bench {
         .start()
       wq2.awaitTermination()
     } catch { case scala.util.control.NonFatal(_) => () }
-    finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(warmDir)
-    }
+    finally StageDirs.rm(warmDir)
     // sorted order: deterministic run-to-run (Map iteration order is
     // hash-dependent), so per-query timings are comparable across rounds
     //

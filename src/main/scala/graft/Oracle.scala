@@ -846,7 +846,7 @@ $iters
            SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
                   substring(text, CAST(i * 32 + 1 AS INTEGER), 32) AS f
            FROM docs,
-                unnest(range(CAST(greatest(floor(octet_length(encode(text)) / 32.0), 1) AS BIGINT))) AS t(i)
+                unnest(range(CAST(greatest(ceil(length(text) / 32.0), 1) AS BIGINT))) AS t(i)
            WHERE length(substring(text, CAST(i * 32 + 1 AS INTEGER), 32)) > 0),
          st AS (
            SELECT media_id, frame_idx, CAST(length(f) AS BIGINT) AS fr_len,

@@ -12,16 +12,25 @@ import java.nio.file.{Files, Path, Paths}
   * inodes, not megabytes). The root lives under the checkout's `target/`
   * so a clean build also reclaims everything. */
 object StageDirs {
-  private def root: Path = Files.createDirectories(Paths.get(
+  private def root: Path = Paths.get(
     sys.props.getOrElse("graft.stage.tmp",
       // derive from the working directory, not a hardcoded checkout path
       // (a clone elsewhere must stage under ITS OWN target/)
       Paths.get(sys.props.getOrElse("user.dir", "."), "target", "stage-tmp")
-        .toString)))
+        .toString))
+
+  /** Streaming staged-log/run/checkpoint root — its own sysprop and
+    * directory so streaming scaffolding (staged event log, checkpoints)
+    * and batch format staging stay independently re-rootable, but ONE
+    * ownership/purge idiom (this object) governs both trees. */
+  private[graft] def streamRoot: Path = Paths.get(
+    sys.props.getOrElse("graft.stream.tmp",
+      Paths.get(sys.props.getOrElse("user.dir", "."), "target", "stream-tmp")
+        .toString))
 
   /** Recursive delete; each Files.list stream is closed (try/finally) so
     * a deep purge doesn't leak one fd per directory visited. */
-  private def rm(q: Path): Unit = {
+  private[graft] def rm(q: Path): Unit = {
     if (Files.isDirectory(q)) {
       val s = Files.list(q)
       try s.forEach(rm(_)) finally s.close()
@@ -29,9 +38,12 @@ object StageDirs {
     Files.deleteIfExists(q)
   }
 
-  /** Fresh `<root>/jvm-<pid>/<prefix>…` dir; purges dead owners first. */
-  def fresh(prefix: String): Path = {
-    val r = root
+  /** Fresh `<root>/jvm-<pid>/<prefix>…` dir under the batch staging root. */
+  def fresh(prefix: String): Path = fresh(root, prefix)
+
+  /** Fresh `<rootDir>/jvm-<pid>/<prefix>…` dir; purges dead owners first. */
+  def fresh(rootDir: Path, prefix: String): Path = {
+    val r = Files.createDirectories(rootDir)
     val myPid = ProcessHandle.current().pid()
     try {
       val listing = Files.list(r)

@@ -76,15 +76,14 @@ object StreamingLatest {
   private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Fresh temp dir under this JVM's namespace (`<base>/jvm-<pid>/`) —
-    * all staged/run/checkpoint dirs live here so the purge in
-    * [[stagedEventLog]] can identify abandoned dirs by owner liveness. */
-  private def jvmTmpDir(prefix: String): java.nio.file.Path = {
-    val root = Files.createDirectories(Paths.get(sys.props.getOrElse(
-      "graft.stream.tmp", "/root/repo/target/stream-tmp")))
-    val base = Files.createDirectories(
-      root.resolve(s"jvm-${ProcessHandle.current().pid()}"))
-    Files.createTempDirectory(base, prefix)
-  }
+    * all staged/run/checkpoint dirs allocate through [[graft.StageDirs]]
+    * (one liveness/purge idiom for the whole tree: portable
+    * ProcessHandle liveness, every directory-listing stream closed). */
+  private def jvmTmpDir(prefix: String): java.nio.file.Path =
+    graft.StageDirs.fresh(graft.StageDirs.streamRoot, prefix)
+
+  /** Fd-safe recursive delete (see [[graft.StageDirs.rm]]). */
+  private def rmTree(p: java.nio.file.Path): Unit = graft.StageDirs.rm(p)
 
   /** The CDC-log surrogate every streaming query replays: the events
     * table staged as two parquet files split at the time midpoint,
@@ -97,29 +96,11 @@ object StreamingLatest {
   private[graft] def stagedEventLog(spark: SparkSession, sfDir: String): String =
     stagedDirs.computeIfAbsent(sfDir, { _ =>
       import spark.implicits._
-      val root = Files.createDirectories(Paths.get(sys.props.getOrElse(
-        "graft.stream.tmp", "/root/repo/target/stream-tmp")))
-      // Staged/run dirs are namespaced per JVM (jvm-<pid>, see jvmTmpDir)
-      // so this purge can tell live owners from dead ones: a concurrent
-      // bench or test JVM's staged log must never be yanked from under
-      // its active streaming queries. Purge = delete only jvm-* dirs
-      // whose owning process is gone (/proc/<pid> absent), best-effort.
-      val myPid = ProcessHandle.current().pid()
-      try {
-        Files.list(root).forEach { p =>
-          val name = p.getFileName.toString
-          val ownerGone = name.startsWith("jvm-") &&
-            name.stripPrefix("jvm-").toLongOption.exists(pid =>
-              pid != myPid && !Files.isDirectory(Paths.get(s"/proc/$pid")))
-          if (Files.isDirectory(p) && ownerGone) {
-            def rm(q: java.nio.file.Path): Unit = {
-              if (Files.isDirectory(q)) Files.list(q).forEach(rm(_))
-              Files.deleteIfExists(q)
-            }
-            try rm(p) catch { case _: Throwable => () }
-          }
-        }
-      } catch { case _: Throwable => () }
+      // Staged/run dirs are namespaced per JVM (jvm-<pid>) and allocated
+      // through StageDirs.fresh, whose dead-owner purge is the ONE
+      // liveness idiom in the tree (portable ProcessHandle — a /proc
+      // probe would call every pid dead on macOS and yank a concurrent
+      // JVM's staged log from under its active streaming queries).
       val inDir = jvmTmpDir("staged").toString
       val batch = graft.Tables.events(spark, sfDir)
         .select(StagedCols.map(col): _*)
@@ -127,9 +108,9 @@ object StreamingLatest {
       val midUs = (mm.getLong(0) + mm.getLong(1)) / 2
       def parquets() = {
         val s = Files.list(Paths.get(inDir))
-          .filter(p => p.toString.endsWith(".parquet"))
-          .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-        s.toSet
+        try s.filter(p => p.toString.endsWith(".parquet"))
+          .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path]).toSet
+        finally s.close()
       }
       batch.filter(unix_micros($"ts") <= midUs)
         .coalesce(1).write.mode("overwrite").parquet(inDir)
@@ -179,11 +160,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(ckptDir))
+    rmTree(Paths.get(ckptDir))
 
     spark.read.parquet(outDir)
       .select(
@@ -236,11 +213,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(ckptDir))
+    rmTree(Paths.get(ckptDir))
 
     // finalized horizon (1-row scalar gate, same pattern as the staged
     // log's watermark scalar): the final no-data batch advances the
@@ -313,11 +286,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(inDir)); rm(Paths.get(ckptDir))
+    rmTree(Paths.get(inDir)); rmTree(Paths.get(ckptDir))
 
     spark.read.parquet(outDir)
       .groupBy($"event_type")
@@ -368,11 +337,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(ckptDir)) // the staged log is shared; keep it
+    rmTree(Paths.get(ckptDir)) // the staged log is shared; keep it
 
     spark.read.parquet(outDir)
       .orderBy($"purchase_event_id", $"click_event_id")
@@ -429,11 +394,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(ckptDir)) // the staged log is shared; keep it
+    rmTree(Paths.get(ckptDir)) // the staged log is shared; keep it
 
     spark.read.parquet(outDir)
       .orderBy($"purchase_event_id", $"click_event_id")
@@ -481,11 +442,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(ckptDir))
+    rmTree(Paths.get(ckptDir))
 
     spark.read.parquet(outDir)
       .orderBy($"event_id")
@@ -565,11 +522,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(ckptDir))
+    rmTree(Paths.get(ckptDir))
 
     // final emission per group = the total over the whole log
     val w = Window.partitionBy($"event_type").orderBy($"batch_id".desc)
@@ -650,10 +603,6 @@ object StreamingLatest {
           .start()
         q.awaitTermination()
 
-        def rmTree(p: java.nio.file.Path): Unit = {
-          if (Files.isDirectory(p)) Files.list(p).forEach(rmTree(_))
-          Files.deleteIfExists(p)
-        }
         rmTree(Paths.get(ckptDir))
 
         val w = Window.partitionBy($"user_id")
@@ -718,11 +667,6 @@ object StreamingLatest {
 
     // the returned DataFrame reads only outDir; drop the checkpoint so
     // repeated runs don't accumulate temp state (the staged log is shared)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(rmTree(_))
-      Files.deleteIfExists(p)
-    }
     rmTree(Paths.get(ckptDir))
 
     // Multiple micro-batches append successive per-key snapshots; reduce to
@@ -808,11 +752,6 @@ object StreamingLatest {
       .orderBy($"user_id")
       // materialize before deleting the snapshot dirs the plan reads
       .localCheckpoint(true)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(rmTree(_))
-      Files.deleteIfExists(p)
-    }
     rmTree(runDir)
     out
   } }
@@ -860,11 +799,6 @@ object StreamingLatest {
       // materialize BEFORE deleting the checkpoint the reader scans
       .localCheckpoint(true)
 
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(rmTree(_))
-      Files.deleteIfExists(p)
-    }
     rmTree(runDir)
     out
   } }

@@ -952,7 +952,14 @@ object TextOps {
           .word_shingle_hashes($"text", MinHash.ShingleSize, sorted = true).as("toks"))
       .select($"doc_id", $"toks", size($"toks").as("n"))
       .localCheckpoint()
-    val prefixLen = ($"n" - ceil($"n" * lit(threshold)) + 1).cast("int")
+    // pruning must never be stricter than the ROUNDED accept rule: the
+    // final keep compares containment rounded to 4 decimals, so a pair
+    // with true containment in [τ − 5e-5, τ) still rounds up to τ and
+    // must survive the prefix/positional/size filters — relax every
+    // bound by that half-ulp (plus a float guard) so the filters are a
+    // superset of the accepts at any |A|
+    val tauLo = threshold - 5e-5
+    val prefixLen = ($"n" - ceil($"n" * lit(tauLo)) + 1).cast("int")
     val a = sets
       .select($"doc_id".as("doc_a"), $"n".as("na"),
         posexplode(slice($"toks", lit(1), prefixLen)))
@@ -960,7 +967,7 @@ object TextOps {
     val b = sets
       .select($"doc_id".as("doc_b"), $"n".as("nb"), posexplode($"toks"))
       .toDF("doc_b", "nb", "pb", "tok")
-    val alpha = lit(threshold) * $"na" - lit(1e-9)
+    val alpha = lit(tauLo) * $"na" - lit(1e-9)
     val cand = a.join(b, Seq("tok"))
       .filter($"doc_a" =!= $"doc_b" && $"nb" >= alpha &&
         least($"na" - $"pa", $"nb" - $"pb") >= alpha)

@@ -379,8 +379,12 @@ object MultiModal {
   def videoKeyframe(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val blen = length($"text")
+    // ceil, not floor: the trailing partial frame is a real frame and is
+    // scored over its real length (docstring contract); char length on
+    // both sides because the frames are sliced by chars (substr) — byte
+    // length would disagree on any non-ASCII payload
     val nf = greatest(
-      (floor(blen.cast(DoubleType) / KeyframeLen)).cast(IntegerType), lit(1))
+      (ceil(blen.cast(DoubleType) / KeyframeLen)).cast(IntegerType), lit(1))
     val byteAt = (w: org.apache.spark.sql.Column) =>
       transform(sequence(lit(1), length(w)), i => ascii(w.substr(i, lit(1))).cast(LongType))
     documentsWithFixture(spark, sfDir)

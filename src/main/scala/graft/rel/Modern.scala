@@ -403,7 +403,11 @@ object Modern {
     val Epoch0 = 1704067200000000L
     val activity = Tables.events(spark, sfDir)
       .select($"user_id", unix_micros($"ts").as("us"))
-      .select($"user_id", expr(s"(us - $Epoch0) div $DayUs").as("d"))
+      // FLOOR division, not `div` (which truncates toward zero while the
+      // DuckDB oracle's `//` floors): subtract the non-negative pmod
+      // remainder first so pre-epoch events bucket identically
+      .select($"user_id",
+        expr(s"((us - $Epoch0) - pmod(us - $Epoch0, $DayUs)) div $DayUs").as("d"))
       .distinct()
     val span = activity.agg(max($"d").as("max_d")).select($"max_d")
     activity
@@ -429,11 +433,13 @@ object Modern {
     import spark.implicits._
     val WeekUs = 7L * 24 * 3600 * 1000000L
     val Epoch0 = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
-    // integer div, not double /: Spark's long/long is a double divide
-    // whose long-cast truncates while DuckDB's double->int cast rounds
+    // integer FLOOR division (subtract-remainder-then-divide): plain
+    // `div` truncates toward zero while DuckDB's `//` floors, so a
+    // pre-epoch event would land in different week buckets per engine
     val activity = Tables.events(spark, sfDir)
       .select($"user_id", unix_micros($"ts").as("us"))
-      .select($"user_id", expr(s"(us - $Epoch0) div $WeekUs").as("w"))
+      .select($"user_id",
+        expr(s"((us - $Epoch0) - pmod(us - $Epoch0, $WeekUs)) div $WeekUs").as("w"))
       .distinct()
     val cohorts = activity.groupBy($"user_id").agg(min($"w").as("w0"))
     val cohortSize = cohorts.groupBy($"w0".as("cohort_week"))
