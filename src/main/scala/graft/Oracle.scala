@@ -38,6 +38,18 @@ object Oracle {
               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type"""
 
+  /** Shared by `window_sliding_time` (batch) and `cdc_stream_sliding`
+    * (its streaming twin, complete mode = full answer): rebuild the
+    * 4-overlapping-window membership explicitly — hour windows sliding
+    * every 15 min mean each event belongs to starts
+    * (floor(ts_us/900e6) − k)·900e6 for k in 0..3. */
+  private val slidingSql =
+    """SELECT (epoch_us(ts) // 900000000 - k.k) * 900000000 AS win_start_us,
+              event_type, count(*) AS n_events,
+              min(event_id) AS min_event_id, max(event_id) AS max_event_id
+       FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** `graph_pagerank` twin: the same 6 PageRank iterations as
     * GraphOps.pageRank, unrolled as chained CTEs (standard SQL forbids
     * aggregation inside a recursive term, and the iteration count is a
@@ -2585,16 +2597,68 @@ $iters
                 md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
 
-    "window_sliding_time" ->
-      // rebuild the 4-overlapping-window membership explicitly: hour
-      // windows sliding every 15 min => each event belongs to starts
-      // (floor(ts_us/900e6) - k) * 900e6 for k in 0..3, all of which
-      // satisfy start <= ts < start + 1 hour by construction
-      """SELECT (epoch_us(ts) // 900000000 - k.k) * 900000000 AS win_start_us,
-                event_type, count(*) AS n_events,
-                min(event_id) AS min_event_id, max(event_id) AS max_event_id
-         FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "window_sliding_time" -> slidingSql,
+    // the streaming sliding-window twin: complete-mode final state must
+    // equal the batch sliding aggregate — proven through DuckDB
+    "cdc_stream_sliding" -> slidingSql,
+
+    "text_bpe_merges" ->
+      // same three unrolled merge rounds as CTEs: distinct-word vocab →
+      // space-delimited symbol strings → weighted pair counts → top
+      // distinct-symbol pair (count DESC, a, b) → two-pass delimiter
+      // replace → recount. replace() is left-to-right non-overlapping
+      // in both engines, so the two-pass application is engine-exact.
+      """WITH words AS (
+           SELECT w.word AS word, count(*) AS wc
+           FROM documents, unnest(string_split(text, ' ')) AS w(word)
+           WHERE length(w.word) >= 2 GROUP BY 1),
+         v0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s, wc FROM words),
+         pc1 AS (
+           SELECT x.t[CAST(r.i AS INTEGER)] AS a, x.t[CAST(r.i + 1 AS INTEGER)] AS b,
+                  CAST(sum(x.wc) AS BIGINT) AS n
+           FROM (SELECT string_split(trim(s), ' ') AS t, wc FROM v0) AS x,
+                unnest(range(1, len(x.t))) AS r(i)
+           GROUP BY 1, 2),
+         t1 AS (SELECT a, b, n FROM pc1 WHERE a <> b ORDER BY n DESC, a, b LIMIT 1),
+         v1 AS (SELECT replace(replace(s, ' '||a||' '||b||' ', ' '||a||b||' '),
+                               ' '||a||' '||b||' ', ' '||a||b||' ') AS s, wc
+                FROM v0, t1),
+         pc2 AS (
+           SELECT x.t[CAST(r.i AS INTEGER)] AS a, x.t[CAST(r.i + 1 AS INTEGER)] AS b,
+                  CAST(sum(x.wc) AS BIGINT) AS n
+           FROM (SELECT string_split(trim(s), ' ') AS t, wc FROM v1) AS x,
+                unnest(range(1, len(x.t))) AS r(i)
+           GROUP BY 1, 2),
+         t2 AS (SELECT a, b, n FROM pc2 WHERE a <> b ORDER BY n DESC, a, b LIMIT 1),
+         v2 AS (SELECT replace(replace(s, ' '||a||' '||b||' ', ' '||a||b||' '),
+                               ' '||a||' '||b||' ', ' '||a||b||' ') AS s, wc
+                FROM v1, t2),
+         pc3 AS (
+           SELECT x.t[CAST(r.i AS INTEGER)] AS a, x.t[CAST(r.i + 1 AS INTEGER)] AS b,
+                  CAST(sum(x.wc) AS BIGINT) AS n
+           FROM (SELECT string_split(trim(s), ' ') AS t, wc FROM v2) AS x,
+                unnest(range(1, len(x.t))) AS r(i)
+           GROUP BY 1, 2),
+         t3 AS (SELECT a, b, n FROM pc3 WHERE a <> b ORDER BY n DESC, a, b LIMIT 1)
+         SELECT * FROM (
+           SELECT 1 AS merge_rank, a AS sym_a, b AS sym_b, n AS n_pairs FROM t1
+           UNION ALL SELECT 2, a, b, n FROM t2
+           UNION ALL SELECT 3, a, b, n FROM t3)
+         ORDER BY merge_rank""",
+
+    "layout_bucketed_join" ->
+      // the oracle joins/aggregates the ORIGINAL parquet — a hash match
+      // proves the bucketed layout changed only the plan (no exchange
+      // below the join), never the data
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(n_items) AS BIGINT) AS n_items,
+                round(CAST(sum(rev) AS DOUBLE), 4) AS revenue
+         FROM (SELECT o_orderkey, o_orderpriority,
+                      sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev,
+                      count(*) AS n_items
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               GROUP BY 1, 2)
+         GROUP BY 1 ORDER BY 1""",
 
     "source_orc_roundtrip" ->
       // the oracle aggregates the ORIGINAL parquet — a hash match proves

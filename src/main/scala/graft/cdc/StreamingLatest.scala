@@ -170,6 +170,54 @@ object StreamingLatest {
       .orderBy($"bucket_ms", $"event_type")
   } }
 
+  /** `cdc_stream_sliding`: event-time SLIDING windows (1 hour every
+    * 15 minutes) computed by a streaming query — completes the
+    * window-type × mode matrix (tumbling: `cdc_stream_windowed`;
+    * session: `cdc_stream_sessionize`; sliding: here). Each event lands
+    * in 4 overlapping windows, so state is 4 window-rows per
+    * (window, type) group — still bounded by the window/type
+    * cardinality, evicted by the watermark in a live deployment;
+    * complete mode makes the bounded final state the full answer, which
+    * is why the query shares the batch `window_sliding_time` oracle
+    * (the gate checks streaming/batch sliding-window equivalence
+    * through DuckDB). */
+  def streamSliding(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
+    import spark.implicits._
+    val runDir = jvmTmpDir("runsl")
+    val inDir   = stagedEventLog(spark, sfDir)
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"ts", $"event_type", $"event_id").schema
+
+    val agg = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min($"event_id").as("min_event_id"),
+        max($"event_id").as("max_event_id"))
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    rmTree(Paths.get(ckptDir))
+
+    spark.read.parquet(outDir)
+      .select(unix_micros($"w.start").as("win_start_us"), $"event_type",
+        $"n_events", $"min_event_id", $"max_event_id")
+      .orderBy($"win_start_us", $"event_type")
+  } }
+
   /** `cdc_stream_sessionize`: streaming session windows — 30-minute-gap
     * sessions per user computed incrementally, emitted in APPEND mode,
     * i.e. only once the watermark proves a session can no longer grow

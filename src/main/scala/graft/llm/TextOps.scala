@@ -78,6 +78,70 @@ object TextOps {
       .orderBy($"pair")
   }
 
+  /** `text_bpe_merges`: the iterated BPE merge loop — three unrolled
+    * rounds of (count weighted adjacent symbol pairs over the vocab →
+    * take the top pair → apply the merge → recount), emitting the merge
+    * table a tokenizer-training run would persist. Same unrolling
+    * pattern as `vec_pca_power`; same vocab-not-corpus trick as
+    * [[bpePairCounts]] (the merge loop runs over the DISTINCT word
+    * vocabulary with corpus weights — Zipf keeps it sub-linear in
+    * corpus size, and each round is one vocab-keyed pair shuffle plus a
+    * broadcast of the 1-ROW winning pair, never a driver round-trip).
+    *
+    * Merge application: vocab words are space-delimited symbol strings
+    * (` h e l l o `); applying merge (a,b) is two non-overlapping
+    * `replace(' a b ', ' ab ')` passes — two because back-to-back
+    * occurrences share the delimiter space, so pass 1 takes the odd
+    * ones and pass 2 the survivors (no third generation can appear:
+    * merging never creates a new (a,b) adjacency). For a ≠ b this is
+    * EXACTLY greedy left-to-right BPE; self-pairs (a,a) are excluded
+    * from selection because their greedy application on runs ≥ 4 is
+    * overlap-parity-dependent — not expressible as engine-portable
+    * non-overlapping replacement (canonical trainers special-case
+    * them); the exclusion is explicit on both engines, not a fixture
+    * accident. Determinism: ties broken (count DESC, a, b). */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // vocabulary as " h e l l o "-style symbol strings + corpus counts;
+    // checkpointed: every unrolled round re-reads this frame, and the
+    // corpus scan should run once, not once per round
+    val vocab0 = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+      .select(concat(lit(" "), regexp_replace($"word", "(.)", "$1 ")).as("s"), $"wc")
+      .localCheckpoint()
+    def pairCounts(w: DataFrame): DataFrame =
+      w.select($"wc", split(trim($"s"), " ").as("t"))
+        .filter(size($"t") >= 2)
+        .select($"wc", explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"wc").as("n"))
+    def topPair(pc: DataFrame): DataFrame =
+      pc.filter($"a" =!= $"b").orderBy($"n".desc, $"a", $"b").limit(1)
+    def applyMerge(w: DataFrame, top: DataFrame): DataFrame = {
+      val pat = concat(lit(" "), $"a", lit(" "), $"b", lit(" "))
+      val rep = concat(lit(" "), $"a", $"b", lit(" "))
+      // constant-key equi-join, not a crossJoin: same 1-row broadcast,
+      // but it plans a BroadcastHashJoin (codegen) instead of a
+      // nested-loop shape the plan lint would rightly flag
+      w.withColumn("k", lit(1))
+        .join(broadcast(top.select(lit(1).as("k"), $"a", $"b")), "k")
+        .select(replace(replace($"s", pat, rep), pat, rep).as("s"), $"wc")
+        .localCheckpoint()
+    }
+    val t1 = topPair(pairCounts(vocab0)).localCheckpoint()
+    val v1 = applyMerge(vocab0, t1)
+    val t2 = topPair(pairCounts(v1)).localCheckpoint()
+    val v2 = applyMerge(v1, t2)
+    val t3 = topPair(pairCounts(v2))
+    def row(r: Int, t: DataFrame) = t.select(lit(r).as("merge_rank"),
+      $"a".as("sym_a"), $"b".as("sym_b"), $"n".as("n_pairs"))
+    row(1, t1).unionAll(row(2, t2)).unionAll(row(3, t3))
+      .orderBy($"merge_rank")
+  }
+
   /** `dedup_ngram_jaccard`: exact near-dup pairs by Jaccard over word
     * 3-shingle sets — the AllPairs/PPJoin prefix-filter algorithm
     * (Bayardo/Ma/Srikant WWW'07, Xiao et al.), which is what survives

@@ -46,6 +46,74 @@ object Bucketing {
       .orderBy($"o_orderkey")
   }
 
+  private val stagedBucketDb =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Bucketed orders+lineitem staged once per (session, sfDir); returns
+    * the database name. The pre-write `repartition(NumBuckets, key)`
+    * matters: HashPartitioning and the bucket-id function share the same
+    * Murmur3-pmod mapping, so each write task holds exactly ONE bucket's
+    * rows → one file per bucket → the scan side needs neither a shuffle
+    * NOR a sort (multiple files per bucket would force a per-bucket
+    * sort back into the plan). */
+  private[graft] def bucketedDb(spark: SparkSession, sfDir: String): String = {
+    if (stagedBucketDb.size > 16) stagedBucketDb.clear()
+    stagedBucketDb.computeIfAbsent((spark, sfDir), _ => {
+      val db = "graft_bkt_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      // explicit per-JVM LOCATION (StageDirs lifecycle): the default
+      // warehouse dir persists across JVMs while the in-memory catalog
+      // does not, so a stale table location from a dead run would block
+      // saveAsTable; a fresh namespaced dir can't collide and is purged
+      // by the standard dead-owner rule
+      val loc = graft.StageDirs.fresh("graft-bucket").toString
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      Tables.orders(spark, sfDir)
+        .repartition(NumBuckets, org.apache.spark.sql.functions.col("o_orderkey"))
+        .write.bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.orders_b")
+      Tables.lineitem(spark, sfDir)
+        .repartition(NumBuckets, org.apache.spark.sql.functions.col("l_orderkey"))
+        .write.bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.lineitem_b")
+      db
+    })
+  }
+
+  /** `layout_bucketed_join`: the pre-bucketed co-located join as a
+    * declared query — the last classic scan-side layout op after
+    * z-order/compaction/DPP: both fact tables are written
+    * `bucketBy(8, orderkey).sortBy(orderkey)` (staged once per session,
+    * like the compaction fixture), and the orders⋈lineitem join then
+    * plans a SortMergeJoin with ZERO exchange below it — bucket i joins
+    * bucket i map-side, which at 100 TB converts the workload's largest
+    * shuffle into pure scan work (BucketingSpec pins the plan shape:
+    * SMJ, no `Exchange hashpartitioning` under the join,
+    * `SelectedBucketsCount` present). The per-order revenue aggregate
+    * also reuses the bucket distribution (no exchange); only the final
+    * 5-row priority rollup shuffles. The oracle runs the same join+agg
+    * on the ORIGINAL parquet — a hash match proves the bucketed layout
+    * changed the plan, not the data. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val db = bucketedDb(spark, sfDir)
+    spark.table(s"$db.orders_b")
+      .select($"o_orderkey", $"o_orderpriority")
+      .join(spark.table(s"$db.lineitem_b")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderpriority")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast(DecimalType(18, 4))).as("rev_dec"),
+        count(lit(1)).as("n_items"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"n_items").as("n_items"),
+        round(sum($"rev_dec").cast(DoubleType), 4).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** The Morton/z-value of two 16-bit coordinates as a column expression
     * (bit i of x → bit 2i, bit i of y → bit 2i+1): pure shifts/masks, so
     * it stays inside whole-stage codegen and costs one projection. */

@@ -277,13 +277,14 @@ object Formats {
   /** `source_binaryfile_scan`: the `binaryFile` source — the ingestion
     * path a multimodal corpus actually arrives through at 100 TB (one
     * opaque image/audio/doc file per record, no row format at all).
-    * Stages each document's UTF-8 bytes as an individual `.bin` file
-    * (written executor-side per partition via `java.nio` — CORRECT IN
-    * LOCAL MODE ONLY: on a real cluster each executor would write to its
-    * own local filesystem and the driver-side listing would miss them;
-    * a cluster deployment stages through the Hadoop FileSystem API
-    * instead, or — the real-world case — the binary corpus already IS
-    * the input and no staging exists), plus one `.tmp` decoy, then reads the directory
+    * Stages each document's UTF-8 bytes as an individual `.bin` file,
+    * written executor-side per partition through the Hadoop `FileSystem`
+    * API — the path's filesystem is resolved ON the executor, so a
+    * schemeless staging dir lands on the cluster's default fs (HDFS/
+    * object store) visible to the later listing, while in local mode it
+    * resolves to the local fs with identical behavior (in the real-world
+    * case the binary corpus already IS the input and no staging exists),
+    * plus one `.tmp` decoy, then reads the directory
     * back with `format("binaryFile")` + `pathGlobFilter`: the decoy is
     * excluded at LISTING time, before any task reads a byte — the
     * binary-corpus analogue of partition pruning (asserted in
@@ -300,18 +301,28 @@ object Formats {
       _ => {
         val d = graft.StageDirs.fresh("graft-bin").toString
         val outPath = s"$d/docs"
-        Files.createDirectories(java.nio.file.Paths.get(outPath))
+        val base = new org.apache.hadoop.fs.Path(outPath)
+        val dfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        dfs.mkdirs(base)
         graft.Tables.documents(spark, sfDir)
           .select($"doc_id", $"text").as[(Long, String)]
           .foreachPartition { (it: Iterator[(Long, String)]) =>
+            // resolve the fs on the EXECUTOR (fresh Configuration picks
+            // up the cluster's default-fs from the executor classpath);
+            // FileSystem instances are task-local, never serialized
+            val p = new org.apache.hadoop.fs.Path(outPath)
+            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
             it.foreach { case (id, text) =>
-              Files.write(
-                java.nio.file.Paths.get(s"$outPath/doc_$id.bin"),
-                text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(p, s"doc_$id.bin"), true)
+              try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
             }
           }
-        Files.write(java.nio.file.Paths.get(s"$outPath/listing-decoy.tmp"),
-          Array[Byte](0x7f, 0x45, 0x4c, 0x46))
+        val decoy = dfs.create(
+          new org.apache.hadoop.fs.Path(base, "listing-decoy.tmp"), true)
+        try decoy.write(Array[Byte](0x7f, 0x45, 0x4c, 0x46))
+        finally decoy.close()
         d
       })
     spark.read.format("binaryFile")
