@@ -101,7 +101,14 @@ object DevScale {
     "pipeline_corpus_build", "sample_balanced_classes",
     // cohort retention: two user-keyed aggs + equi-join; rolling WAU:
     // bounded 7x generate + (day, user) distinct
-    "window_retention_cohorts", "window_rolling_distinct")
+    "window_retention_cohorts", "window_rolling_distinct",
+    // round 12: the exchange-free bucketed join (staging memoized, the
+    // timed pass is the co-located SMJ itself — scan-linear by design)
+    // and iterated BPE merges (replication multiplies word COUNTS but
+    // not the vocab, so the merge rounds should be near-flat — the
+    // vocab-sub-linearity claim made measurable). cdc_stream_sliding
+    // stays out with the rest of cdc_stream_*: streaming floor.
+    "layout_bucketed_join", "text_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
