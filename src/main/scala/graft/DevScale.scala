@@ -108,7 +108,12 @@ object DevScale {
     // not the vocab, so the merge rounds should be near-flat — the
     // vocab-sub-linearity claim made measurable). cdc_stream_sliding
     // stays out with the rest of cdc_stream_*: streaming floor.
-    "layout_bucketed_join", "text_bpe_merges")
+    "layout_bucketed_join", "text_bpe_merges",
+    // round 12 second batch: relational k-means (corpus-linear assign
+    // passes against an 8-row broadcast; update is a (cid, dim) partial
+    // sum) and cosine range search (broadcast panel, linear scan, no
+    // sort — output grows with replication since clones re-match)
+    "vec_kmeans_lloyd", "sim_range_search")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

@@ -2646,6 +2646,64 @@ $iters
            UNION ALL SELECT 3, a, b, n FROM t3)
          ORDER BY merge_rank""",
 
+    "vec_kmeans_lloyd" ->
+      // same integer micro-unit Lloyd loop as CTEs: quantize once,
+      // per-dim equi-join distances (HUGEINT sums), truncating integer
+      // centroid means (integer // ≡ Spark div, both toward zero), two
+      // iterations + final assignment. Bit-exact: no float math after
+      // the quantize.
+      """WITH e AS (
+           SELECT vec_id, CAST(r.i AS INTEGER) AS dim,
+                  CAST(floor(CAST(embedding[CAST(r.i + 1 AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+           FROM embeddings, unnest(range(len(embedding))) AS r(i)),
+         c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, dim, x AS cu FROM e WHERE vec_id < 8),
+         a1 AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY sum((e.x - c.cu) * (e.x - c.cu)), c.cid) AS rn
+             FROM e JOIN c0 c USING (dim) GROUP BY e.vec_id, c.cid)
+           WHERE rn = 1),
+         c1 AS (SELECT a.cid, e.dim, CAST(sum(e.x) // count(*) AS BIGINT) AS cu
+                FROM a1 a JOIN e USING (vec_id) GROUP BY a.cid, e.dim),
+         a2 AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY sum((e.x - c.cu) * (e.x - c.cu)), c.cid) AS rn
+             FROM e JOIN c1 c USING (dim) GROUP BY e.vec_id, c.cid)
+           WHERE rn = 1),
+         c2 AS (SELECT a.cid, e.dim, CAST(sum(e.x) // count(*) AS BIGINT) AS cu
+                FROM a2 a JOIN e USING (vec_id) GROUP BY a.cid, e.dim),
+         a3 AS (SELECT vec_id, cid, dist FROM (
+             SELECT e.vec_id, c.cid, sum((e.x - c.cu) * (e.x - c.cu)) AS dist,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY sum((e.x - c.cu) * (e.x - c.cu)), c.cid) AS rn
+             FROM e JOIN c2 c USING (dim) GROUP BY e.vec_id, c.cid)
+           WHERE rn = 1),
+         l1 AS (SELECT cid AS cluster_id, CAST(sum(abs(cu)) AS BIGINT) AS centroid_l1
+                FROM c2 GROUP BY cid)
+         SELECT a.cid AS cluster_id, count(*) AS n_vec, min(a.vec_id) AS min_vec_id,
+                CAST(sum(CAST(a.dist // 1000000 AS BIGINT)) AS BIGINT) AS wss_ppm,
+                any_value(l1.centroid_l1) AS centroid_l1
+         FROM a3 a JOIN l1 ON a.cid = l1.cluster_id
+         GROUP BY a.cid ORDER BY cluster_id""",
+
+    "sim_range_search" ->
+      // same ordered float->double accumulation as sim_topk_cosine;
+      // the radius test compares the ROUNDED similarity on both sides
+      """WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+                    FROM embeddings WHERE vec_id < 3)
+         SELECT probe_id, vec_id, cos_sim FROM (
+           SELECT p.probe_id, e.vec_id,
+             round(
+               list_aggregate(list_transform(list_zip(e.embedding, p.pe),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(p.pe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cos_sim
+           FROM embeddings e, p WHERE e.vec_id <> p.probe_id)
+         WHERE cos_sim >= 0.2 ORDER BY probe_id, vec_id""",
+
     "layout_bucketed_join" ->
       // the oracle joins/aggregates the ORIGINAL parquet — a hash match
       // proves the bucketed layout changed only the plan (no exchange

@@ -250,4 +250,104 @@ object VectorOps {
       .select($"dim", ($"v_u" * $"flip").as("loading_ppm"))
       .orderBy($"dim")
   }
+
+  val KmeansK = 8
+
+  /** `vec_kmeans_lloyd`: fully relational Lloyd k-means over the
+    * embedding corpus — the clustering step a training-data pipeline
+    * runs for curation/coverage analysis (and the exact form of the
+    * index-build loop IVF/PQ approximate). K = 8 seeds (vec_id < K,
+    * deterministic), two unrolled assign→update iterations (the
+    * `vec_pca_power` unrolling pattern), one final assignment, reported
+    * as per-cluster size, min member id, within-cluster squared error
+    * (µ²-unit floor-scaled) and the centroid L1 signature.
+    *
+    * Engine-exact by construction: vectors are quantized ONCE to
+    * integer micro-units, distances are integer Σ(x−c)² (order-free
+    * sums), centroid updates are truncating integer division (Spark
+    * `div` ≡ DuckDB integer `//`, both round toward zero — verified,
+    * including negative dim sums), so the oracle hash-matches
+    * bit-for-bit — no float accumulation anywhere after the quantize.
+    *
+    * Scale shape: centroids are a K-row broadcast (re-derived and
+    * checkpointed per iteration — the k-means shape every distributed
+    * implementation uses); the corpus is touched once per iteration
+    * through vec-keyed map-side work, the update is one (cid, dim)
+    * shuffle of partial sums. Nothing driver-side, nothing quadratic;
+    * an empty cluster simply drops out of the centroid frame (inner
+    * joins on both engines). */
+  def kmeansLloyd(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val K = KmeansK
+    val v = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+        .as("xu"))
+      .localCheckpoint()
+    val c0 = v.filter($"vec_id" < K)
+      .select($"vec_id".cast(IntegerType).as("cid"), $"xu".as("cu"))
+      .localCheckpoint()
+    // nearest centroid per vector: K-row broadcast, integer distances,
+    // ties to the smaller cluster id (min-of-struct)
+    def assign(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .select($"vec_id", $"xu", $"cid",
+          aggregate(zip_with($"xu", $"cu", (x, c) => (x - c) * (x - c)),
+            lit(0L), (a, d) => a + d).as("dist"))
+        .groupBy($"vec_id", $"xu")
+        .agg(min(struct($"dist", $"cid")).as("m"))
+        .select($"vec_id", $"xu", $"m.cid".as("cid"), $"m.dist".as("dist"))
+    // new centroid = per-dim integer floor-mean of the members
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select($"cid", posexplode($"xu").as(Seq("dim", "x")))
+        .groupBy($"cid", $"dim")
+        .agg(sum($"x").as("s"), count(lit(1)).as("n"))
+        // truncating integer mean: Spark `div` and DuckDB integer `//`
+        // both round toward zero (verified), so negative dim sums give
+        // identical centroids on both engines
+        .select($"cid", $"dim", expr("s div n").as("cu_d"))
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"cu_d"))),
+          x => x.getField("cu_d")).as("cu"))
+        .localCheckpoint()
+    val c1 = update(assign(c0))
+    val c2 = update(assign(c1))
+    val a3 = assign(c2)
+    a3.select($"vec_id", $"cid",
+        // per-member floor-scale BEFORE the sum: overflow-safe at any
+        // corpus size and engine-exact (dist is non-negative, so Spark
+        // truncating div == DuckDB floor //)
+        expr("dist div 1000000").as("dppm"))
+      .groupBy($"cid".as("cluster_id"))
+      .agg(count(lit(1)).as("n_vec"), min($"vec_id").as("min_vec_id"),
+        sum($"dppm").as("wss_ppm"))
+      .join(c2.select($"cid".as("cluster_id"),
+        aggregate($"cu", lit(0L), (a, c) => a + abs(c)).as("centroid_l1")),
+        "cluster_id")
+      .orderBy($"cluster_id")
+  }
+
+  /** `sim_range_search`: cosine RANGE search — every corpus vector
+    * within a similarity radius of each probe (vec_id < 3 panel), the
+    * retrieval mode thresholded dedup/recall pipelines use where top-k
+    * is wrong (the answer set size is data-dependent, not fixed).
+    * Same scale shape as `sim_knn_join`: tiny broadcast probe panel,
+    * one linear scan of the corpus, no global sort and no window — a
+    * filter, which is exactly why range search scales better than
+    * top-k when the radius is selective. The threshold compares the
+    * ROUNDED similarity (4 dp) so the accept rule is identical on both
+    * engines (the dedup_containment lesson). */
+  def simRangeSearch(spark: SparkSession, sfDir: String, tau: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
+    e.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id",
+        round(dot($"embedding", $"probe_emb") /
+          (l2Norm($"embedding") * l2Norm($"probe_emb")), 4).as("cos_sim"))
+      .filter($"cos_sim" >= tau)
+      .orderBy($"probe_id", $"vec_id")
+  }
 }

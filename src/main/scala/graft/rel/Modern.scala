@@ -403,11 +403,11 @@ object Modern {
     val Epoch0 = 1704067200000000L
     val activity = Tables.events(spark, sfDir)
       .select($"user_id", unix_micros($"ts").as("us"))
-      // FLOOR division, not `div` (which truncates toward zero while the
-      // DuckDB oracle's `//` floors): subtract the non-negative pmod
-      // remainder first so pre-epoch events bucket identically
-      .select($"user_id",
-        expr(s"((us - $Epoch0) - pmod(us - $Epoch0, $DayUs)) div $DayUs").as("d"))
+      // `div` truncates toward zero — and so does DuckDB's INTEGER `//`
+      // (verified: -7 // 2 = -3; only the FLOAT form floors), so the two
+      // engines bucket identically on pre-epoch (negative-offset) events
+      // too. Do NOT "fix" this to a floor idiom: that is what diverges.
+      .select($"user_id", expr(s"(us - $Epoch0) div $DayUs").as("d"))
       .distinct()
     val span = activity.agg(max($"d").as("max_d")).select($"max_d")
     activity
@@ -433,13 +433,12 @@ object Modern {
     import spark.implicits._
     val WeekUs = 7L * 24 * 3600 * 1000000L
     val Epoch0 = 1704067200000000L // 2024-01-01 00:00:00 UTC in µs
-    // integer FLOOR division (subtract-remainder-then-divide): plain
-    // `div` truncates toward zero while DuckDB's `//` floors, so a
-    // pre-epoch event would land in different week buckets per engine
+    // `div` truncates toward zero, exactly like DuckDB's INTEGER `//`
+    // (verified: -7 // 2 = -3; only the float form floors) — identical
+    // week buckets on both engines even for pre-epoch events
     val activity = Tables.events(spark, sfDir)
       .select($"user_id", unix_micros($"ts").as("us"))
-      .select($"user_id",
-        expr(s"((us - $Epoch0) - pmod(us - $Epoch0, $WeekUs)) div $WeekUs").as("w"))
+      .select($"user_id", expr(s"(us - $Epoch0) div $WeekUs").as("w"))
       .distinct()
     val cohorts = activity.groupBy($"user_id").agg(min($"w").as("w0"))
     val cohortSize = cohorts.groupBy($"w0".as("cohort_week"))

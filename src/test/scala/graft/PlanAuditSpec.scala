@@ -39,8 +39,12 @@ class PlanAuditSpec extends AnyFunSuite {
     * CartesianProduct is still banned for them (second test). */
   private val broadcastConstOk = Set("join_cross_dims", "q22_idle_customers",
     "q11_important_stock", "sim_ann_ivf", "sim_ann_lsh", "sim_topk_cosine",
-    "sim_knn_join", "sim_ann_pq", "sim_topk_prefix",
-    "join_interval_overlap", "window_rolling_distinct")
+    "sim_knn_join", "sim_ann_pq", "sim_topk_prefix", "sim_range_search",
+    "join_interval_overlap", "window_rolling_distinct",
+    // 8-row centroid panel broadcast against the corpus scan (the
+    // distributed k-means shape); the constant-size build side makes
+    // the nested loop a per-row 8-way compare, not a quadratic join
+    "vec_kmeans_lloyd")
 
   test("no declared batch query plans an accidental cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

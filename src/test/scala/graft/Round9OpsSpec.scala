@@ -127,6 +127,43 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(Bench.retimeSuspects(broad, _ => false).size == 20)
   }
 
+  test("vec_kmeans_lloyd partitions the corpus into valid deterministic clusters") {
+    val s = spark
+    import s.implicits._
+    val first = graft.llm.VectorOps.kmeansLloyd(spark, sf).collect().toSeq
+    // clusters partition the corpus: every vector assigned exactly once
+    val total = Tables.embeddings(spark, sf).count()
+    assert(first.map(_.getAs[Long]("n_vec")).sum == total)
+    val ids = first.map(_.getAs[Int]("cluster_id"))
+    assert(ids == ids.sorted && ids.forall(c => c >= 0 && c < graft.llm.VectorOps.KmeansK))
+    assert(first.forall(_.getAs[Long]("wss_ppm") >= 0L))
+    // seeds exist, so no cluster's min member id can precede cluster 0's
+    assert(first.map(_.getAs[Long]("min_vec_id")).min == 0L)
+    // determinism: the full two-iteration loop reproduces bit-identically
+    assert(graft.llm.VectorOps.kmeansLloyd(spark, sf).collect().toSeq == first)
+  }
+
+  test("sim_range_search returns exactly the pairs at or above the radius") {
+    val s = spark
+    import s.implicits._
+    val got = graft.llm.VectorOps.simRangeSearch(spark, sf).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Double]("cos_sim") >= 0.2))
+    assert(got.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("probe_id")))
+    // completeness vs an independent brute-force recount of probe 0
+    val probe0 = got.filter(_.getAs[Long]("probe_id") == 0L)
+      .map(_.getAs[Long]("vec_id")).toSet
+    val e = Tables.embeddings(spark, sf)
+    val pr = e.filter($"vec_id" === 0).select($"embedding".as("pe"))
+    val expected = e.filter($"vec_id" =!= 0).crossJoin(pr)
+      .select($"vec_id", round(
+        graft.llm.VectorOps.dot($"embedding", $"pe") /
+          (graft.llm.VectorOps.l2Norm($"embedding") * graft.llm.VectorOps.l2Norm($"pe")),
+        4).as("c"))
+      .filter($"c" >= 0.2).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(probe0 == expected)
+  }
+
   test("cdc_stream_sliding equals the batch sliding-window aggregate") {
     val streamRows = StreamingLatest.streamSliding(spark, sf).collect().toSeq
     val batchRows = graft.rel.Modern.windowSlidingTime(spark, sf).collect().toSeq
