@@ -2646,6 +2646,21 @@ $iters
            UNION ALL SELECT 3, a, b, n FROM t3)
          ORDER BY merge_rank""",
 
+    "cdc_stream_state_ttl" ->
+      // closed-form TTL twin: batch latest state + the finalized-horizon
+      // eviction predicate (final watermark max_ts - 1h STRICTLY past
+      // last activity + 2h TTL — Spark fires event-time timeouts on
+      // strict watermark advance)
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+         SELECT user_id, event_id AS last_event_id,
+                event_type AS last_event_type, round(value, 4) AS last_value,
+                epoch_us(ts) AS last_ts_us,
+                (SELECT m FROM mx) - 3600000000 > epoch_us(ts) + 7200000000 AS expired
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+
     "vec_kmeans_lloyd" ->
       // same integer micro-unit Lloyd loop as CTEs: quantize once,
       // per-dim equi-join distances (HUGEINT sums), truncating integer

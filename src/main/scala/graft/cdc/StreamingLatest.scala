@@ -582,6 +582,107 @@ object StreamingLatest {
       .orderBy($"event_type")
   } }
 
+  case class TtlRow(user_id: Long, last_event_id: Long, last_event_type: String,
+      last_value: Double, last_ts_us: Long, expired: Boolean)
+
+  /** State body for [[streamStateTtl]]: latest-wins plus an EVENT-TIME
+    * TTL — every update re-arms a timeout at last_ts + 2 h; when the
+    * watermark passes it the state is EVICTED and its final value
+    * emitted flagged `expired`. The eviction branch (hasTimedOut) is
+    * the one GroupState feature no other query exercises. */
+  private[graft] def ttlKey(userId: Long, it: Iterator[Ev],
+      state: GroupState[LatestRow]): Iterator[TtlRow] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(TtlRow(s.user_id, s.last_event_id, s.last_event_type,
+        s.last_value, s.last_ts_us, expired = true))
+    } else {
+      var best = state.getOption.orNull
+      var changed = false
+      it.foreach { e =>
+        val us = tsMicros(e.ts)
+        if (best == null || us > best.last_ts_us ||
+            (us == best.last_ts_us && e.event_id > best.last_event_id)) {
+          best = LatestRow(userId, e.event_id, e.event_type, e.value, us)
+          changed = true
+        }
+      }
+      if (changed) {
+        state.update(best)
+        // re-arm: expire 2h of EVENT time after the latest event (ms API)
+        state.setTimeoutTimestamp(best.last_ts_us / 1000L + 2L * 3600 * 1000)
+        Iterator.single(TtlRow(best.user_id, best.last_event_id,
+          best.last_event_type, best.last_value, best.last_ts_us, expired = false))
+      } else Iterator.empty
+    }
+  }
+
+  /** `cdc_stream_state_ttl`: latest-wins with EVENT-TIME state TTL —
+    * the bounded-state discipline a 100 TB CDC consumer actually needs:
+    * unbounded key cardinality means state must EVICT, and event-time
+    * timeouts (armed at last activity + 2 h, fired by watermark
+    * advance) are Spark's mechanism for it. A key idle past the TTL is
+    * evicted mid-replay and, if it reappears, re-created fresh —
+    * session-style lifecycle. Emissions: every new latest (update
+    * mode, expired=false) plus one flagged row per eviction carrying
+    * the evicted state; the trailing no-data micro-batch (which this
+    * query therefore KEEPS, unlike the withoutNoDataBatch family)
+    * advances the final watermark to max(ts) − 1 h and fires the
+    * remaining timeouts.
+    *
+    * Closed-form oracle (the finalized-horizon trick): with the
+    * event-time-ordered replay, the final per-key reduce (max
+    * (ts, event_id), eviction rows winning ties) is exactly the batch
+    * latest state, and a key ends expired iff the final watermark
+    * strictly passed its last activity + TTL:
+    * `max_ts − 1 h > last_ts + 2 h` — plain SQL, no streaming
+    * machinery. 111 of the 150 fixture users expire; 39 stay live, so
+    * both lifecycle branches are oracle-covered. */
+  def streamStateTtl(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
+    import spark.implicits._
+    val runDir  = jvmTmpDir("runttl")
+    val inDir   = stagedEventLog(spark, sfDir)
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").schema
+
+    val updates = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withWatermark("ts", "1 hour")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(ttlKey)
+
+    val q = updates.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[TtlRow], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    rmTree(Paths.get(ckptDir))
+
+    // final record per key: max (ts, event_id); an eviction row shares
+    // its state's (ts, id), so `expired DESC` breaks the tie in its
+    // favor — the eviction is the later lifecycle event
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"last_ts_us".desc, $"last_event_id".desc, $"expired".desc)
+    spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"last_event_id", $"last_event_type",
+        round($"last_value", 4).as("last_value"), $"last_ts_us", $"expired")
+      .orderBy($"user_id")
+  }
+
   /** Latest-wins as a Spark 4 state-API-v2 [[StatefulProcessor]]: one
     * typed ValueState per key, same (ts_us, event_id) winner rule as
     * [[updateKey]], new latest emitted on change (update-mode shape). */

@@ -164,6 +164,26 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(probe0 == expected)
   }
 
+  test("cdc_stream_state_ttl: eviction flags the idle keys, values stay latest-wins") {
+    val s = spark
+    import s.implicits._
+    val rows = StreamingLatest.streamStateTtl(spark, sf).collect().toSeq
+    // values (ignoring the flag) must equal the batch latest state —
+    // TTL eviction changes the lifecycle, never the winning record
+    val expected = graft.cdc.Changelog.latestState(spark, sf).collect().toSeq
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      == expected.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))))
+    // the flag is exactly the closed-form horizon predicate
+    val maxUs = Tables.events(spark, sf).agg(max(unix_micros($"ts"))).first().getLong(0)
+    rows.foreach { r =>
+      val want = maxUs - 3600000000L > r.getAs[Long]("last_ts_us") + 7200000000L
+      assert(r.getAs[Boolean]("expired") == want, s"flag wrong for $r")
+    }
+    // both lifecycle branches occur at smoke scale
+    assert(rows.exists(_.getAs[Boolean]("expired")))
+    assert(rows.exists(!_.getAs[Boolean]("expired")))
+  }
+
   test("cdc_stream_sliding equals the batch sliding-window aggregate") {
     val streamRows = StreamingLatest.streamSliding(spark, sf).collect().toSeq
     val batchRows = graft.rel.Modern.windowSlidingTime(spark, sf).collect().toSeq
