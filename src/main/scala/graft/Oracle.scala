@@ -2646,6 +2646,14 @@ $iters
            UNION ALL SELECT 3, a, b, n FROM t3)
          ORDER BY merge_rank""",
 
+    "layout_cached_scan" ->
+      // the oracle reads the ORIGINAL parquet — a hash match proves the
+      // in-memory cache changed the physical source, never the values
+      """SELECT c_mktsegment, n_name, count(*) AS n_cust,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "cdc_stream_state_ttl" ->
       // closed-form TTL twin: batch latest state + the finalized-horizon
       // eviction predicate (final watermark max_ts - 1h STRICTLY past

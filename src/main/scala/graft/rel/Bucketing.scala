@@ -114,6 +114,52 @@ object Bucketing {
       .orderBy($"o_orderpriority")
   }
 
+  private val cachedDims =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The customer dim pinned in Spark's in-memory columnar cache, once
+    * per (session, sfDir); materialized eagerly so the declared query
+    * reads the cache, not the build. */
+  private[graft] def cachedCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    if (cachedDims.size > 16) cachedDims.clear()
+    cachedDims.computeIfAbsent((spark, sfDir), _ => {
+      val df = Tables.customer(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("c_custkey"),
+          org.apache.spark.sql.functions.col("c_nationkey"),
+          org.apache.spark.sql.functions.col("c_mktsegment"),
+          org.apache.spark.sql.functions.col("c_acctbal"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      df.count()
+      df
+    })
+  }
+
+  /** `layout_cached_scan`: the in-memory columnar cache as a layout
+    * op — the standard treatment for a hot dimension that every query
+    * in a workload touches (at 100 TB you cache DIMS, not facts: the
+    * customer projection here is a few MB per executor, and the cache
+    * is compressed columnar batches served without parquet decode or
+    * fs round-trips). The declared query aggregates the CACHED frame
+    * (per market segment × nation: customer count, exact decimal
+    * balance sum) through a broadcast nation join; Round9OpsSpec pins
+    * `InMemoryTableScan` in the executed plan — proof the cache, not
+    * the file, served the scan. The oracle recomputes from the
+    * original parquet: a hash match proves the cache layer changed the
+    * physical source, never the values. */
+  def cachedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val nat = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    cachedCustomer(spark, sfDir)
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_mktsegment", $"n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"c_acctbal".cast(DecimalType(18, 4))).cast(DoubleType), 4)
+          .as("sum_bal"))
+      .orderBy($"c_mktsegment", $"n_name")
+  }
+
   /** The Morton/z-value of two 16-bit coordinates as a column expression
     * (bit i of x → bit 2i, bit i of y → bit 2i+1): pure shifts/masks, so
     * it stays inside whole-stage codegen and costs one projection. */

@@ -164,6 +164,26 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(probe0 == expected)
   }
 
+  test("layout_cached_scan is served from the in-memory cache with unchanged values") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val q = Bucketing.cachedScan(spark, sf)
+    val got = q.collect().toSeq
+    assert(q.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "cached scan not served from the columnar cache")
+    val expected = Tables.customer(spark, sf)
+      .join(broadcast(Tables.nation(spark, sf).select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_mktsegment", $"n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"c_acctbal".cast(DecimalType(18, 4))).cast(DoubleType), 4)
+          .as("sum_bal"))
+      .orderBy($"c_mktsegment", $"n_name")
+      .collect().toSeq
+    assert(got == expected)
+  }
+
   test("cdc_stream_state_ttl: eviction flags the idle keys, values stay latest-wins") {
     val s = spark
     import s.implicits._
