@@ -113,7 +113,12 @@ object DevScale {
     // passes against an 8-row broadcast; update is a (cid, dim) partial
     // sum) and cosine range search (broadcast panel, linear scan, no
     // sort — output grows with replication since clones re-match)
-    "vec_kmeans_lloyd", "sim_range_search")
+    "vec_kmeans_lloyd", "sim_range_search",
+    // round 12 third batch: the cached-dim aggregate (cache build is
+    // memoized; the timed pass reads columnar batches) and hourly
+    // gap-fill (events-linear anchor pass; the grid itself is bounded
+    // by the unshifted time span, so replication densifies, not widens)
+    "layout_cached_scan", "ts_gapfill_interpolate")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

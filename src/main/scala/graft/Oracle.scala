@@ -2646,6 +2646,45 @@ $iters
            UNION ALL SELECT 3, a, b, n FROM t3)
          ORDER BY merge_rank""",
 
+    "ts_gapfill_interpolate" ->
+      // same anchored grid + IGNORE NULLS frame windows + integer
+      // interpolation; // and Spark div are the verified truncating pair
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id, value,
+                  epoch_us(ts) // 3600000000 AS h
+           FROM events WHERE user_id % 50 = 0),
+         known AS (
+           SELECT user_id, h, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+           FROM (SELECT *, row_number() OVER
+                   (PARTITION BY user_id, h ORDER BY us DESC, event_id DESC) AS rn
+                 FROM ev)
+           WHERE rn = 1),
+         grid AS (
+           SELECT b.user_id, CAST(g.h AS BIGINT) AS h
+           FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+                 FROM known GROUP BY 1) b,
+                unnest(range(b.h0, b.h1 + 1)) AS g(h)),
+         j AS (
+           SELECT g.user_id, g.h, k.vu,
+             last_value(k.vu IGNORE NULLS) OVER
+               (PARTITION BY g.user_id ORDER BY g.h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN k.vu IS NOT NULL THEN g.h END IGNORE NULLS) OVER
+               (PARTITION BY g.user_id ORDER BY g.h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(k.vu IGNORE NULLS) OVER
+               (PARTITION BY g.user_id ORDER BY g.h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN k.vu IS NOT NULL THEN g.h END IGNORE NULLS) OVER
+               (PARTITION BY g.user_id ORDER BY g.h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+           FROM grid g LEFT JOIN known k USING (user_id, h))
+         SELECT user_id, h AS hour_bucket,
+                CASE WHEN vu IS NOT NULL THEN vu
+                     ELSE pv + ((nv - pv) * (h - ph)) // (nh - ph) END AS vu_fill,
+                vu IS NULL AS interpolated
+         FROM j ORDER BY user_id, hour_bucket""",
+
     "layout_cached_scan" ->
       // the oracle reads the ORIGINAL parquet — a hash match proves the
       // in-memory cache changed the physical source, never the values

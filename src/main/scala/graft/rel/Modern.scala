@@ -494,6 +494,55 @@ object Modern {
       .orderBy($"window_id")
   }
 
+  /** `ts_gapfill_interpolate`: time-series resampling — densify each
+    * user's value series onto a regular hourly grid and LINEARLY
+    * INTERPOLATE the gaps, the gap-fill every metrics/feature pipeline
+    * needs before a model can consume an irregular event stream (the
+    * recursive-CTE calendar in `sql_recursive_cte` densifies; this op
+    * adds the interpolation semantics). Per user: the latest event per
+    * hour anchors the known points (micro-unit quantized — integer math
+    * from there on), `sequence(min_h, max_h)` generates the grid, and
+    * two frame windows over ONE user-keyed exchange carry each gap row
+    * its previous/next anchors (`last/first(..., ignoreNulls)` over
+    * unbounded-preceding / unbounded-following frames — same sort, same
+    * exchange); the fill is integer `pv + (nv−pv)·(h−ph) div (nh−ph)`
+    * (truncating div ≡ DuckDB integer `//`, the verified pair). Grid
+    * edges are always anchored (a user's min/max hour comes from its
+    * own events), so interior gaps always have both neighbours.
+    * Demonstrated on the deterministic 1-in-50 user slice (the
+    * `text_tfidf` slice pattern) to bound output; the plan is
+    * slice-independent — one shuffle keyed by user at any cardinality,
+    * generate bounded by the observed span. */
+  def tsGapfillInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val HourUs = 3600L * 1000000L
+    val known = Tables.events(spark, sfDir)
+      .filter($"user_id" % 50 === 0)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"value")
+      .withColumn("h", expr(s"us div $HourUs"))
+      .groupBy($"user_id", $"h")
+      .agg(max(struct($"us", $"event_id", $"value")).as("m"))
+      .select($"user_id", $"h",
+        expr("CAST(floor(m.value * 1000000 + 0.5) AS BIGINT)").as("vu"))
+    val grid = known.groupBy($"user_id")
+      .agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"user_id", explode(sequence($"h0", $"h1")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"h")
+    val wPrev = w.rowsBetween(Long.MinValue, 0)
+    val wNext = w.rowsBetween(0, Long.MaxValue)
+    grid.join(known, Seq("user_id", "h"), "left")
+      .withColumn("pv", last($"vu", ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when($"vu".isNotNull, $"h"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first($"vu", ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when($"vu".isNotNull, $"h"), ignoreNulls = true).over(wNext))
+      .select($"user_id", $"h".as("hour_bucket"),
+        when($"vu".isNotNull, $"vu")
+          .otherwise(expr("pv + ((nv - pv) * (h - ph)) div (nh - ph)")).as("vu_fill"),
+        $"vu".isNull.as("interpolated"))
+      .orderBy($"user_id", $"hour_bucket")
+  }
+
   /** `window_gap_islands`: gaps-and-islands — the run-length view of a
     * behavior stream (consecutive same-type event runs per user): the
     * classic change-flag → running-sum island numbering, then one

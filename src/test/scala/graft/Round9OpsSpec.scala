@@ -164,6 +164,32 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(probe0 == expected)
   }
 
+  test("ts_gapfill_interpolate: contiguous anchored grid, fills between neighbours") {
+    val s = spark
+    import s.implicits._
+    val rows = graft.rel.Modern.tsGapfillInterpolate(spark, sf).collect().toSeq
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val hours = rs.map(_.getLong(1))
+      // the grid is contiguous from the user's first to last active hour
+      assert(hours == (hours.min to hours.max).toSeq)
+      // edges are real events, never interpolations (anchored grid)
+      assert(!rs.head.getBoolean(3) && !rs.last.getBoolean(3))
+      // every gap fill lies between its neighbouring anchors
+      val anchors = rs.filterNot(_.getBoolean(3)).map(r => r.getLong(1) -> r.getLong(2)).toMap
+      rs.filter(_.getBoolean(3)).foreach { r =>
+        val h = r.getLong(1)
+        val pv = anchors.filter(_._1 < h).maxBy(_._1)._2
+        val nv = anchors.filter(_._1 > h).minBy(_._1)._2
+        assert(r.getLong(2) >= math.min(pv, nv) && r.getLong(2) <= math.max(pv, nv),
+          s"fill ${r.getLong(2)} outside [$pv, $nv] at hour $h")
+      }
+    }
+    // the fixture slice actually exercises interpolation
+    assert(rows.exists(_.getBoolean(3)))
+  }
+
   test("layout_cached_scan is served from the in-memory cache with unchanged values") {
     val s = spark
     import s.implicits._
