@@ -118,7 +118,11 @@ object DevScale {
     // memoized; the timed pass reads columnar batches) and hourly
     // gap-fill (events-linear anchor pass; the grid itself is bounded
     // by the unshifted time span, so replication densifies, not widens)
-    "layout_cached_scan", "ts_gapfill_interpolate")
+    "layout_cached_scan", "ts_gapfill_interpolate",
+    // round 12 fourth batch: the grid radius join (cell-keyed shuffle;
+    // event_id IS shifted per replica, so replicas scatter to fresh
+    // points — density and pair count grow ~M with the point cloud)
+    "join_radius_grid")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

@@ -2646,6 +2646,28 @@ $iters
            UNION ALL SELECT 3, a, b, n FROM t3)
          ORDER BY merge_rank""",
 
+    "join_radius_grid" ->
+      // identical grid construction in SQL (the triangle-count oracle
+      // convention): quadratic point scatter, cell bucketing, 3x3
+      // stencil equi-join, exact integer distance-squared verify
+      """WITH p AS (
+           SELECT event_id AS id,
+                  ((event_id % 99991) * (event_id % 99991) * 3 + (event_id % 99991) * 7 + 11) % 99991 % 10000 AS x,
+                  ((event_id % 99991) * (event_id % 99991) * 5 + (event_id % 99991) * 13 + 17) % 99991 % 10000 AS y
+           FROM events WHERE event_id % 5 = 0),
+         cells AS (SELECT id, x, y, x // 25 AS cx, y // 25 AS cy FROM p),
+         stencil AS (
+           SELECT c.id AS a_id, c.x AS ax, c.y AS ay,
+                  c.cx + dx.d AS scx, c.cy + dy.d AS scy
+           FROM cells c, (VALUES (-1), (0), (1)) AS dx(d),
+                         (VALUES (-1), (0), (1)) AS dy(d))
+         SELECT a_id, b.id AS b_id,
+                (ax - b.x) * (ax - b.x) + (ay - b.y) * (ay - b.y) AS dist2
+         FROM stencil a JOIN cells b
+           ON a.scx = b.cx AND a.scy = b.cy AND a.a_id < b.id
+         WHERE (ax - b.x) * (ax - b.x) + (ay - b.y) * (ay - b.y) <= 625
+         ORDER BY a_id, b_id""",
+
     "ts_gapfill_interpolate" ->
       // same anchored grid + IGNORE NULLS frame windows + integer
       // interpolation; // and Spark div are the verified truncating pair

@@ -494,6 +494,70 @@ object Modern {
       .orderBy($"window_id")
   }
 
+  /** Grid-bucketed radius pair finder shared by [[joinRadiusGrid]] and
+    * its planted-points spec: each point of the probe side expands to
+    * its 3×3 cell stencil and equi-joins the build side on cell
+    * coordinates, then exact integer distance² verifies. With
+    * cellSize ≥ radius, two in-radius points are ≤ 1 cell apart per
+    * axis, so the stencil is a COMPLETE candidate set; each qualifying
+    * (a < b) pair appears exactly once (b lives in one cell, a's
+    * stencil covers it once). */
+  private[graft] def radiusPairs(points: DataFrame, cellSize: Int, r2: Long): DataFrame = {
+    import points.sparkSession.implicits._
+    val cells = points.select($"id", $"x", $"y",
+      expr(s"x div $cellSize").as("cx"), expr(s"y div $cellSize").as("cy"))
+    val stencil = cells
+      .select($"id".as("a_id"), $"x".as("ax"), $"y".as("ay"), $"cx", $"cy",
+        explode(expr(
+          "transform(sequence(0, 8), i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy))"))
+          .as("d"))
+      .select($"a_id", $"ax", $"ay",
+        ($"cx" + $"d.dx").as("scx"), ($"cy" + $"d.dy").as("scy"))
+    stencil.join(
+        cells.select($"id".as("b_id"), $"x".as("bx"), $"y".as("by"), $"cx", $"cy"),
+        $"scx" === $"cx" && $"scy" === $"cy" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        (($"ax" - $"bx") * ($"ax" - $"bx")
+          + ($"ay" - $"by") * ($"ay" - $"by")).as("dist2"))
+      .filter($"dist2" <= r2)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** `join_radius_grid`: spatial RADIUS self-join via grid bucketing —
+    * the 2D analogue of the LSH/banding discipline every near-dup path
+    * here uses: never all-pairs; bucket by a cell whose size equals the
+    * radius, equi-join each point's 3×3 stencil against the cells, and
+    * verify candidates with exact integer distance². The shuffle is
+    * keyed on cell coordinates; fan-out is a fixed ×9 generate; the
+    * quadratic term is confined to within-cell occupancy (max 4 on
+    * this fixture — at scale cell size trades occupancy against
+    * stencil width, the standard spatial-join tuning). Points are a
+    * deterministic quadratic-residue scatter of the 1-in-5 event slice
+    * onto a 10000×10000 integer grid (affine id→coord maps were
+    * rejected: consecutive ids form arithmetic-progression lattices
+    * with degenerate pair structure — the quadratic mix breaks it).
+    * Oracle replays the identical grid construction in SQL (the
+    * graph_triangle_count convention); its pair set is proven equal to
+    * the naive all-pairs join in Round9OpsSpec at the gate scale. */
+  def joinRadiusGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    radiusPairs(fixturePoints(spark, sfDir), 25, 625L)
+  }
+
+  /** The deterministic integer point cloud: quadratic mix mod a prime
+    * (products stay < 2^63 — DuckDB BIGINT overflow would error, Spark
+    * would wrap; neither is reached). */
+  private[graft] def fixturePoints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val P = 99991L
+    Tables.events(spark, sfDir)
+      .filter($"event_id" % 5 === 0)
+      .select($"event_id".as("id"), ($"event_id" % P).as("m"))
+      .select($"id",
+        expr(s"(m * m * 3 + m * 7 + 11) % $P % 10000").as("x"),
+        expr(s"(m * m * 5 + m * 13 + 17) % $P % 10000").as("y"))
+  }
+
   /** `ts_gapfill_interpolate`: time-series resampling — densify each
     * user's value series onto a regular hourly grid and LINEARLY
     * INTERPOLATE the gaps, the gap-fill every metrics/feature pipeline

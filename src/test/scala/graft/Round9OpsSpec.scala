@@ -164,6 +164,34 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(probe0 == expected)
   }
 
+  test("join_radius_grid: planted points resolve exactly; grid equals naive all-pairs") {
+    val s = spark
+    import s.implicits._
+    // planted: (1,2) within r=25 incl. a cell-boundary straddle; 3 far;
+    // (4,5) exactly at distance r (boundary inclusive)
+    val planted = Seq(
+      (1L, 24L, 10L), (2L, 26L, 10L),   // straddle cells 0|1, dist 2
+      (3L, 500L, 500L),                 // isolated
+      (4L, 100L, 100L), (5L, 100L, 125L) // dist exactly 25 -> dist2 = 625
+    ).toDF("id", "x", "y")
+    val got = graft.rel.Modern.radiusPairs(planted, 25, 625L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 4L), (4L, 5L, 625L)))
+    // the grid construction finds EXACTLY the naive all-pairs result on
+    // the gate-scale fixture (10k points -> 50M candidate pairs naive)
+    val pts = graft.rel.Modern.fixturePoints(spark, "/root/testdata/sf0.01")
+    val gridPairs = graft.rel.Modern.radiusPairs(pts, 25, 625L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = pts.select($"id".as("a_id"), $"x".as("ax"), $"y".as("ay"))
+    val b = pts.select($"id".as("b_id"), $"x".as("bx"), $"y".as("by"))
+    val naive = a.join(b, $"a_id" < $"b_id")
+      .filter(($"ax" - $"bx") * ($"ax" - $"bx")
+        + ($"ay" - $"by") * ($"ay" - $"by") <= 625L)
+      .select($"a_id", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gridPairs == naive && gridPairs.nonEmpty)
+  }
+
   test("ts_gapfill_interpolate: contiguous anchored grid, fills between neighbours") {
     val s = spark
     import s.implicits._
