@@ -2646,6 +2646,30 @@ $iters
            UNION ALL SELECT 3, a, b, n FROM t3)
          ORDER BY merge_rank""",
 
+    "layout_dynamic_overwrite" ->
+      // rebuild the post-overwrite table from the original parquet:
+      // only the 'O' partition's totals were doubled
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'O'
+                                         THEN o_totalprice * 2.0
+                                         ELSE o_totalprice END
+                                    AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "sql_udaf_typed" ->
+      // the window/row_number twin of the constant-state top-3 UDAF;
+      // boundary ties are sum-invariant (equal values, either pick)
+      """WITH q AS (SELECT event_type,
+                           CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+                    FROM events),
+         r AS (SELECT event_type, vu, row_number() OVER
+                 (PARTITION BY event_type ORDER BY vu DESC) AS rn
+               FROM q)
+         SELECT event_type,
+                CAST(sum(CASE WHEN rn <= 3 THEN vu END) AS BIGINT) AS top3_vu,
+                count(*) AS n_events
+         FROM r GROUP BY event_type ORDER BY event_type""",
+
     "join_radius_grid" ->
       // identical grid construction in SQL (the triangle-count oracle
       // convention): quadratic point scatter, cell bucketing, 3x3

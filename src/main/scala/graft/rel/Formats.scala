@@ -34,6 +34,7 @@ object Formats {
     stagedPartitionedOrders(spark, sfDir)
     binaryFileScan(spark, sfDir)
     stagedCorruptJsonl(spark, sfDir)
+    stagedDynOverwrite(spark, sfDir)
   }
 
   private val stagedCsv =
@@ -237,6 +238,71 @@ object Formats {
       .groupBy($"o_orderstatus")
       .agg(
         count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val stagedDynOw =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Step 1 of the dynamic-overwrite fixture: orders Hive-partitioned
+    * by status. Exposed so the spec can observe the file listing
+    * between the two steps. */
+  private[graft] def writeStatusPartitioned(spark: SparkSession, sfDir: String,
+      dir: String): Unit =
+    Tables.orders(spark, sfDir)
+      .write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+
+  /** Step 2: DYNAMIC partition overwrite — replace ONLY the 'O'
+    * partition (same rows, totalprice doubled, read from the ORIGINAL
+    * source, never the target being overwritten); under the default
+    * STATIC mode this same mode("overwrite") write would truncate the
+    * whole table. */
+  private[graft] def dynamicOverwriteO(spark: SparkSession, sfDir: String,
+      dir: String): Unit = {
+    import spark.implicits._
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "O")
+      .withColumn("o_totalprice", $"o_totalprice" * 2.0)
+      .write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  private[graft] def stagedDynOverwrite(spark: SparkSession, sfDir: String): String = {
+    if (stagedDynOw.size > 16) stagedDynOw.clear()
+    stagedDynOw.computeIfAbsent((spark, sfDir), _ => {
+      val d = s"${graft.StageDirs.fresh("graft-dynow")}/orders_p"
+      writeStatusPartitioned(spark, sfDir, d)
+      dynamicOverwriteO(spark, sfDir, d)
+      d
+    })
+  }
+
+  /** `layout_dynamic_overwrite`: dynamic partition overwrite — the
+    * partition-granular rewrite every lakehouse maintenance job (GDPR
+    * redaction, late-data restatement, backfill) relies on at 100 TB:
+    * `partitionOverwriteMode=dynamic` makes `mode("overwrite")` replace
+    * ONLY the partitions present in the incoming frame, while static
+    * mode would truncate the whole table first. The fixture overwrites
+    * the 'O' status partition with doubled totals; the declared query
+    * aggregates the final table and the oracle rebuilds it with a CASE
+    * on the original parquet — a hash match proves exactly one
+    * partition's content changed. FormatsSpec additionally asserts at
+    * the FILE level that the untouched partitions' files are
+    * byte-identical across the overwrite (the no-collateral-damage
+    * guarantee that distinguishes dynamic from static). */
+  def dynamicOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(stagedDynOverwrite(spark, sfDir))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
         round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
           .as("sum_price"))
       .orderBy($"o_orderstatus")

@@ -181,6 +181,58 @@ object SqlSurface {
         |GROUP BY tok HAVING count(*) >= 5 ORDER BY tok""".stripMargin)
   }
 
+  /** Bounded top-3 buffer for [[sqlUdafTyped]]: three descending slots
+    * (Long.MinValue sentinels) — constant state per group regardless of
+    * group size, which is the whole point of a top-k AGGREGATE vs the
+    * window formulation (no per-group sort, no row buffering). */
+  case class Top3Buf(a: Long, b: Long, c: Long)
+
+  /** Typed `Aggregator`: sum of the 3 largest values (multiset — equal
+    * values count separately). Order-insensitive by construction:
+    * insert keeps the best three, merge merges two triples, so any
+    * partial-aggregation tree yields the same buffer. */
+  class Top3SumAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Top3Buf, Long] {
+    private def insert(b: Top3Buf, x: Long): Top3Buf =
+      if (x >= b.a) Top3Buf(x, b.a, b.b)
+      else if (x >= b.b) Top3Buf(b.a, x, b.b)
+      else if (x > b.c) Top3Buf(b.a, b.b, x)
+      else b
+    def zero: Top3Buf = Top3Buf(Long.MinValue, Long.MinValue, Long.MinValue)
+    def reduce(b: Top3Buf, x: Long): Top3Buf = insert(b, x)
+    def merge(x: Top3Buf, y: Top3Buf): Top3Buf =
+      Seq(y.a, y.b, y.c).filter(_ != Long.MinValue).foldLeft(x)(insert)
+    def finish(b: Top3Buf): Long =
+      Seq(b.a, b.b, b.c).filter(_ != Long.MinValue).sum
+    def bufferEncoder: org.apache.spark.sql.Encoder[Top3Buf] =
+      org.apache.spark.sql.Encoders.product[Top3Buf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** `sql_udaf_typed`: the typed `Aggregator` + `functions.udaf`
+    * registration path — the PUBLIC custom-aggregate extension point a
+    * library user reaches for (the internal TypedImperativeAggregate
+    * sketches in `graft/functions/` need private Spark APIs; this one
+    * doesn't). Semantics chosen to be something no built-in aggregate
+    * expresses directly: per-group sum of the 3 largest values
+    * (multiset) — CONSTANT state per group (three longs), map-side
+    * combined like any aggregate, where the window/row_number
+    * formulation the oracle uses must sort and buffer whole groups.
+    * Values are micro-unit quantized so the comparison and sum are
+    * integer-exact on both engines; the boundary-tie case is
+    * sum-invariant (equal values, either pick — same sum). */
+  def sqlUdafTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.udf.register("graft_top3_sum",
+      org.apache.spark.sql.functions.udaf(new Top3SumAgg))
+    spark.sql(
+      """SELECT event_type,
+        |  graft_top3_sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS top3_vu,
+        |  count(*) AS n_events
+        |FROM graft.events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** `sql_identifier_clause`: the `IDENTIFIER(:param)` clause (Spark
     * 4.x) — a table name bound as a PARAMETER, not spliced into the
     * query string: the injection-safe way a multi-tenant service

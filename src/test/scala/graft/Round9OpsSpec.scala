@@ -164,6 +164,47 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(probe0 == expected)
   }
 
+  test("sql_udaf_typed: the typed top-3 aggregator is order-insensitive and exact") {
+    val agg = new graft.rel.SqlSurface.Top3SumAgg
+    // reduce path vs merge path vs any permutation: same answer
+    val xs = Seq(5L, -2L, 9L, 9L, 1L, 7L)
+    val viaReduce = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+    assert(viaReduce == 9L + 9L + 7L) // multiset: the duplicate 9 counts twice
+    xs.permutations.take(24).foreach { p =>
+      val (l, r) = p.splitAt(3)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == viaReduce)
+    }
+    // groups smaller than 3 sum what exists (sentinels excluded)
+    assert(agg.finish(Seq(4L).foldLeft(agg.zero)(agg.reduce)) == 4L)
+    assert(agg.finish(agg.zero) == 0L)
+  }
+
+  test("layout_dynamic_overwrite rewrites exactly one partition's files") {
+    val s = spark
+    import s.implicits._
+    val dir = s"${StageDirs.fresh("dynow-spec")}/orders_p"
+    graft.rel.Formats.writeStatusPartitioned(spark, sf, dir)
+    def listing(): Map[String, Set[(String, Long)]] = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(_.isDirectory).map { p =>
+        p.getName -> p.listFiles().filterNot(_.getName.startsWith("_"))
+          .map(f => f.getName -> f.length()).toSet
+      }.toMap
+    }
+    val before = listing()
+    graft.rel.Formats.dynamicOverwriteO(spark, sf, dir)
+    val after = listing()
+    assert(before.keySet == after.keySet, "partition set changed")
+    before.keySet.foreach { p =>
+      if (p == "o_orderstatus=O")
+        assert(before(p) != after(p), "the overwritten partition kept its old files")
+      else
+        assert(before(p) == after(p), s"collateral rewrite of untouched partition $p")
+    }
+  }
+
   test("join_radius_grid: planted points resolve exactly; grid equals naive all-pairs") {
     val s = spark
     import s.implicits._
