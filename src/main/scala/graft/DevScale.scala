@@ -122,7 +122,12 @@ object DevScale {
     // round 12 fourth batch: the grid radius join (cell-keyed shuffle;
     // event_id IS shifted per replica, so replicas scatter to fresh
     // points — density and pair count grow ~M with the point cloud)
-    "join_radius_grid")
+    "join_radius_grid",
+    // round 12 fifth batch: the typed UDAF (constant 3-long state per
+    // group, map-side combined — should scale like any partial agg)
+    // and the dynamic-overwrite aggregate (staging memoized/untimed;
+    // the timed pass is a partitioned scan + 3-group agg)
+    "sql_udaf_typed", "layout_dynamic_overwrite")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
