@@ -2646,6 +2646,16 @@ $iters
            UNION ALL SELECT 3, a, b, n FROM t3)
          ORDER BY merge_rank""",
 
+    "source_text_lines" ->
+      // the oracle aggregates the ORIGINAL parquet — a hash match proves
+      // the line-oriented text write/read/parse cycle lost nothing
+      // (md5 digests pin content, not just lengths)
+      """SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
+                CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                min(md5(text)) AS min_md5,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
     "layout_dynamic_overwrite" ->
       // rebuild the post-overwrite table from the original parquet:
       // only the 'O' partition's totals were doubled

@@ -35,6 +35,7 @@ object Formats {
     binaryFileScan(spark, sfDir)
     stagedCorruptJsonl(spark, sfDir)
     stagedDynOverwrite(spark, sfDir)
+    textLines(spark, sfDir)
   }
 
   private val stagedCsv =
@@ -241,6 +242,52 @@ object Formats {
         round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
           .as("sum_price"))
       .orderBy($"o_orderstatus")
+  }
+
+  private val stagedText =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** `source_text_lines`: the line-oriented `text` source — the format
+    * raw corpora actually arrive in before any columnar conversion (one
+    * record per line, no schema at all), completing the format matrix
+    * (parquet/ORC/Avro/CSV/JSON/binaryFile/bucketed/cached/text). Each
+    * document is staged as one `<doc_id>\t<text>` line (the fixture
+    * corpus is tab- and newline-free printable ASCII — asserted by the
+    * staging filter, not assumed), read back as the single `value`
+    * column, parsed with one split bounded to 2 fields, and aggregated
+    * per id-bucket with an md5 content digest — the oracle recomputes
+    * all of it from the original parquet, so a hash match proves the
+    * text write/read cycle lost nothing. At 100 TB this is the
+    * ingestion path: line splitting is within-partition, the parse is
+    * one projection, and malformed lines would route through the same
+    * quarantine pattern as `source_json_corrupt_quarantine`. */
+  def textLines(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    if (stagedText.size > 16) stagedText.clear()
+    val dir = stagedText.computeIfAbsent((spark, sfDir), _ => {
+      val d = s"${graft.StageDirs.fresh("graft-text")}/docs"
+      // the delimiter-safety precondition is CHECKED, not assumed: a
+      // corpus with embedded tabs/newlines must fail loudly here, not
+      // round-trip corrupted lines
+      val bad = Tables.documents(spark, sfDir)
+        .filter($"text".contains("\t") || $"text".contains("\n")).count()
+      require(bad == 0,
+        s"text staging needs a tab/newline-free corpus ($bad violations)")
+      Tables.documents(spark, sfDir)
+        .select(concat_ws("\t", $"doc_id", $"text").as("value"))
+        .write.mode("overwrite").text(d)
+      d
+    })
+    spark.read.text(dir)
+      .select(split($"value", "\t", 2).as("p"))
+      .select($"p".getItem(0).cast("long").as("doc_id"),
+        $"p".getItem(1).as("text"))
+      .groupBy(($"doc_id" % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"text")).as("sum_chars"),
+        min(md5($"text")).as("min_md5"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"bucket")
   }
 
   private val stagedDynOw =
