@@ -2646,6 +2646,33 @@ $iters
            UNION ALL SELECT 3, a, b, n FROM t3)
          ORDER BY merge_rank""",
 
+    "mm_audio_silence" ->
+      // same window construction as mm_audio_window; quiet flag is the
+      // cross-multiplied integer energy test; islands via the
+      // idx - row_number constant-within-run idiom
+      """WITH docs AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT -1, ''),
+         w AS (
+           SELECT doc_id AS media_id, i AS win_idx,
+                  substring(text, CAST(i * 32 + 1 AS INTEGER), 64) AS win
+           FROM docs,
+                unnest(range(CAST(greatest(floor((octet_length(encode(text)) - 64) / 32.0) + 1, 1) AS BIGINT))) AS t(i)),
+         s AS (
+           SELECT media_id, win_idx, CAST(length(win) AS BIGINT) AS win_len,
+                  CAST(list_aggregate(list_transform(range(length(win)),
+                      i -> ascii(substring(win, CAST(i + 1 AS INTEGER), 1))), 'sum') AS BIGINT) AS byte_sum
+           FROM w WHERE length(win) > 0),
+         q AS (
+           SELECT media_id, win_idx, byte_sum,
+                  win_idx - row_number() OVER
+                    (PARTITION BY media_id ORDER BY win_idx) AS grp
+           FROM s WHERE byte_sum <= 93 * win_len)
+         SELECT media_id, CAST(min(win_idx) AS INTEGER) AS run_start,
+                count(*) AS run_len,
+                CAST(sum(byte_sum) AS BIGINT) AS run_byte_sum
+         FROM q GROUP BY media_id, grp
+         ORDER BY media_id, run_start""",
+
     "source_text_lines" ->
       // the oracle aggregates the ORIGINAL parquet — a hash match proves
       // the line-oriented text write/read/parse cycle lost nothing

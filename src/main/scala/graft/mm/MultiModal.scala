@@ -362,6 +362,58 @@ object MultiModal {
       .orderBy($"media_id", $"win_idx")
   }
 
+  /** Integer silence threshold: a window is quiet iff its exact byte
+    * sum ≤ 93 × its length (mean energy ≤ 93) — cross-multiplied, so no
+    * division ever runs and the flag is engine-exact. */
+  val SilenceMean = 93L
+
+  /** `mm_audio_silence`: silence-run detection — the audio-pipeline
+    * sibling of gaps-and-islands: over the same 64-byte/stride-32
+    * windows as `mm_audio_window`, flag quiet windows (exact integer
+    * energy ≤ [[SilenceMean]]·len, cross-multiplied — no division) and
+    * report each maximal run of consecutive quiet windows per media
+    * (start index, length, exact energy sum) — what a speech/VAD
+    * pipeline trims before transcription. The run numbering is the
+    * sort-free islands idiom: `win_idx − row_number()` is constant
+    * exactly within a consecutive run, so one media-keyed window pass +
+    * one grouped aggregate does it (no lag, no change flags); the
+    * per-media stream is generate-bounded so the single exchange is
+    * keyed and small. The empty-payload fixture window has NULL energy
+    * → not quiet → drops before the islands pass (gate-proven). */
+  def audioSilence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val blen = length($"text")
+    val nWin = greatest(
+      (floor((blen - AudioWin).cast(DoubleType) / AudioStride) + 1).cast(IntegerType),
+      lit(1))
+    val quiet = documentsWithFixture(spark, sfDir)
+      .select($"doc_id".as("media_id"), $"text", nWin.as("nw"))
+      .select($"media_id", $"text",
+        explode(sequence(lit(0), $"nw" - 1)).as("w"))
+      .select($"media_id", $"w".as("win_idx"),
+        $"text".substr($"w" * AudioStride + 1, lit(AudioWin)).as("win"))
+      .select($"media_id", $"win_idx",
+        length($"win").cast(LongType).as("win_len"),
+        when(length($"win") > 0,
+          aggregate(
+            transform(sequence(lit(1), length($"win")),
+              i => ascii($"win".substr(i, lit(1))).cast(LongType)),
+            lit(0L), (acc, v) => acc + v))
+          .otherwise(lit(null).cast(LongType)).as("byte_sum"))
+      .filter($"byte_sum".isNotNull && $"byte_sum" <= lit(SilenceMean) * $"win_len")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"win_idx")
+    quiet
+      .withColumn("grp", $"win_idx" - row_number().over(w))
+      .groupBy($"media_id", $"grp")
+      .agg(min($"win_idx").as("run_start"),
+        count(lit(1)).as("run_len"),
+        sum($"byte_sum").as("run_byte_sum"))
+      .select($"media_id", $"run_start".cast(IntegerType).as("run_start"),
+        $"run_len", $"run_byte_sum")
+      .orderBy($"media_id", $"run_start")
+  }
+
   val KeyframeLen = 32
 
   /** `mm_video_keyframe`: decode-free keyframe selection — the frame a
