@@ -127,7 +127,12 @@ object DevScale {
     // group, map-side combined — should scale like any partial agg)
     // and the dynamic-overwrite aggregate (staging memoized/untimed;
     // the timed pass is a partitioned scan + 3-group agg)
-    "sql_udaf_typed", "layout_dynamic_overwrite")
+    "sql_udaf_typed", "layout_dynamic_overwrite",
+    // round 13: silence-run detection (one codegen prefix-sum pass per
+    // doc + in-row run fold — no shuffle to grow, should stay flat) and
+    // the line-oriented text source (staging is untimed warm-up; the
+    // timed pass is the line scan + split + bucket agg)
+    "mm_audio_silence", "source_text_lines")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

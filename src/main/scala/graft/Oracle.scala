@@ -24,6 +24,25 @@ object Oracle {
              FROM events)
        WHERE rn = 1 ORDER BY user_id"""
 
+  /** Closed-form TTL twin (shared by the old-API and state-API-v2 TTL
+    * queries): batch latest state + the finalized-horizon eviction
+    * predicate (final watermark max_ts - 1h STRICTLY past last activity
+    * + 2h TTL — Spark fires event-time timeouts on strict watermark
+    * advance). Both sides of the comparison are ms-TRUNCATED first:
+    * Spark tracks watermarks and timer/timeout timestamps in
+    * milliseconds, so a key within 1ms of the exact 3h boundary must
+    * resolve the same way on both engines. */
+  private val stateTtlSql =
+    """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+       SELECT user_id, event_id AS last_event_id,
+              event_type AS last_event_type, round(value, 4) AS last_value,
+              epoch_us(ts) AS last_ts_us,
+              epoch_us(ts) // 1000 + 7200000 < (SELECT m FROM mx) // 1000 - 3600000 AS expired
+       FROM (SELECT *, row_number() OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1 ORDER BY user_id"""
+
   private val latestStateDelSql =
     """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
               round(value, 4) AS last_value
@@ -2776,20 +2795,11 @@ $iters
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    "cdc_stream_state_ttl" ->
-      // closed-form TTL twin: batch latest state + the finalized-horizon
-      // eviction predicate (final watermark max_ts - 1h STRICTLY past
-      // last activity + 2h TTL — Spark fires event-time timeouts on
-      // strict watermark advance)
-      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
-         SELECT user_id, event_id AS last_event_id,
-                event_type AS last_event_type, round(value, 4) AS last_value,
-                epoch_us(ts) AS last_ts_us,
-                (SELECT m FROM mx) - 3600000000 > epoch_us(ts) + 7200000000 AS expired
-         FROM (SELECT *, row_number() OVER
-                 (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-               FROM events)
-         WHERE rn = 1 ORDER BY user_id""",
+    "cdc_stream_state_ttl" -> stateTtlSql,
+    // the state-API-v2 timer twin shares the oracle VERBATIM: a hash
+    // match proves event-time eviction is semantics-identical across
+    // flatMapGroupsWithState timeouts and transformWithState timers
+    "cdc_stream_tws_ttl" -> stateTtlSql,
 
     "vec_kmeans_lloyd" ->
       // same integer micro-unit Lloyd loop as CTEs: quantize once,

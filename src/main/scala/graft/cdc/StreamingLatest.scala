@@ -764,6 +764,113 @@ object StreamingLatest {
           .orderBy($"user_id")
       } })
 
+  /** [[LatestWinsProcessor]] plus NATIVE event-time eviction on the
+    * state-API-v2 timer surface: same winner rule and update-mode
+    * emissions, but each update re-arms a per-key EVENT-TIME timer at
+    * last activity + 2 h TTL (`registerTimer`, the previous arm deleted
+    * first — v2 timers are multi-shot per key, unlike the old API's
+    * single timeout slot). When the watermark passes the arm,
+    * [[handleExpiredTimer]] emits the evicted state flagged
+    * `expired = true` and clears it — the exact lifecycle
+    * [[ttlKey]] implements on `GroupStateTimeout.EventTimeTimeout`. */
+  private[graft] class LatestWinsTtlProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TtlRow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var latest: ValueState[LatestRow] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[LatestRow]("latest",
+        org.apache.spark.sql.Encoders.product[LatestRow], TTLConfig.NONE)
+    private def armMs(r: LatestRow): Long = r.last_ts_us / 1000L + 2L * 3600 * 1000
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TtlRow] = {
+      val prev = if (latest.exists()) latest.get() else null
+      var best = prev
+      var changed = false
+      rows.foreach { e =>
+        val us = tsMicros(e.ts)
+        if (best == null || us > best.last_ts_us ||
+            (us == best.last_ts_us && e.event_id > best.last_event_id)) {
+          best = LatestRow(key, e.event_id, e.event_type, e.value, us)
+          changed = true
+        }
+      }
+      if (changed) {
+        latest.update(best)
+        if (prev != null) getHandle.deleteTimer(armMs(prev))
+        getHandle.registerTimer(armMs(best))
+        Iterator.single(TtlRow(best.user_id, best.last_event_id,
+          best.last_event_type, best.last_value, best.last_ts_us, expired = false))
+      } else Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TtlRow] = {
+      val b = if (latest.exists()) latest.get() else null
+      latest.clear()
+      if (b == null) Iterator.empty
+      else Iterator.single(TtlRow(b.user_id, b.last_event_id,
+        b.last_event_type, b.last_value, b.last_ts_us, expired = true))
+    }
+  }
+
+  /** `cdc_stream_tws_ttl`: [[streamStateTtl]] re-expressed on the
+    * state-API-v2 timer surface — completing the API matrix:
+    * latest-wins ([[streamStateful]] old API / [[streamStatefulTws]]
+    * v2) now has its TTL-evicting twin on BOTH generations too. Event
+    * time drives everything: `TimeMode.EventTime` timers are armed at
+    * last activity + 2 h and fired by watermark advance (the trailing
+    * no-data batch is therefore KEPT — it advances the final watermark
+    * to max(ts) − 1 h and fires the remaining timers), RocksDB-backed
+    * as the v2 API requires. Shares `cdc_stream_state_ttl`'s
+    * closed-form finalized-horizon oracle verbatim: a hash match
+    * proves timer eviction is semantics-identical across the API
+    * generations. */
+  def streamTwsTtl(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(
+      withStatePartitions(spark, 4) {
+        import spark.implicits._
+        val runDir  = jvmTmpDir("runtwsttl")
+        val inDir   = stagedEventLog(spark, sfDir)
+        val outDir  = s"$runDir/out"
+        val ckptDir = s"$runDir/ckpt"
+        val schema = graft.Tables.events(spark, sfDir)
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value").schema
+
+        val updates = spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+          .withWatermark("ts", "1 hour")
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new LatestWinsTtlProcessor,
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Update())
+
+        val q = updates.writeStream
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[TtlRow], _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.awaitTermination()
+
+        rmTree(Paths.get(ckptDir))
+
+        // same final reduce as streamStateTtl: max (ts, event_id) per
+        // key, eviction rows winning their tie (the later lifecycle event)
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"last_ts_us".desc, $"last_event_id".desc, $"expired".desc)
+        spark.read.parquet(outDir)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"last_event_id", $"last_event_type",
+            round($"last_value", 4).as("last_value"), $"last_ts_us", $"expired")
+          .orderBy($"user_id")
+      })
+
   def streamStateful(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
     import spark.implicits._
     val inDir = stagedEventLog(spark, sfDir)

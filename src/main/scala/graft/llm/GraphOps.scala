@@ -101,16 +101,6 @@ object GraphOps {
   private val orientedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Best-effort eager release of an evicted checkpoint's cached blocks
-    * (same helper as TextOps: `df.unpersist` never sees a LogicalRDD's
-    * persisted internal RDD; falling through to the ContextCleaner is
-    * always safe). */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.optimizedPlan.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    } catch { case _: Throwable => () }
-
   /** The degree-oriented edge set of the co-purchase graph, staged ONCE
     * per (session, sfDir) — the same shared-stage rule as
     * [[TextOps.ngramJaccardPairs]] and for the same reason: the
@@ -123,10 +113,8 @@ object GraphOps {
     * eagerly; keyed on the session REFERENCE — see TextOps.pairsCache
     * for why not identityHashCode). */
   private[graft] def orientedEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    if (orientedCache.size > 16) {
-      orientedCache.values.forEach(freeLocalCheckpoint(_))
-      orientedCache.clear()
-    }
+    graft.SessionCache.prune(orientedCache, (spark, sfDir))(
+      graft.SessionCache.freeLocalCheckpoint)
     orientedCache.computeIfAbsent((spark, sfDir), _ => {
       import spark.implicits._
       val po = graft.Tables.lineitem(spark, sfDir)

@@ -110,23 +110,13 @@ object PqAnn {
     // Lloyd passes are index-build cost, not per-query cost; encode/
     // ADC/re-rank stay in the per-query path. The cached frame is the
     // refine loop's final eager localCheckpoint (128 rows, bounded).
-    // cache hygiene: first drop codebooks owned by STOPPED sessions —
-    // their localCheckpoint blocks are otherwise pinned until an
-    // unrelated insert crossed the old clear-all threshold; then, if
-    // live entries still exceed the cap, evict OTHER keys one at a time
-    // (never clear()) so a concurrent live session's codebook is not
-    // wiped by this session's insert
-    locally {
-      val it = codebookCache.keySet().iterator()
-      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    }
-    if (codebookCache.size > 16) {
-      val it = codebookCache.keySet().iterator()
-      while (codebookCache.size > 16 && it.hasNext) {
-        val k = it.next()
-        if (k != ((spark, sfDir))) it.remove()
-      }
-    }
+    // cache hygiene: stopped-session sweep + per-entry eviction (never
+    // clear()) — the idiom this cache pioneered, now shared via
+    // SessionCache so every staging memo behaves identically; evicted
+    // codebooks also release their checkpoint blocks eagerly here
+    // instead of waiting on GC + ContextCleaner
+    graft.SessionCache.prune(codebookCache, (spark, sfDir))(
+      graft.SessionCache.freeLocalCheckpoint)
     val cents = codebookCache.computeIfAbsent((spark, sfDir), _ => {
       val seeds = subVecs(emb.filter($"vec_id" < NumCodes))
         .select($"sub", $"vec_id".cast("int").as("code"), $"svec".as("cvec"))

@@ -186,29 +186,17 @@ object TextOps {
       threshold: Double = 0.5): DataFrame = {
     // bound the cache for long-lived multi-session JVMs: entries keyed by
     // dead sessions would otherwise pin checkpoint blocks until exit.
-    // Clearing is safe — a dropped live entry is just recomputed. Keyed
-    // on the session REFERENCE (not identityHashCode, which can be
+    // Keyed on the session REFERENCE (not identityHashCode, which can be
     // reused after a session is GC'd and hand a new session a frame
     // bound to a dead SparkContext); evicted checkpoints are unpersisted
-    // eagerly rather than waiting on GC + ContextCleaner.
-    if (pairsCache.size > 16) {
-      pairsCache.values.forEach(freeLocalCheckpoint(_))
-      pairsCache.clear()
-    }
+    // eagerly rather than waiting on GC + ContextCleaner, and live
+    // sessions' entries survive another session crossing the cap.
+    graft.SessionCache.prune(pairsCache, (spark, sfDir, threshold))(
+      graft.SessionCache.freeLocalCheckpoint)
     pairsCache.computeIfAbsent(
       (spark, sfDir, threshold),
       _ => ngramJaccardPairsUncached(spark, sfDir, threshold).localCheckpoint(true))
   }
-
-  /** Best-effort eager release of a localCheckpoint's cached blocks: the
-    * checkpointed plan is a LogicalRDD over a persisted internal RDD, and
-    * `df.unpersist` (CacheManager) never sees it. Falling through to the
-    * ContextCleaner is always safe, so failures are swallowed. */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.optimizedPlan.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    } catch { case _: Throwable => () }
 
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()

@@ -332,31 +332,28 @@ object MultiModal {
     * Integer byte sums are exact on any engine (the fixture is ASCII, so
     * char codes == byte values and the DuckDB twin can mirror with
     * `ascii`); only the mean is rounded. A real feature extractor swaps
-    * the per-window lambda for a DFT — framing, generate, and overlap
-    * arithmetic identical. */
+    * the per-window fold for a DFT — framing, generate, and overlap
+    * arithmetic identical.
+    *
+    * All window sums come from ONE codegen [[graft.functions.AsciiWindowSums]]
+    * pass per document (O(text) prefix sums, array of nWin longs, NULL
+    * for the blank-payload window) — the same expression `mm_audio_silence`
+    * was rewritten onto; the equivalence with the interpreted
+    * `aggregate(transform(…substr…))` per-window lambda it replaced is
+    * pinned by Round10OpsSpec on mixed (empty/short/non-ASCII) fixtures,
+    * and window length is recovered arithmetically from the text length
+    * instead of materializing each 64-char slice. */
   def audioWindows(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val blen = length($"text")
-    val nWin = greatest(
-      (floor((blen - AudioWin).cast(DoubleType) / AudioStride) + 1).cast(IntegerType),
-      lit(1))
     documentsWithFixture(spark, sfDir)
-      .select($"doc_id".as("media_id"), $"text", nWin.as("nw"))
-      .select($"media_id", $"text",
-        explode(sequence(lit(0), $"nw" - 1)).as("w"))
-      .select($"media_id", $"w".as("win_idx"),
-        $"text".substr($"w" * AudioStride + 1, lit(AudioWin)).as("win"))
+      .select($"doc_id".as("media_id"), length($"text").as("tlen"),
+        graft.functions.AudioFunctions
+          .ascii_window_sums($"text", AudioWin, AudioStride).as("sums"))
+      .select($"media_id", $"tlen",
+        posexplode($"sums").as(Seq("win_idx", "byte_sum")))
       .select($"media_id", $"win_idx",
-        length($"win").as("win_len"),
-        // empty window (blank text still yields one window) → NULL sum,
-        // mirroring the oracle's list_aggregate([], 'sum'); unguarded,
-        // sequence(1, 0) steps DOWNWARD giving byte_sum 0 / mean NaN
-        when(length($"win") > 0,
-          aggregate(
-            transform(sequence(lit(1), length($"win")),
-              i => ascii($"win".substr(i, lit(1))).cast(LongType)),
-            lit(0L), (acc, v) => acc + v))
-          .otherwise(lit(null).cast(LongType)).as("byte_sum"))
+        least($"tlen" - $"win_idx" * AudioStride, lit(AudioWin)).as("win_len"),
+        $"byte_sum")
       .withColumn("byte_mean",
         graft.Det.r4($"byte_sum".cast(DoubleType) / $"win_len"))
       .orderBy($"media_id", $"win_idx")
@@ -379,38 +376,31 @@ object MultiModal {
     * one grouped aggregate does it (no lag, no change flags); the
     * per-media stream is generate-bounded so the single exchange is
     * keyed and small. The empty-payload fixture window has NULL energy
-    * → not quiet → drops before the islands pass (gate-proven). */
+    * → not quiet → drops before the islands pass (gate-proven).
+    *
+    * All window sums come from ONE codegen [[graft.functions.AsciiWindowSums]]
+    * pass per document (O(text) prefix sums), and the quiet test + run
+    * grouping fold inside [[graft.functions.SilenceRuns]] over that array
+    * — runs cannot cross a document boundary, so the classic
+    * `win_idx − row_number()` islands pass (its showcase stays in
+    * `window_gap_islands`) would shuffle and sort every quiet window for
+    * a grouping the row already determines. The round-9 plan computed
+    * each window's sum with an interpreted `aggregate(transform(…substr…))`
+    * lambda that Catalyst inlined twice into the pushed-down Filter with
+    * the window slice re-derived per character — O(win²) per window and
+    * 25× the sibling's runtime; now the only exchange left is the
+    * presentation sort, and no lambda exists for a Filter to duplicate
+    * (PlanAuditSpec pins the class). */
   def audioSilence(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val blen = length($"text")
-    val nWin = greatest(
-      (floor((blen - AudioWin).cast(DoubleType) / AudioStride) + 1).cast(IntegerType),
-      lit(1))
-    val quiet = documentsWithFixture(spark, sfDir)
-      .select($"doc_id".as("media_id"), $"text", nWin.as("nw"))
-      .select($"media_id", $"text",
-        explode(sequence(lit(0), $"nw" - 1)).as("w"))
-      .select($"media_id", $"w".as("win_idx"),
-        $"text".substr($"w" * AudioStride + 1, lit(AudioWin)).as("win"))
-      .select($"media_id", $"win_idx",
-        length($"win").cast(LongType).as("win_len"),
-        when(length($"win") > 0,
-          aggregate(
-            transform(sequence(lit(1), length($"win")),
-              i => ascii($"win".substr(i, lit(1))).cast(LongType)),
-            lit(0L), (acc, v) => acc + v))
-          .otherwise(lit(null).cast(LongType)).as("byte_sum"))
-      .filter($"byte_sum".isNotNull && $"byte_sum" <= lit(SilenceMean) * $"win_len")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"media_id").orderBy($"win_idx")
-    quiet
-      .withColumn("grp", $"win_idx" - row_number().over(w))
-      .groupBy($"media_id", $"grp")
-      .agg(min($"win_idx").as("run_start"),
-        count(lit(1)).as("run_len"),
-        sum($"byte_sum").as("run_byte_sum"))
-      .select($"media_id", $"run_start".cast(IntegerType).as("run_start"),
-        $"run_len", $"run_byte_sum")
+    documentsWithFixture(spark, sfDir)
+      .select($"doc_id".as("media_id"),
+        graft.functions.AudioFunctions.silence_runs(
+          graft.functions.AudioFunctions
+            .ascii_window_sums($"text", AudioWin, AudioStride),
+          length($"text"), AudioWin, AudioStride, SilenceMean).as("runs"))
+      .select($"media_id", explode($"runs").as("run"))
+      .select($"media_id", $"run.run_start", $"run.run_len", $"run.run_byte_sum")
       .orderBy($"media_id", $"run_start")
   }
 

@@ -57,7 +57,7 @@ object Bucketing {
     * NOR a sort (multiple files per bucket would force a per-bucket
     * sort back into the plan). */
   private[graft] def bucketedDb(spark: SparkSession, sfDir: String): String = {
-    if (stagedBucketDb.size > 16) stagedBucketDb.clear()
+    graft.SessionCache.prunePaths(stagedBucketDb, (spark, sfDir))
     stagedBucketDb.computeIfAbsent((spark, sfDir), _ => {
       val db = "graft_bkt_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       // explicit per-JVM LOCATION (StageDirs lifecycle): the default
@@ -121,7 +121,10 @@ object Bucketing {
     * per (session, sfDir); materialized eagerly so the declared query
     * reads the cache, not the build. */
   private[graft] def cachedCustomer(spark: SparkSession, sfDir: String): DataFrame = {
-    if (cachedDims.size > 16) cachedDims.clear()
+    // evicted frames are unpersisted eagerly — a dropped reference to a
+    // MEMORY_ONLY frame would otherwise pin executor storage until
+    // session stop (the r9-review hazard this helper exists to close)
+    graft.SessionCache.prune(cachedDims, (spark, sfDir))(_.unpersist())
     cachedDims.computeIfAbsent((spark, sfDir), _ => {
       val df = Tables.customer(spark, sfDir)
         .select(org.apache.spark.sql.functions.col("c_custkey"),
@@ -229,7 +232,7 @@ object Bucketing {
     * sfDir); returns the compacted directory. Exposed for the spec's
     * file-level assertions. */
   private[graft] def compactedDir(spark: SparkSession, sfDir: String): String = {
-    if (stagedCompact.size > 16) stagedCompact.clear()
+    graft.SessionCache.prunePaths(stagedCompact, (spark, sfDir))
     stagedCompact.computeIfAbsent(
       (spark, sfDir),
       _ => {

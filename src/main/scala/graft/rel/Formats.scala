@@ -54,7 +54,7 @@ object Formats {
     * pre-built in Bench's untimed warm-up via [[stageAll]]. */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    if (stagedCsv.size > 16) stagedCsv.clear()
+    graft.SessionCache.prunePaths(stagedCsv, (spark, sfDir))
     val src = Tables.orders(spark, sfDir)
     val dir = stagedCsv.computeIfAbsent(
       (spark, sfDir),
@@ -99,7 +99,7 @@ object Formats {
     // dead sessions must not accumulate in a long-lived JVM (the dirs
     // themselves live under StageDirs' per-JVM root and are purged when
     // their owning process dies; this caps the map)
-    if (stagedOrc.size > 16) stagedOrc.clear()
+    graft.SessionCache.prunePaths(stagedOrc, (spark, sfDir))
     val dir = stagedOrc.computeIfAbsent(
       (spark, sfDir),
       _ => {
@@ -219,7 +219,7 @@ object Formats {
     * (`o_year=YYYY/`) parquet tree — shared by the pruning queries. */
   private def stagedPartitionedOrders(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
-    if (stagedPart.size > 16) stagedPart.clear()
+    graft.SessionCache.prunePaths(stagedPart, (spark, sfDir))
     val dir = stagedPart.computeIfAbsent(
       (spark, sfDir),
       _ => {
@@ -263,16 +263,18 @@ object Formats {
     * quarantine pattern as `source_json_corrupt_quarantine`. */
   def textLines(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    if (stagedText.size > 16) stagedText.clear()
+    graft.SessionCache.prunePaths(stagedText, (spark, sfDir))
     val dir = stagedText.computeIfAbsent((spark, sfDir), _ => {
       val d = s"${graft.StageDirs.fresh("graft-text")}/docs"
       // the delimiter-safety precondition is CHECKED, not assumed: a
       // corpus with embedded tabs/newlines must fail loudly here, not
-      // round-trip corrupted lines
+      // round-trip corrupted lines; bare \r is a record terminator to
+      // Hadoop's line reader too, so it gets the same loud rejection
       val bad = Tables.documents(spark, sfDir)
-        .filter($"text".contains("\t") || $"text".contains("\n")).count()
+        .filter($"text".contains("\t") || $"text".contains("\n") ||
+          $"text".contains("\r")).count()
       require(bad == 0,
-        s"text staging needs a tab/newline-free corpus ($bad violations)")
+        s"text staging needs a tab/CR/newline-free corpus ($bad violations)")
       Tables.documents(spark, sfDir)
         .select(concat_ws("\t", $"doc_id", $"text").as("value"))
         .write.mode("overwrite").text(d)
@@ -323,7 +325,7 @@ object Formats {
   }
 
   private[graft] def stagedDynOverwrite(spark: SparkSession, sfDir: String): String = {
-    if (stagedDynOw.size > 16) stagedDynOw.clear()
+    graft.SessionCache.prunePaths(stagedDynOw, (spark, sfDir))
     stagedDynOw.computeIfAbsent((spark, sfDir), _ => {
       val d = s"${graft.StageDirs.fresh("graft-dynow")}/orders_p"
       writeStatusPartitioned(spark, sfDir, d)
@@ -341,7 +343,7 @@ object Formats {
     * the 'O' status partition with doubled totals; the declared query
     * aggregates the final table and the oracle rebuilds it with a CASE
     * on the original parquet — a hash match proves exactly one
-    * partition's content changed. FormatsSpec additionally asserts at
+    * partition's content changed. Round9OpsSpec additionally asserts at
     * the FILE level that the untouched partitions' files are
     * byte-identical across the overwrite (the no-collateral-damage
     * guarantee that distinguishes dynamic from static). */
@@ -408,7 +410,7 @@ object Formats {
     * small; at scale this layout is the input, not a staging step. */
   def binaryFileScan(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    if (stagedBin.size > 16) stagedBin.clear()
+    graft.SessionCache.prunePaths(stagedBin, (spark, sfDir))
     val dir = stagedBin.computeIfAbsent(
       (spark, sfDir),
       _ => {
@@ -417,14 +419,21 @@ object Formats {
         val base = new org.apache.hadoop.fs.Path(outPath)
         val dfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
         dfs.mkdirs(base)
+        // ship the DRIVER's merged Hadoop conf (incl. spark.hadoop.*
+        // overrides) to the write tasks — a fresh executor-side
+        // Configuration sees only classpath XML, so on a cluster whose
+        // default FS/credentials live in Spark conf the executors would
+        // write to a different filesystem than this driver-side listing
+        val bcConf = org.apache.spark.graftbridge.HadoopConfBridge
+          .broadcast(spark.sparkContext)
         graft.Tables.documents(spark, sfDir)
           .select($"doc_id", $"text").as[(Long, String)]
           .foreachPartition { (it: Iterator[(Long, String)]) =>
-            // resolve the fs on the EXECUTOR (fresh Configuration picks
-            // up the cluster's default-fs from the executor classpath);
-            // FileSystem instances are task-local, never serialized
+            // resolve the FileSystem on the EXECUTOR from the broadcast
+            // conf; FileSystem instances are task-local, never serialized
             val p = new org.apache.hadoop.fs.Path(outPath)
-            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val fs = p.getFileSystem(
+              org.apache.spark.graftbridge.HadoopConfBridge.conf(bcConf))
             it.foreach { case (id, text) =>
               val out = fs.create(
                 new org.apache.hadoop.fs.Path(p, s"doc_$id.bin"), true)
@@ -458,7 +467,7 @@ object Formats {
     * JSON ingest contains. */
   private[graft] def stagedCorruptJsonl(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
-    if (stagedJsonl.size > 16) stagedJsonl.clear()
+    graft.SessionCache.prunePaths(stagedJsonl, (spark, sfDir))
     stagedJsonl.computeIfAbsent(
       (spark, sfDir),
       _ => {

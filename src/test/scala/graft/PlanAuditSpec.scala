@@ -137,6 +137,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("pipeline_corpus_build").contains("BroadcastHashJoin"))
   }
 
+  test("no Filter condition duplicates a higher-order lambda (alias-inlining blowup)") {
+    // The round-9 25× regression class: a filter over an ALIASED
+    // aggregate(transform(…)) column gets pushed below its projection and
+    // the whole interpreted lambda is inlined into the Filter condition —
+    // once per reference. Two canonically-equal higher-order subtrees in
+    // one Filter means some aliased lambda is being re-evaluated per
+    // filter call (and per output reference again); the fix is either a
+    // single-reference predicate, a codegen Expression, or a Generate
+    // boundary between the lambda and the filter.
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skip(name) }
+      .flatMap { case (name, fn) =>
+        fn(spark, sf).queryExecution.optimizedPlan.collect { case f: Filter =>
+          f.condition.collect { case h: HigherOrderFunction => h.canonicalized }
+            .groupBy(identity).collect { case (expr, occ) if occ.size >= 2 =>
+              s"$name: ${occ.size}x ${expr.toString.take(120)}"
+            }
+        }.flatten
+      }
+    assert(offenders.isEmpty,
+      s"Filter conditions holding duplicated lambdas:\n${offenders.mkString("\n")}")
+  }
+
   test("the one intentional cartesian stays broadcast, never a shuffle cartesian") {
     val plan = SparkEntry.queries("join_cross_dims")(spark, sf)
       .queryExecution.executedPlan.toString

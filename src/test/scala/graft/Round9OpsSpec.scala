@@ -288,10 +288,12 @@ class Round9OpsSpec extends AnyFunSuite {
     val expected = graft.cdc.Changelog.latestState(spark, sf).collect().toSeq
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
       == expected.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))))
-    // the flag is exactly the closed-form horizon predicate
+    // the flag is exactly the closed-form horizon predicate, evaluated
+    // on ms-TRUNCATED values like Spark's watermark/timeout tracking (a
+    // key within 1ms of the exact 3h boundary must not flip the flag)
     val maxUs = Tables.events(spark, sf).agg(max(unix_micros($"ts"))).first().getLong(0)
     rows.foreach { r =>
-      val want = maxUs - 3600000000L > r.getAs[Long]("last_ts_us") + 7200000000L
+      val want = r.getAs[Long]("last_ts_us") / 1000L + 7200000L < maxUs / 1000L - 3600000L
       assert(r.getAs[Boolean]("expired") == want, s"flag wrong for $r")
     }
     // both lifecycle branches occur at smoke scale
