@@ -2801,6 +2801,22 @@ $iters
     // flatMapGroupsWithState timeouts and transformWithState timers
     "cdc_stream_tws_ttl" -> stateTtlSql,
 
+    "cdc_stream_tws_topk" ->
+      // batch window top-3 twin of the incremental ListState
+      // maintenance: per user the 3 highest (value, event_id) events
+      """SELECT user_id, CAST(rn AS INTEGER) AS rank, event_id,
+                round(value, 4) AS value
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn <= 3 ORDER BY user_id, rank""",
+
+    "cdc_stream_tws_counts" ->
+      // batch GROUP BY twin of the entry-wise MapState counters
+      """SELECT user_id, event_type, count(*) AS n_events
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
+
     "vec_kmeans_lloyd" ->
       // same integer micro-unit Lloyd loop as CTEs: quantize once,
       // per-dim equi-join distances (HUGEINT sums), truncating integer

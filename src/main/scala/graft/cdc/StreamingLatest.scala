@@ -871,6 +871,177 @@ object StreamingLatest {
           .orderBy($"user_id")
       })
 
+  case class TopEntry(event_id: Long, value: Double)
+  case class TopkRow(user_id: Long, upd: Long, rank: Int, event_id: Long, value: Double)
+
+  /** Per-key top-3 events by (value, event_id) on state-API-v2
+    * [[org.apache.spark.sql.streaming.ListState]] — the bounded-list
+    * retention pattern (leaderboards, best-N samples per key) that the
+    * old API forced into a single opaque blob: v2 stores the list
+    * ELEMENT-WISE in RocksDB, so an append touches one entry, not a
+    * reserialized whole. Emissions carry a per-key update version
+    * (ValueState counter) so the finite replay's FINAL top-3 is
+    * recoverable as the max-version rows per key. */
+  private[graft] class TopKListProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TopkRow] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var top: ListState[TopEntry] = _
+    @transient private var ver: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[TopEntry]("top3",
+        org.apache.spark.sql.Encoders.product[TopEntry], TTLConfig.NONE)
+      ver = getHandle.getValueState[Long]("ver",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def beats(a: TopEntry, b: TopEntry): Boolean =
+      a.value > b.value || (a.value == b.value && a.event_id > b.event_id)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TopkRow] = {
+      val cur = top.get().toList
+      var best = cur
+      rows.foreach { e =>
+        best = (TopEntry(e.event_id, e.value) :: best).sortWith(beats).take(3)
+      }
+      if (best != cur) {
+        top.put(best.toArray)
+        val v = (if (ver.exists()) ver.get() else 0L) + 1L
+        ver.update(v)
+        best.iterator.zipWithIndex.map { case (t, i) =>
+          TopkRow(key, v, i + 1, t.event_id, t.value)
+        }
+      } else Iterator.empty
+    }
+  }
+
+  /** `cdc_stream_tws_topk`: bounded per-key retention on v2 ListState —
+    * each user's top-3 events by value maintained incrementally across
+    * the replay (constant state per key: 3 entries + a version counter,
+    * the 100 TB-safe alternative to buffering every event). The final
+    * reduce keeps each key's max-version emission — the last time its
+    * top-3 changed, which IS the final top-3. Oracle: the batch window
+    * top-3 over the same log; a hash match proves incremental list
+    * maintenance equals the global rank. */
+  def streamTwsTopk(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(
+      withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
+        import spark.implicits._
+        val runDir  = jvmTmpDir("runtwstopk")
+        val inDir   = stagedEventLog(spark, sfDir)
+        val outDir  = s"$runDir/out"
+        val ckptDir = s"$runDir/ckpt"
+        val schema = graft.Tables.events(spark, sfDir)
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value").schema
+
+        val updates = spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+          .withWatermark("ts", "1 hour")
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new TopKListProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+
+        val q = updates.writeStream
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[TopkRow], _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.awaitTermination()
+
+        rmTree(Paths.get(ckptDir))
+
+        spark.read.parquet(outDir)
+          .withColumn("mx", max($"upd").over(Window.partitionBy($"user_id")))
+          .filter($"upd" === $"mx")
+          .select($"user_id", $"rank", $"event_id",
+            round($"value", 4).as("value"))
+          .orderBy($"user_id", $"rank")
+      } })
+
+  case class TypeCountRow(user_id: Long, event_type: String, n_events: Long)
+
+  /** Per-(key, event_type) counts on state-API-v2
+    * [[org.apache.spark.sql.streaming.MapState]] — the keyed sub-map
+    * pattern (per-entity feature counters) that the old API also forced
+    * into one blob: v2 reads/writes single map ENTRIES in RocksDB, so a
+    * batch touching one event_type leaves the others unread. Counts are
+    * monotone, so the finite replay's final value per (key, type) is
+    * simply the MAX emitted — no version state needed. */
+  private[graft] class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TypeCountRow] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues}
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TypeCountRow] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val n = (if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L) + 1L
+        counts.updateValue(e.event_type, n)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCountRow(key, t, counts.getValue(t)))
+    }
+  }
+
+  /** `cdc_stream_tws_counts`: keyed sub-map aggregation on v2 MapState —
+    * per-user event-type counters maintained entry-wise across the
+    * replay; only the types a batch touches are emitted. With counts
+    * monotone per (user, type), max-of-emissions is the final counter.
+    * Oracle: the batch two-column GROUP BY; a hash match proves the
+    * entry-wise map maintenance equals the global aggregate. Completes
+    * the state-API-v2 slot matrix: ValueState (latest/TTL), timers
+    * (eviction), ListState (top-k), MapState (keyed counters). */
+  def streamTwsCounts(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(
+      withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
+        import spark.implicits._
+        val runDir  = jvmTmpDir("runtwscnt")
+        val inDir   = stagedEventLog(spark, sfDir)
+        val outDir  = s"$runDir/out"
+        val ckptDir = s"$runDir/ckpt"
+        val schema = graft.Tables.events(spark, sfDir)
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value").schema
+
+        val updates = spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+          .withWatermark("ts", "1 hour")
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new TypeCountsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+
+        val q = updates.writeStream
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[TypeCountRow], _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.awaitTermination()
+
+        rmTree(Paths.get(ckptDir))
+
+        spark.read.parquet(outDir)
+          .groupBy($"user_id", $"event_type")
+          .agg(max($"n_events").as("n_events"))
+          .orderBy($"user_id", $"event_type")
+      } })
+
   def streamStateful(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
     import spark.implicits._
     val inDir = stagedEventLog(spark, sfDir)

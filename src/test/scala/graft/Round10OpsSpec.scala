@@ -135,6 +135,31 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(v2.exists(!_.getAs[Boolean]("expired")))
   }
 
+  test("cdc_stream_tws_topk: incremental ListState maintenance equals the batch top-3") {
+    val s = spark
+    import s.implicits._
+    val got = graft.cdc.StreamingLatest.streamTwsTopk(spark, sf).collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"value".desc, $"event_id".desc)
+    val expected = Tables.events(spark, sf)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"user_id", $"rank", $"event_id", round($"value", 4).as("value"))
+      .orderBy($"user_id", $"rank").collect().toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("cdc_stream_tws_counts: entry-wise MapState counters equal the batch GROUP BY") {
+    val s = spark
+    import s.implicits._
+    val got = graft.cdc.StreamingLatest.streamTwsCounts(spark, sf).collect().toSeq
+    val expected = Tables.events(spark, sf)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"event_type").collect().toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("mm_audio_silence plans no shuffle beyond the presentation sort") {
     val plan = MultiModal.audioSilence(spark, sf)
       .queryExecution.executedPlan.toString
