@@ -110,6 +110,40 @@ $iters
          FROM r6 ORDER BY doc_id"""
   }
 
+  /** `graph_label_propagation` twin: the same 4 synchronous LPA rounds
+    * as GraphOps.labelPropagation, unrolled as chained CTEs over the
+    * identical pair graph. The per-node pick is
+    * `row_number() OVER (ORDER BY count DESC, label ASC)` = 1 — the
+    * window twin of Spark's `min(struct(-count, label))` argmax; all
+    * integer, so the match is exact even if the labels oscillate. */
+  private val labelPropSql: String = {
+    val iters = (1 to 4).map { i =>
+      s"""         l$i AS (
+           SELECT src AS id, l AS lbl FROM (
+             SELECT e.src, p.lbl AS l,
+                    row_number() OVER (PARTITION BY e.src
+                      ORDER BY count(*) DESC, p.lbl ASC) AS rn
+             FROM edges e JOIN l${i - 1} p ON e.dst = p.id
+             GROUP BY e.src, p.lbl) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH sh AS MATERIALIZED (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(string_split(text,' ')) - 2, 1)),
+             i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))) AS s
+           FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
+         pairs AS MATERIALIZED (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n, b.n
+           HAVING round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+$iters
+         SELECT id AS doc_id, lbl AS community FROM l4 ORDER BY doc_id"""
+  }
+
   val sql: Map[String, String] = Map(
     // Skew-safe and streaming twins share the oracle of their batch
     // originals: the gate thereby checks salted ≡ windowed formulation
@@ -2286,6 +2320,7 @@ $iters
          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
 
     "graph_pagerank" -> pageRankSql,
+    "graph_label_propagation" -> labelPropSql,
 
     "mm_patch_grid" ->
       // ASCII fixture: char positions == byte positions, so VARCHAR
@@ -2816,6 +2851,50 @@ $iters
       """SELECT user_id, event_type, count(*) AS n_events
          FROM events GROUP BY user_id, event_type
          ORDER BY user_id, event_type""",
+
+    "sql_group_by_all" ->
+      // the explicit form GROUP BY ALL / ORDER BY ALL / lateral aliases
+      // must resolve to — keys listed positionally, every derived
+      // column written out (the avg repeats inside the CASE; Spark's
+      // lateral alias chain is analysis-time sugar over exactly this)
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                      / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+                CASE WHEN floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                           / count(*) * 10000.0 + 0.5) / 10000.0 >= 150000.0
+                     THEN 'high' ELSE 'low' END AS price_band
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "cdc_stream_join_semi" ->
+      // batch semi-join twin, NO horizon restriction: every candidate
+      // click lies in the purchase's past hour and the replay is
+      // event-time-ordered, so streaming emits exactly the batch result
+      """SELECT p.event_id AS purchase_event_id, p.user_id,
+                epoch_us(p.ts) AS p_ts_us
+         FROM events p
+         WHERE p.event_type = 'purchase' AND EXISTS (
+           SELECT 1 FROM events c
+           WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+         ORDER BY purchase_event_id""",
+
+    "sql_column_default" ->
+      // rebuild both writer populations with the declared defaults as
+      // literals — DEFAULT resolution ≡ write-time constant injection
+      """WITH def AS (
+           SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p,
+                  'backfill' AS channel, 0 AS pb
+           FROM orders WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), 'live',
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+           FROM orders WHERE o_orderkey % 3 = 1)
+         SELECT channel, CAST(pb AS INTEGER) AS priority_boost,
+                count(*) AS n_orders, min(o_orderkey) AS min_key,
+                CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM def GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "vec_kmeans_lloyd" ->
       // same integer micro-unit Lloyd loop as CTEs: quantize once,

@@ -448,6 +448,62 @@ object StreamingLatest {
       .orderBy($"purchase_event_id", $"click_event_id")
   }
 
+  /** `cdc_stream_join_semi`: watermarked stream-stream LEFT SEMI
+    * interval join — completing the stream-stream join-type matrix
+    * (inner / left outer / left semi): purchases that had AT LEAST one
+    * click in the preceding hour, each emitted at most ONCE with no
+    * click payload — the streaming existence filter (did-engage
+    * gating) whose batch twin is `join_semi`. Semi is the cheap one of
+    * the three: the left row needs no null-finalization wait (compare
+    * streamJoinOuter) and no per-match fan-out; it emits on first
+    * match and is marked, so state carries matched-bits instead of
+    * match multiplicity. Because every candidate click lies in the
+    * purchase's PAST (c_ts ≤ p_ts) and the staged replay is
+    * event-time-ordered, a purchase's matches are already in state
+    * when it arrives — emissions all happen on data batches and the
+    * output is EXACTLY the batch semi join, no horizon restriction
+    * (compare the outer join's finalized-horizon oracle). */
+  def streamJoinSemi(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
+    import spark.implicits._
+    val runDir = jvmTmpDir("runjs")
+    val inDir   = stagedEventLog(spark, sfDir)
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type").schema
+
+    def src() = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val purchases = src().filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"), $"user_id".as("p_user"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src().filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"ts".as("c_ts"), $"user_id".as("c_user"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"),
+      "left_semi")
+      .select($"p_id".as("purchase_event_id"), $"p_user".as("user_id"),
+        unix_micros($"p_ts").as("p_ts_us"))
+
+    val q = joined.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    rmTree(Paths.get(ckptDir)) // the staged log is shared; keep it
+
+    spark.read.parquet(outDir)
+      .orderBy($"purchase_event_id")
+  } }
+
   /** `cdc_stream_static_join`: stream-static enrichment join — the
     * streaming side (the replayed CDC log) joined per micro-batch
     * against a STATIC dimension computed once in batch (each user's

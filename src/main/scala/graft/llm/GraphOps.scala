@@ -98,6 +98,68 @@ object GraphOps {
     }
   }
 
+  /** `graph_label_propagation`: synchronous label propagation (4 fixed
+    * rounds) over the same near-dup pair graph as [[pageRank]] — the
+    * community-detection signal next to centrality: labels init to the
+    * node id, and each round every node adopts the MOST FREQUENT label
+    * among its neighbors, ties broken to the smallest label. The argmax
+    * is a `min(struct(-count, label))` — integer end-to-end, so the
+    * result is order-free on any engine/partitioning and the DuckDB
+    * oracle (the same 4 rounds unrolled as CTEs with a
+    * `row_number() OVER (ORDER BY count DESC, label)` pick) matches
+    * exactly. Synchronous LPA can oscillate on bipartite structure;
+    * with a FIXED round count both engines compute the identical state,
+    * oscillating or not — determinism over fixpoint, the same choice as
+    * the fixed-iteration PageRank.
+    *
+    * Scale shape: per round one edges⋈labels equi-join + two hash
+    * aggregates, all keyed on node ids — Pregel-on-relational, shuffles
+    * sized to the node set; the pair graph is the staged
+    * [[TextOps.ngramJaccardPairs]] build, shared with
+    * pagerank/cluster_canonical (one expensive stage, three consumers). */
+  def labelPropagation(spark: SparkSession, sfDir: String, iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    labelPropagationOnPairs(spark,
+      TextOps.ngramJaccardPairs(spark, sfDir).select($"doc_a", $"doc_b"), iters)
+  }
+
+  /** The iteration core of [[labelPropagation]] on an arbitrary
+    * undirected (doc_a, doc_b) pair set — exposed so the argmax
+    * propagation is unit-testable on planted graphs: two disjoint
+    * cliques must each collapse to their minimum id within two rounds;
+    * a star oscillates (leaves adopt the hub's label while the hub
+    * adopts the smallest leaf's) — which an EVEN fixed round count
+    * makes deterministic and the spec pins exactly. */
+  private[graft] def labelPropagationOnPairs(
+      spark: SparkSession, pairs: DataFrame, iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .cache()
+    edges.count()
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, "4")
+    try {
+      var labels = edges.select($"src".as("id")).distinct()
+        .select($"id", $"id".as("lbl"))
+      for (_ <- 1 to iters) {
+        labels = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy($"src", $"lbl").agg(count(lit(1)).as("c"))
+          .groupBy($"src")
+          .agg(min(struct((-$"c").as("nc"), $"lbl".as("l"))).as("m"))
+          .select($"src".as("id"), $"m.l".as("lbl"))
+      }
+      labels
+        .select($"id".as("doc_id"), $"lbl".as("community"))
+        .orderBy($"doc_id")
+        .localCheckpoint(true)
+    } finally {
+      edges.unpersist(false)
+      spark.conf.set(partKey, prevParts)
+    }
+  }
+
   private val orientedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 

@@ -292,6 +292,75 @@ object SqlSurface {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** `sql_group_by_all`: the Spark 3.4/4 SQL-ergonomics surface in one
+    * query — inner aggregate grouped with `GROUP BY ALL` (every
+    * non-aggregate select item becomes a key; no positional/name list
+    * to drift when the projection changes), outer projection using a
+    * LATERAL COLUMN ALIAS chain (`avg_price` computed from two sibling
+    * aliases, then `price_band` from `avg_price` — no subquery nesting
+    * per derived column), ordered with `ORDER BY ALL`. All three
+    * resolve at ANALYSIS time into the exact explicit plan the oracle
+    * states (DuckDB is where GROUP BY ALL originated), so the sugar
+    * costs nothing at 100 TB: same pushdown, same two-phase aggregate.
+    * The avg is HALF_UP-rounded via the identical-IEEE floor(x·1e4+0.5)
+    * construction (Det.r4's SQL form) on both engines. */
+  def groupByAll(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """SELECT o_year, o_orderstatus, n_orders, sum_price,
+        |       floor(sum_price / n_orders * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        |       CASE WHEN avg_price >= 150000.0 THEN 'high' ELSE 'low' END AS price_band
+        |FROM (SELECT year(o_orderdate) AS o_year, o_orderstatus,
+        |             count(*) AS n_orders,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |      FROM graft.orders
+        |      GROUP BY ALL)
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  /** `sql_column_default`: DEFAULT column values (Spark 4 DDL) — the
+    * schema-evolution surface an ingest pipeline leans on: a table
+    * declares `channel STRING DEFAULT 'backfill'` / `priority_boost INT
+    * DEFAULT 0`, a legacy writer INSERTs only the original columns (the
+    * engine fills the declared defaults — no reader-side COALESCE
+    * sprinkled through every query), a current writer supplies real
+    * values. The declared query aggregates the merged table; the oracle
+    * rebuilds both writer populations from the original parquet with
+    * the defaults as literals — a hash match proves DEFAULT resolution
+    * is exactly constant-injection at write time, which is why it's
+    * free at 100 TB (the parquet files carry materialized values; scans
+    * and pushdown see plain columns). */
+  def columnDefault(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    val loc = graft.StageDirs.fresh("graft-def")
+    spark.sql("DROP TABLE IF EXISTS graft.orders_def")
+    spark.sql(
+      s"""CREATE TABLE graft.orders_def (
+         |  o_orderkey BIGINT,
+         |  o_totalprice DOUBLE,
+         |  channel STRING DEFAULT 'backfill',
+         |  priority_boost INT DEFAULT 0)
+         |USING parquet LOCATION '$loc/t'""".stripMargin)
+    // legacy writer: original columns only — defaults fill the rest
+    spark.sql(
+      """INSERT INTO graft.orders_def (o_orderkey, o_totalprice)
+        |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE)
+        |FROM graft.orders WHERE o_orderkey % 3 = 0""".stripMargin)
+    // current writer: full row with real values
+    spark.sql(
+      """INSERT INTO graft.orders_def
+        |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), 'live',
+        |       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |FROM graft.orders WHERE o_orderkey % 3 = 1""".stripMargin)
+    spark.sql(
+      """SELECT channel, priority_boost, count(*) AS n_orders,
+        |       min(o_orderkey) AS min_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM graft.orders_def
+        |GROUP BY channel, priority_boost
+        |ORDER BY channel, priority_boost""".stripMargin)
+  }
+
   /** `join_null_aware_anti`: NOT IN vs NOT EXISTS under three-valued
     * logic — the SQL-semantics corner that silently zeroes reports: when
     * the NOT IN subquery's projection can be NULL, `x NOT IN (set)` is

@@ -29,7 +29,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // returned frame is a materialized checkpoint) — its pair-graph build
   // is audited via dedup_ngram_jaccard and its propagation via
   // Round6OpsSpec's planted graphs.
-  private val skip = Set("dedup_cluster_canonical", "graph_pagerank") ++
+  // graph_label_propagation: same iterative-construction shape (eager
+  // edge-cache count inside; the returned frame is a materialized
+  // checkpoint) — pair-graph build audited via dedup_ngram_jaccard.
+  private val skip = Set("dedup_cluster_canonical", "graph_pagerank",
+    "graph_label_propagation") ++
     SparkEntry.queries.keys.filter(_.startsWith("cdc_stream_"))
 
   /** Queries that INTENTIONALLY broadcast a one-row (or dim-sized) frame

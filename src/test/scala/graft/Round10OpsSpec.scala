@@ -160,6 +160,43 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("label propagation: cliques collapse to min id; star oscillation is pinned") {
+    val s = spark
+    import s.implicits._
+    // two disjoint triangles: each must collapse to its min id (stable
+    // from round 2, so the fixed 4 rounds land on the fixpoint)
+    val cliques = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.llm.GraphOps.labelPropagationOnPairs(spark, cliques)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // star: synchronous LPA oscillates (leaves take the hub's label,
+    // the hub takes the smallest leaf's) — the EVEN round count pins
+    // the final state deterministically: hub back to 0, leaves at 1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("doc_a", "doc_b")
+    val g2 = graft.llm.GraphOps.labelPropagationOnPairs(spark, star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("cdc_stream_join_semi equals the batch semi join") {
+    val s = spark
+    import s.implicits._
+    val got = graft.cdc.StreamingLatest.streamJoinSemi(spark, sf).collect().toSeq
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"), $"user_id".as("p_user"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"ts".as("c_ts"), $"user_id".as("c_user"))
+    val expected = p.join(c,
+        expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"),
+        "left_semi")
+      .select($"p_id".as("purchase_event_id"), $"p_user".as("user_id"),
+        unix_micros($"p_ts").as("p_ts_us"))
+      .orderBy($"purchase_event_id").collect().toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("mm_audio_silence plans no shuffle beyond the presentation sort") {
     val plan = MultiModal.audioSilence(spark, sf)
       .queryExecution.executedPlan.toString
