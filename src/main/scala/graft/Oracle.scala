@@ -2867,6 +2867,104 @@ $iters
                      THEN 'high' ELSE 'low' END AS price_band
          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "ts_downsample_ohlc" ->
+      // first_value/last_value window twin over the identical
+      // (ts, event_id) total order; values 1e-4 quantized to integers
+      """WITH t AS (
+           SELECT user_id,
+                  epoch_us(ts) // 3600000000 AS hour_bucket,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vu,
+                  first_value(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) OVER w AS open_u,
+                  last_value(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) OVER w AS close_u
+           FROM events WHERE user_id % 50 = 0
+           WINDOW w AS (PARTITION BY user_id, epoch_us(ts) // 3600000000
+                        ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         SELECT user_id, hour_bucket,
+                CAST(min(open_u) AS BIGINT) AS open_u,
+                CAST(min(close_u) AS BIGINT) AS close_u,
+                CAST(max(vu) AS BIGINT) AS high_u,
+                CAST(min(vu) AS BIGINT) AS low_u,
+                count(*) AS n_ticks
+         FROM t GROUP BY user_id, hour_bucket
+         ORDER BY user_id, hour_bucket""",
+
+    "sql_analyze_stats" ->
+      // recompute the EXACT stats ANALYZE collected — a hash match
+      // proves the optimizer's inputs (row count, col min/max, nulls)
+      // describe the data truthfully
+      """SELECT count(*) AS row_count,
+                min(o_custkey) AS min_custkey,
+                max(o_custkey) AS max_custkey,
+                CAST(count(*) - count(o_custkey) AS BIGINT) AS null_custkey
+         FROM orders""",
+
+    "typed_sorted_streaks" ->
+      // lag/cumsum islands twin of the sorted-iterator fold: a
+      // non-increase starts a new island; longest island per user
+      """WITH e AS (
+           SELECT user_id, value,
+                  row_number() OVER w AS rn,
+                  lag(value) OVER w AS pv
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         g AS (
+           SELECT user_id, rn,
+                  sum(CASE WHEN pv IS NULL OR value <= pv THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           FROM e),
+         runs AS (SELECT user_id, grp, count(*) AS len
+                  FROM g GROUP BY user_id, grp)
+         SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+                CAST(sum(len) AS BIGINT) AS n_events
+         FROM runs GROUP BY user_id ORDER BY user_id""",
+
+    "typed_cogroup_sorted" ->
+      // union + lag twin of the two-iterator merge scan: the merged
+      // (ts, event_id) order is total (event_id unique), so "purchase
+      // immediately preceded by a click" is exact on both engines
+      """WITH m AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt
+           FROM events WHERE event_type IN ('purchase', 'click'))
+         SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+                CAST(sum(CASE WHEN event_type = 'purchase' AND pt = 'click'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS click_then_purchase
+         FROM m GROUP BY user_id ORDER BY user_id""",
+
+    "layout_rebalance_write" ->
+      // the oracle aggregates the ORIGINAL table — a hash match proves
+      // the AQE-rebalanced rewrite moved bytes, never values
+      """SELECT l_returnflag, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "cdc_stream_join_full" ->
+      // finalized-horizon twin, BOTH null sides: a null-click purchase
+      // finalizes when the watermark passes p_ts (as in the left
+      // outer); a null-purchase click only when it passes c_ts + 1h
+      // (its matches lie in its future) — per-side horizons from the
+      // same end-of-replay watermark
+      """WITH p AS (SELECT event_id AS p_id, ts AS p_ts, user_id AS p_user
+                    FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS c_id, ts AS c_ts, user_id AS c_user
+                    FROM events WHERE event_type = 'click'),
+            wm AS (SELECT least((SELECT max(epoch_us(p_ts)) FROM p),
+                                (SELECT max(epoch_us(c_ts)) FROM c))
+                          - 3600000000 AS w)
+         SELECT p.p_id AS purchase_event_id, c.c_id AS click_event_id
+         FROM p FULL JOIN c
+           ON p.p_user = c.c_user
+          AND epoch_us(c.c_ts) BETWEEN epoch_us(p.p_ts) - 3600000000 AND epoch_us(p.p_ts)
+         WHERE (p.p_id IS NOT NULL AND c.c_id IS NOT NULL)
+            OR (c.c_id IS NULL AND epoch_us(p.p_ts) < (SELECT w FROM wm))
+            OR (p.p_id IS NULL AND epoch_us(c.c_ts) + 3600000000 < (SELECT w FROM wm))
+         ORDER BY purchase_event_id NULLS FIRST, click_event_id NULLS FIRST""",
+
     "cdc_stream_join_semi" ->
       // batch semi-join twin, NO horizon restriction: every candidate
       // click lies in the purchase's past hour and the replay is

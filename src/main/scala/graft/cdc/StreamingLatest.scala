@@ -448,6 +448,58 @@ object StreamingLatest {
       .orderBy($"purchase_event_id", $"click_event_id")
   }
 
+  /** `cdc_stream_join_full`: watermarked stream-stream FULL OUTER
+    * interval join — both unmatched sides survive with nulls, each
+    * finalized by its OWN watermark horizon: a purchase with no click
+    * is emittable once the watermark passes `p_ts` (future clicks have
+    * `c_ts ≥ wm > p_ts`, outside the window — same rule as the left
+    * outer), while a click with no purchase must wait until the
+    * watermark passes `c_ts + 1 h` (its matches lie in its FUTURE:
+    * `p_ts ∈ [c_ts, c_ts+1h]`). The asymmetry is the point — the same
+    * interval condition finalizes at different horizons per side, and
+    * the closed-form oracle states both predicates below the
+    * end-of-replay watermark. Trailing no-data batch KEPT (null
+    * emissions happen on state eviction). */
+  def streamJoinFull(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
+    import spark.implicits._
+    val runDir = jvmTmpDir("runjf")
+    val inDir   = stagedEventLog(spark, sfDir)
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type").schema
+
+    def src() = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val purchases = src().filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"), $"user_id".as("p_user"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src().filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"ts".as("c_ts"), $"user_id".as("c_user"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"),
+      "full_outer")
+      .select($"p_id".as("purchase_event_id"), $"c_id".as("click_event_id"))
+
+    val q = joined.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    rmTree(Paths.get(ckptDir)) // the staged log is shared; keep it
+
+    spark.read.parquet(outDir)
+      .orderBy($"purchase_event_id".asc_nulls_first, $"click_event_id".asc_nulls_first)
+  }
+
   /** `cdc_stream_join_semi`: watermarked stream-stream LEFT SEMI
     * interval join — completing the stream-stream join-type matrix
     * (inner / left outer / left semi): purchases that had AT LEAST one

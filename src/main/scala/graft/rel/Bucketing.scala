@@ -251,4 +251,72 @@ object Bucketing {
         d
       }) + "/compacted"
   }
+
+  private val stagedRebal =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** `layout_rebalance_write`: AQE-rebalanced skew-proof write — the
+    * layout answer when the NATURAL write key is heavily skewed:
+    * `repartition(l_returnflag)` would put each of the 3 flag values in
+    * ONE fat task/file (the classic skewed-writer stall, and at 100 TB
+    * a multi-GB file no reader parallelizes), while the `REBALANCE(key)`
+    * hint lets AQE split oversized key partitions into
+    * advisory-byte-sized pieces AND coalesce tiny ones — key-clustered
+    * layout without key-sized files. The advisory size is pinned low
+    * during staging so the mechanism is exercised at fixture scale
+    * (production keeps the 64 MB default); Round10OpsSpec asserts every
+    * flag's rows land in ≥2 files (the split happened) with no file
+    * over the advisory ceiling's row equivalent. The declared query
+    * aggregates the re-read staged copy; the oracle aggregates the
+    * ORIGINAL lineitem — a hash match proves rebalancing moved bytes,
+    * never values. */
+  def rebalanceWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    spark.read.parquet(rebalancedDir(spark, sfDir))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast(DecimalType(18, 4))).cast(DoubleType).as("sum_qty"),
+        min($"l_orderkey").as("min_key"), max($"l_orderkey").as("max_key"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Staged REBALANCE(l_returnflag) copy of lineitem (once per session ×
+    * sfDir); exposed for the spec's file-level balance assertions. */
+  private[graft] def rebalancedDir(spark: SparkSession, sfDir: String): String = {
+    graft.SessionCache.prunePaths(stagedRebal, (spark, sfDir))
+    stagedRebal.computeIfAbsent(
+      (spark, sfDir),
+      _ => {
+        val d = graft.StageDirs.fresh("graft-rebal").toString
+        // pinned LOW so the skew-split mechanism is exercised even at
+        // the sf0.001 smoke fixture (whose per-flag shuffle blocks
+        // compress to a few KB); production keeps the 64 MB default
+        val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        val prev = spark.conf.get(advisoryKey)
+        spark.conf.set(advisoryKey, "2048")
+        try {
+          // AQE splits a rebalance partition at MAPPER-BLOCK granularity,
+          // and an adjacent repartition(8) would just COLLAPSE into the
+          // rebalance exchange (leaving the smoke fixture's single-file
+          // scan = one mapper = nothing to split), so the many-mapper
+          // reality of a production shuffle is staged as 8 physical
+          // shard files first — the same "damage" idiom compactFiles
+          // uses, here modeling a normal multi-file input
+          Tables.lineitem(spark, sfDir)
+            .select(org.apache.spark.sql.functions.col("l_orderkey"),
+              org.apache.spark.sql.functions.col("l_returnflag"),
+              org.apache.spark.sql.functions.col("l_quantity"))
+            .repartition(8)
+            .write.mode("overwrite").parquet(s"$d/shards")
+          spark.read.parquet(s"$d/shards")
+            .createOrReplaceTempView("graft_rebal_src")
+          spark.sql(
+            "SELECT /*+ REBALANCE(l_returnflag) */ * FROM graft_rebal_src")
+            .write.mode("overwrite").parquet(s"$d/rebalanced")
+        } finally spark.conf.set(advisoryKey, prev)
+        d
+      }) + "/rebalanced"
+  }
 }

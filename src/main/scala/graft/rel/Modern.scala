@@ -558,6 +558,37 @@ object Modern {
         expr(s"(m * m * 5 + m * 13 + 17) % $P % 10000").as("y"))
   }
 
+  /** `ts_downsample_ohlc`: bucketed OHLC downsampling — the candle/
+    * summary-bar shape every metrics store and financial pipeline
+    * materializes when raw ticks outgrow the query layer: per
+    * (user, hour), OPEN (first value in (ts, event_id) order), CLOSE
+    * (last), HIGH/LOW (max/min), volume (count). First/last are
+    * `min_by`/`max_by` over a `struct(ts_us, event_id)` ordering key —
+    * a map-side-combinable argmin/argmax, NOT a window sort: at 100 TB
+    * the difference between one partial-aggregated exchange carrying
+    * 5 numbers per bucket and sorting every tick. Values are 1e-4
+    * quantized (integer units) so first/last survive cross-engine
+    * float formatting exactly; the oracle is the first_value/last_value
+    * window twin over the identical total order. */
+  def tsDownsampleOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = struct(unix_micros($"ts").as("u"), $"event_id")
+    graft.Tables.events(spark, sfDir)
+      .filter($"user_id" % 50 === 0)
+      .select($"user_id",
+        expr("unix_micros(ts) div 3600000000").as("hour_bucket"),
+        $"event_id", $"ts",
+        (floor($"value" * 10000.0 + 0.5)).cast(LongType).as("vu"))
+      .groupBy($"user_id", $"hour_bucket")
+      .agg(
+        min_by($"vu", ord).as("open_u"),
+        max_by($"vu", ord).as("close_u"),
+        max($"vu").as("high_u"),
+        min($"vu").as("low_u"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy($"user_id", $"hour_bucket")
+  }
+
   /** `ts_gapfill_interpolate`: time-series resampling — densify each
     * user's value series onto a regular hourly grid and LINEARLY
     * INTERPOLATE the gaps, the gap-fill every metrics/feature pipeline

@@ -361,6 +361,38 @@ object SqlSurface {
         |ORDER BY channel, priority_boost""".stripMargin)
   }
 
+  /** `sql_analyze_stats`: `ANALYZE TABLE ... COMPUTE STATISTICS` (+ FOR
+    * COLUMNS) — the stats-collection pillar of running at 100 TB: the
+    * CBO's row counts and column min/max (join reorder, broadcast
+    * decisions, partition-pruning estimates) all come from this command.
+    * The declared query reads the collected stats BACK through the
+    * public `DESCRIBE TABLE EXTENDED` surfaces and emits the EXACT ones
+    * (row count, column min/max/null count — approximate NDV is
+    * deliberately excluded); the DuckDB oracle recomputes them from the
+    * data, so a hash match proves ANALYZE measured the table correctly
+    * — i.e. the optimizer is being fed truth. All plumbing is
+    * declarative (pivot + regexp over DESCRIBE's rows), no collect. */
+  def analyzeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql("ANALYZE TABLE graft.orders COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE graft.orders COMPUTE STATISTICS FOR COLUMNS o_custkey")
+    val rowCount = spark.sql("DESCRIBE TABLE EXTENDED graft.orders")
+      .filter($"col_name" === "Statistics")
+      .select(org.apache.spark.sql.functions
+        .regexp_extract($"data_type", "(\\d+) rows", 1)
+        .cast("long").as("row_count"))
+    val colStats = spark.sql("DESCRIBE TABLE EXTENDED graft.orders o_custkey")
+      .groupBy()
+      .pivot("info_name", Seq("min", "max", "num_nulls"))
+      .agg(org.apache.spark.sql.functions.first($"info_value"))
+      .select($"min".cast("long").as("min_custkey"),
+        $"max".cast("long").as("max_custkey"),
+        $"num_nulls".cast("long").as("null_custkey"))
+    rowCount.crossJoin(colStats)
+  }
+
   /** `join_null_aware_anti`: NOT IN vs NOT EXISTS under three-valued
     * logic — the SQL-semantics corner that silently zeroes reports: when
     * the NOT IN subquery's projection can be NULL, `x NOT IN (set)` is

@@ -48,7 +48,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // 8-row centroid panel broadcast against the corpus scan (the
     // distributed k-means shape); the constant-size build side makes
     // the nested loop a per-row 8-way compare, not a quadratic join
-    "vec_kmeans_lloyd")
+    "vec_kmeans_lloyd",
+    // 1-row DESCRIBE-stats frame × 1-row column-stats frame: a
+    // constant fold over catalog metadata, no data-sized side exists
+    "sql_analyze_stats")
 
   test("no declared batch query plans an accidental cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

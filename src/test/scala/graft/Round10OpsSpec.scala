@@ -197,6 +197,31 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("layout_rebalance_write splits each skewed key across multiple balanced files") {
+    val s = spark
+    import s.implicits._
+    val dir = graft.rel.Bucketing.rebalancedDir(spark, sf)
+    val perFile = spark.read.parquet(dir)
+      .groupBy($"l_returnflag", col("_metadata.file_name").as("f"))
+      .count()
+    // the point of REBALANCE over repartition(key): each of the 3 flag
+    // values must NOT sit in one fat file
+    val filesPerFlag = perFile.groupBy($"l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(filesPerFlag.size == 3, s"expected 3 flags, got $filesPerFlag")
+    filesPerFlag.foreach { case (flag, nf) =>
+      assert(nf >= 2, s"flag $flag landed in one file — rebalance split didn't happen")
+    }
+    // and the split pieces are balanced: no file more than 4x the median
+    val counts = perFile.select($"count").collect().map(_.getLong(0)).sorted
+    val median = counts(counts.length / 2)
+    assert(counts.last <= median * 4,
+      s"rebalanced files unbalanced: max ${counts.last} vs median $median")
+    // values unchanged (the oracle proves this cross-engine; this is the
+    // fast in-suite guard): row count equals the source
+    assert(spark.read.parquet(dir).count() == Tables.lineitem(spark, sf).count())
+  }
+
   test("mm_audio_silence plans no shuffle beyond the presentation sort") {
     val plan = MultiModal.audioSilence(spark, sf)
       .queryExecution.executedPlan.toString
