@@ -132,7 +132,17 @@ object DevScale {
     // doc + in-row run fold — no shuffle to grow, should stay flat) and
     // the line-oriented text source (staging is untimed warm-up; the
     // timed pass is the line scan + split + bucket agg)
-    "mm_audio_silence", "source_text_lines")
+    "mm_audio_silence", "source_text_lines",
+    // round 13 later batches: the typed sorted-group folds (engine
+    // secondary sort; 10x events per user stresses per-group depth),
+    // OHLC argmin/argmax downsampling (map-side combinable), the
+    // AQE-rebalanced write's read-back aggregate (staging memoized),
+    // and dynamic-gap sessions (session merge depth grows with per-user
+    // density). graph_label_propagation stays out with pagerank: the
+    // cloned corpus makes its pair graph quadratic by fixture artifact;
+    // sql_* and table_transpose are thin wrappers over audited plans.
+    "typed_sorted_streaks", "typed_cogroup_sorted", "ts_downsample_ohlc",
+    "layout_rebalance_write", "window_session_dynamic")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

@@ -2867,6 +2867,62 @@ $iters
                      THEN 'high' ELSE 'low' END AS price_band
          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "window_session_dynamic" ->
+      // running-max islands twin of dynamic-gap session merging: an
+      // event extends the session iff it starts BEFORE the running max
+      // of (ts + its own gap); equality starts a new session (half-open
+      // gap windows). 15 min for purchases, 45 min otherwise.
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS u,
+                  CASE WHEN event_type = 'purchase'
+                       THEN 900000000 ELSE 2700000000 END AS gap,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vu
+           FROM events),
+         m AS (
+           SELECT *, max(u + gap) OVER
+             (PARTITION BY user_id ORDER BY u, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           FROM e),
+         s AS (
+           SELECT *, sum(CASE WHEN prev_end IS NULL OR u >= prev_end
+                              THEN 1 ELSE 0 END) OVER
+             (PARTITION BY user_id ORDER BY u, event_id) AS sid
+           FROM m)
+         SELECT user_id, min(u) AS session_start_us,
+                CAST(max(u + gap) AS BIGINT) AS session_end_us,
+                count(*) AS n_events, CAST(sum(vu) AS BIGINT) AS sum_vu
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start_us""",
+
+    "table_transpose" ->
+      // the transposed report restated: one UNION ALL branch per metric
+      // row, statuses as columns — row order pinned by the key sort
+      """WITH base AS (
+           SELECT o_orderstatus,
+                  CAST(count(*) AS DOUBLE) AS n_orders,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
+                  CAST(min(o_orderkey) AS DOUBLE) AS min_key
+           FROM orders GROUP BY o_orderstatus)
+         SELECT key, F, O, P FROM (
+           SELECT 'min_key' AS key,
+                  max(CASE WHEN o_orderstatus = 'F' THEN min_key END) AS F,
+                  max(CASE WHEN o_orderstatus = 'O' THEN min_key END) AS O,
+                  max(CASE WHEN o_orderstatus = 'P' THEN min_key END) AS P
+           FROM base
+           UNION ALL
+           SELECT 'n_orders',
+                  max(CASE WHEN o_orderstatus = 'F' THEN n_orders END),
+                  max(CASE WHEN o_orderstatus = 'O' THEN n_orders END),
+                  max(CASE WHEN o_orderstatus = 'P' THEN n_orders END)
+           FROM base
+           UNION ALL
+           SELECT 'sum_price',
+                  max(CASE WHEN o_orderstatus = 'F' THEN sum_price END),
+                  max(CASE WHEN o_orderstatus = 'O' THEN sum_price END),
+                  max(CASE WHEN o_orderstatus = 'P' THEN sum_price END)
+           FROM base)
+         ORDER BY key""",
+
     "ts_downsample_ohlc" ->
       // first_value/last_value window twin over the identical
       // (ts, event_id) total order; values 1e-4 quantized to integers

@@ -558,6 +558,56 @@ object Modern {
         expr(s"(m * m * 5 + m * 13 + 17) % $P % 10000").as("y"))
   }
 
+  /** `window_session_dynamic`: DYNAMIC-GAP session windows — the
+    * sessionization real products need (a purchase closes a session in
+    * 15 minutes, browsing keeps it open for 45): `session_window(ts,
+    * gapExpr)` takes the gap PER EVENT, so the merge rule becomes
+    * "extend while the next event starts before the running max of
+    * event-end = ts + its own gap" — which is exactly the running-max
+    * islands formulation the oracle states (strict merge: an event AT
+    * the session end starts a new session — gap windows are half-open).
+    * One user-keyed exchange; the fixed-gap variants live in
+    * `join_interval_overlap` (batch) and `cdc_stream_sessionize`
+    * (streaming). Values 1e-4 integer-quantized for the exact sum. */
+  def windowSessionDynamic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gap = when($"event_type" === "purchase", lit("15 minutes"))
+      .otherwise(lit("45 minutes"))
+    Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", gap).as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor($"value" * 10000.0 + 0.5).cast(LongType)).as("sum_vu"))
+      .select($"user_id",
+        unix_micros($"sw.start").as("session_start_us"),
+        unix_micros($"sw.end").as("session_end_us"),
+        $"n_events", $"sum_vu")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
+  /** `table_transpose`: `DataFrame.transpose` (Spark 4) — the
+    * report-shaping pivot that swaps rows and columns: a 3-row
+    * per-status metrics frame becomes metrics-as-rows ×
+    * statuses-as-columns (the layout a dashboard or spreadsheet export
+    * wants). Transpose is driver-light sugar over a tiny aggregated
+    * frame — the aggregate below it is the distributed work — and the
+    * index column's VALUES become the output schema, so it only
+    * belongs on small, bounded frames (here: 3 statuses). The oracle
+    * restates the transposed table as conditional aggregates, one
+    * UNION ALL branch per metric row. */
+  def tableTranspose(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n_orders"),
+        round(sum($"o_totalprice".cast(DecimalType(18, 4))).cast(DoubleType), 4)
+          .as("sum_price"),
+        min($"o_orderkey").cast(DoubleType).as("min_key"))
+      .orderBy($"o_orderstatus")
+      .transpose($"o_orderstatus")
+      .orderBy($"key")
+  }
+
   /** `ts_downsample_ohlc`: bucketed OHLC downsampling — the candle/
     * summary-bar shape every metrics store and financial pipeline
     * materializes when raw ticks outgrow the query layer: per
