@@ -2867,6 +2867,40 @@ $iters
                      THEN 'high' ELSE 'low' END AS price_band
          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "agg_grouping_id" ->
+      // the bitmask recomputed as 2·grouping(a) + grouping(b) —
+      // engine-independent arithmetic over the same cube; '~' stands in
+      // for the rolled-up NULL so a real value can never collide
+      """SELECT CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS INTEGER) AS level_id,
+                CAST(grouping(o_orderstatus) AS INTEGER) AS status_rolled,
+                CAST(grouping(o_orderpriority) AS INTEGER) AS priority_rolled,
+                coalesce(o_orderstatus, '~') AS orderstatus,
+                coalesce(o_orderpriority, '~') AS orderpriority,
+                count(*) AS n_orders
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         HAVING 2 * grouping(o_orderstatus) + grouping(o_orderpriority) > 0
+         ORDER BY level_id, orderstatus, orderpriority""",
+
+    "map_str_to_map" ->
+      // recompute every output from the SOURCE columns — the parse must
+      // exactly invert the construction (url_parse_funcs pattern)
+      """SELECT doc_id,
+                'lang|len|src' AS keys_sorted,
+                lang, source AS src,
+                CAST(length(text) AS INTEGER) AS text_len,
+                3 AS n_keys
+         FROM documents ORDER BY doc_id""",
+
+    "source_json_multiline" ->
+      // aggregate the ORIGINAL table — a hash match proves the
+      // pretty-printed-array render/parse cycle lossless
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                count(DISTINCT o_custkey) AS n_cust,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
     "window_session_dynamic" ->
       // running-max islands twin of dynamic-gap session merging: an
       // event extends the session iff it starts BEFORE the running max

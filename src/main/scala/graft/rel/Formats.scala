@@ -457,6 +457,54 @@ object Formats {
       .orderBy($"doc_id")
   }
 
+  private val stagedMlJson =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** `source_json_multiline`: multiLine JSON — the OTHER json read mode:
+    * line-delimited JSONL (the default, one record per line, splittable
+    * within a file) vs one pretty-printed JSON ARRAY per file (the
+    * API-export / config-dump shape, `multiLine=true`, parallel only
+    * ACROSS files because a file must parse as one value — which is why
+    * a 100 TB ingest converts such dumps to JSONL once and the
+    * quarantine path `source_json_corrupt_quarantine` handles the rest).
+    * Staging renders orders rows to an indented array per partition
+    * file; the declared query reads it back under an explicit schema
+    * and aggregates; the oracle aggregates the ORIGINAL table — a hash
+    * match proves the render/parse cycle lossless across all four field
+    * types. */
+  def jsonMultiline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.SessionCache.prunePaths(stagedMlJson, (spark, sfDir))
+    val dir = stagedMlJson.computeIfAbsent((spark, sfDir), _ => {
+      val d = graft.StageDirs.fresh("graft-mljson").toString
+      Tables.orders(spark, sfDir)
+        .select(to_json(struct($"o_orderkey", $"o_custkey",
+          $"o_orderstatus", $"o_totalprice".cast("double").as("o_totalprice")))
+          .as("j"))
+        .as[String]
+        .mapPartitions { it =>
+          // one indented JSON array per partition file (empty
+          // partitions yield no file rather than an invalid "[]"-less
+          // fragment); embedded newlines are the point of the exercise
+          if (it.hasNext) Iterator.single(it.mkString("[\n  ", ",\n  ", "\n]"))
+          else Iterator.empty
+        }
+        .write.mode("overwrite").text(s"$d/mljson")
+      s"$d/mljson"
+    })
+    spark.read
+      .option("multiLine", "true")
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .json(dir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_cust"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus")
+  }
+
   private val stagedJsonl =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

@@ -558,6 +558,31 @@ object Modern {
         expr(s"(m * m * 5 + m * 13 + 17) % $P % 10000").as("y"))
   }
 
+  /** `map_str_to_map`: `str_to_map` — the config/tag-string parser
+    * (k:v pair lists are how crawl metadata, HTTP headers, and job
+    * properties arrive as single columns): a metadata string assembled
+    * from doc attributes is parsed back with explicit pair/kv
+    * delimiters, keys enumerated in sorted order, values extracted
+    * typed. The oracle recomputes every output from the SOURCE columns
+    * — a hash match proves the parse exactly inverts the construction
+    * (the `url_parse_funcs` proof pattern). */
+  def mapStrToMap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        concat(lit("lang:"), $"lang", lit(",src:"), $"source",
+          lit(",len:"), length($"text")).as("cfg"))
+      .select($"doc_id",
+        expr("str_to_map(cfg, ',', ':')").as("m"))
+      .select($"doc_id",
+        concat_ws("|", array_sort(map_keys($"m"))).as("keys_sorted"),
+        $"m".getItem("lang").as("lang"),
+        $"m".getItem("src").as("src"),
+        $"m".getItem("len").cast(IntegerType).as("text_len"),
+        size($"m").as("n_keys"))
+      .orderBy($"doc_id")
+  }
+
   /** `window_session_dynamic`: DYNAMIC-GAP session windows — the
     * sessionization real products need (a purchase closes a session in
     * 15 minutes, browsing keeps it open for 45): `session_window(ts,

@@ -419,6 +419,36 @@ object Relational {
       .orderBy($"orderstatus", $"orderpriority")
   }
 
+  /** `agg_grouping_id`: `grouping()` / `grouping_id()` over a cube —
+    * the level-identification functions that make multi-level
+    * aggregates machine-consumable: `coalesce(col, 'ALL')` (the
+    * aggCube idiom) cannot distinguish a REAL 'ALL' value from a
+    * rolled-up level, while grouping bits can. Emits each cube row's
+    * level bitmask plus per-column grouping flags, and keeps only the
+    * subtotal levels (id > 0) — the standard "report the rollups,
+    * details live elsewhere" shape. Oracle recomputes the bitmask as
+    * `2·grouping(a) + grouping(b)` — engine-independent arithmetic over
+    * the same cube. */
+  def aggGroupingId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping_id().as("level_id"),
+        grouping($"o_orderstatus").as("status_rolled"),
+        grouping($"o_orderpriority").as("priority_rolled"),
+        count(lit(1)).as("n_orders"))
+      .filter(grouping_id() > 0)
+      .select(
+        $"level_id".cast(IntegerType).as("level_id"),
+        $"status_rolled".cast(IntegerType).as("status_rolled"),
+        $"priority_rolled".cast(IntegerType).as("priority_rolled"),
+        coalesce($"o_orderstatus", lit("~")).as("orderstatus"),
+        coalesce($"o_orderpriority", lit("~")).as("orderpriority"),
+        $"n_orders")
+      .orderBy($"level_id", $"orderstatus", $"orderpriority")
+  }
+
   /** `set_ops`: (BUILDING ∪ MACHINERY custkeys) ∖ big-spenders. Spark's
     * union is bag semantics, so distinct() restores set semantics before
     * the except. */
