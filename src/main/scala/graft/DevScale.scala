@@ -142,7 +142,12 @@ object DevScale {
     // cloned corpus makes its pair graph quadratic by fixture artifact;
     // sql_* and table_transpose are thin wrappers over audited plans.
     "typed_sorted_streaks", "typed_cogroup_sorted", "ts_downsample_ohlc",
-    "layout_rebalance_write", "window_session_dynamic")
+    "layout_rebalance_write", "window_session_dynamic",
+    // round 13 sixth batch: the cube-bitmask agg (bounded output), the
+    // per-doc config parse (projection-flat family), and the
+    // whole-file-per-task multiLine JSON read (staging memoized; the
+    // timed pass parses M× the array bytes across M× the files)
+    "agg_grouping_id", "map_str_to_map", "source_json_multiline")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
