@@ -2867,6 +2867,22 @@ $iters
                      THEN 'high' ELSE 'low' END AS price_band
          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "text_sentence_split" ->
+      // identical synth-punctuation + split + per-sentence stats; RE2
+      // 'g' replace is the same left-to-right non-overlapping scan
+      """WITH d AS (SELECT doc_id,
+                           regexp_replace(text, ' the ', '. ', 'g') AS t
+                    FROM documents),
+            s AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(t, '[.!?]+\s+'),
+                                     x -> length(x) > 0) AS sents
+                  FROM d)
+         SELECT doc_id, md5(sents[1]) AS first_sent_md5,
+                CAST(len(sents) AS BIGINT) AS n_sentences,
+                CAST(list_aggregate(list_transform(sents, x -> length(x)), 'max') AS INTEGER) AS max_sent_chars,
+                CAST(list_aggregate(list_transform(sents, x -> length(x)), 'sum') AS BIGINT) AS sum_sent_chars
+         FROM s WHERE len(sents) > 0 ORDER BY doc_id""",
+
     "agg_grouping_id" ->
       // the bitmask recomputed as 2·grouping(a) + grouping(b) —
       // engine-independent arithmetic over the same cube; '~' stands in

@@ -710,6 +710,34 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_sentence_split`: sentence segmentation — the boundary pass
+    * that runs BEFORE context-window chunking in a real corpus pipeline
+    * (chunk on sentence boundaries, not mid-sentence; see
+    * `text_chunk_windows` for the window pass itself): split on
+    * `[.!?]+\s+` runs (Java∩RE2 dialect), drop empties, report per-doc
+    * sentence count, max/total sentence chars, and the md5 of the FIRST
+    * sentence (pins content, not just shape). The fixture corpus ships
+    * without punctuation, so sentence boundaries are synthesized
+    * deterministically from the text itself (` the ` → `. `, the same
+    * build-from-columns idiom as the PII/URL fixtures) — variable
+    * per-doc sentence counts, exactly reproducible on both engines
+    * (left-to-right non-overlapping replace on each). */
+  def sentenceSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", regexp_replace($"text", " the ", ". ").as("t"))
+      .select($"doc_id",
+        filter(split($"t", "[.!?]+\\s+"), s => length(s) > 0).as("sents"))
+      .filter(size($"sents") > 0)
+      .select($"doc_id", md5(element_at($"sents", 1)).as("first_sent_md5"),
+        posexplode($"sents").as(Seq("p", "s")))
+      .groupBy($"doc_id", $"first_sent_md5")
+      .agg(count(lit(1)).as("n_sentences"),
+        max(length($"s")).as("max_sent_chars"),
+        sum(length($"s")).cast(LongType).as("sum_sent_chars"))
+      .orderBy($"doc_id")
+  }
+
   /** `text_chunk_windows`: context-window chunking — each document cut
     * into fixed-size token windows with overlap (size 32, stride 24),
     * the shape every training-data tokenization pipeline feeds the
