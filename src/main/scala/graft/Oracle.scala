@@ -2856,14 +2856,17 @@ $iters
       // the explicit form GROUP BY ALL / ORDER BY ALL / lateral aliases
       // must resolve to — keys listed positionally, every derived
       // column written out (the avg repeats inside the CASE; Spark's
-      // lateral alias chain is analysis-time sugar over exactly this)
+      // lateral alias chain is analysis-time sugar over exactly this).
+      // Integer-only hashed surface: exact 1e-4 BIGINT units for the
+      // sum, HALF_UP avg as (2p+q)//(2q) — no double anywhere, so no
+      // DuckDB-build 1-ulp divergence (the r10 driver mismatch).
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
                 count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-                floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                      / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_price,
-                CASE WHEN floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                           / count(*) * 10000.0 + 0.5) / 10000.0 >= 150000.0
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4,
+                (2 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) + count(*))
+                  // (2 * count(*)) AS avg_price_e4,
+                CASE WHEN (2 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) + count(*))
+                          // (2 * count(*)) >= 1500000000
                      THEN 'high' ELSE 'low' END AS price_band
          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
 

@@ -20,8 +20,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     their blocks until an unrelated insert crossed the old threshold;
   *  2. only if LIVE entries still exceed the cap are OTHER keys evicted
   *     one at a time — the caller's own key survives, and a concurrent
-  *     live session loses at most its memo (the artifact is lazily
-  *     rebuilt on its next access).
+  *     live session loses ONLY its memo reference, never its blocks:
+  *     eager release (unpersist / checkpoint-block free) runs solely for
+  *     stopped-session entries, because a localCheckpoint-backed frame
+  *     has truncated lineage — freeing its blocks while another live
+  *     session still holds the DataFrame fails that session mid-query
+  *     with missing-block errors rather than "lazily rebuilding". Live
+  *     evictions leave reclamation to GC + ContextCleaner.
   *
   * `onEvict` releases the entry's resources (unpersist, checkpoint-block
   * free); failures are swallowed — eviction must proceed even when a
@@ -45,7 +50,10 @@ object SessionCache {
       val it = map.entrySet().iterator()
       while (map.size > cap && it.hasNext) {
         val e = it.next()
-        if (e.getKey != current) { release(e.getValue); it.remove() }
+        // drop only the memo reference for live sessions (no release):
+        // the owner may still hold the frame; its blocks are reclaimed
+        // by GC + ContextCleaner once truly unreferenced
+        if (e.getKey != current) it.remove()
       }
     }
   }

@@ -724,15 +724,21 @@ object TextOps {
     * (left-to-right non-overlapping replace on each). */
   def sentenceSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // The first-sentence md5 is derived POST-explode (max over the p==0
+    // row) rather than via element_at on the pre-explode array: an
+    // element_at + size>0 guard before the Generate gets the filter
+    // lambda alias-inlined twice into the pushed-down Filter condition
+    // (the PlanAuditSpec-banned blowup class). Non-outer posexplode
+    // already drops docs whose filtered array is empty, so no guard is
+    // needed — one lambda occurrence, one Generate, one aggregate.
     graft.Tables.documents(spark, sfDir)
       .select($"doc_id", regexp_replace($"text", " the ", ". ").as("t"))
       .select($"doc_id",
-        filter(split($"t", "[.!?]+\\s+"), s => length(s) > 0).as("sents"))
-      .filter(size($"sents") > 0)
-      .select($"doc_id", md5(element_at($"sents", 1)).as("first_sent_md5"),
-        posexplode($"sents").as(Seq("p", "s")))
-      .groupBy($"doc_id", $"first_sent_md5")
-      .agg(count(lit(1)).as("n_sentences"),
+        posexplode(filter(split($"t", "[.!?]+\\s+"), s => length(s) > 0))
+          .as(Seq("p", "s")))
+      .groupBy($"doc_id")
+      .agg(max(when($"p" === 0, md5($"s"))).as("first_sent_md5"),
+        count(lit(1)).as("n_sentences"),
         max(length($"s")).as("max_sent_chars"),
         sum(length($"s")).cast(LongType).as("sum_sent_chars"))
       .orderBy($"doc_id")

@@ -98,13 +98,17 @@ object VectorOps {
     * stats, all per vector — embarrassingly parallel, no shuffle. */
   def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val asD = transform($"embedding", x => x.cast(DoubleType))
-    val maxAbs = array_max(transform(asD, v => abs(v)))
+    // casts live INSIDE each lambda (abs-scan; quantize) over the raw
+    // float column — a shared transform(cast) alias would be inlined
+    // once per reference into one Project (the r11-extended PlanAudit
+    // rule); values are identical since float→double is exact
+    val maxAbs = array_max(transform($"embedding", v => abs(v.cast(DoubleType))))
     Tables.embeddings(spark, sfDir)
-      .select($"vec_id", asD.as("v"), (maxAbs / 127.0).as("scale"))
+      .select($"vec_id", $"embedding".as("v"), (maxAbs / 127.0).as("scale"))
       .filter($"scale" > 0.0)
       .select($"vec_id", graft.Det.r6s($"scale").as("scale_q"),
-        transform($"v", x => floor(x / $"scale" + 0.5).cast(IntegerType)).as("q"))
+        transform($"v", x => floor(x.cast(DoubleType) / $"scale" + 0.5)
+          .cast(IntegerType)).as("q"))
       .select($"vec_id", $"scale_q",
         aggregate($"q", lit(0L), (acc, x) => acc + x).as("q_sum"),
         array_min($"q").as("q_min"),

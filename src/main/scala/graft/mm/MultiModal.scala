@@ -435,11 +435,17 @@ object MultiModal {
       .select($"media_id", $"f".as("frame_idx"),
         $"text".substr($"f" * KeyframeLen + 1, lit(KeyframeLen)).as("fr"))
       .filter(length($"fr") > 0)
+      // ONE byteAt materialization + ONE fold carrying (Σx, Σx²) in a
+      // struct accumulator — two separate aggregate(byteAt(…)) columns
+      // would put two canonically-equal transform lambdas in one Project
+      // (the r11-extended PlanAudit rule) and scan the bytes twice
       .select($"media_id", $"frame_idx", length($"fr").cast(LongType).as("fr_len"),
-        aggregate(byteAt($"fr"), lit(0L), (a, v) => a + v).as("s1"),
-        aggregate(byteAt($"fr"), lit(0L), (a, v) => a + v * v).as("s2"))
-      .select($"media_id", $"frame_idx", $"fr_len", $"s1",
-        ($"fr_len" * $"s2" - $"s1" * $"s1").as("var_num"))
+        aggregate(byteAt($"fr"),
+          struct(lit(0L).as("s1"), lit(0L).as("s2")),
+          (a, v) => struct((a.getField("s1") + v).as("s1"),
+            (a.getField("s2") + v * v).as("s2"))).as("ss"))
+      .select($"media_id", $"frame_idx", $"fr_len", $"ss.s1".as("s1"),
+        ($"fr_len" * $"ss.s2" - $"ss.s1" * $"ss.s1").as("var_num"))
       .groupBy($"media_id")
       .agg(count(lit(1)).cast(IntegerType).as("n_frames"),
         min(struct((-$"var_num").as("nv"), $"frame_idx", $"fr_len", $"s1")).as("kf"))

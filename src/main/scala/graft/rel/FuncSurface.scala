@@ -321,19 +321,32 @@ object FuncSurface {
     * column — size/distinct/min/max/slice-sum, plus set ops against a
     * constant token array on documents is covered in TextOps; here the
     * numeric side. Float elements are cast to double before arithmetic
-    * (float→double is exact) so both engines sum identically. */
+    * (float→double is exact) so both engines sum identically. max/min
+    * ride the FLOAT array directly (cast after — monotone and exact, so
+    * value-identical) and the head-4 sum casts INSIDE its fold lambda:
+    * no shared transform(cast) alias, so nothing for the optimizer to
+    * inline N× into one Project (the r11-extended PlanAudit rule). */
   def arrayBasicOps(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val asD = transform($"embedding", x => x.cast(DoubleType))
+    // raw scans in one projection, signed rounding in the NEXT: Det.r4s
+    // references its input twice (signum + abs), and applied directly it
+    // would duplicate the fold lambda inside a single Project. Across a
+    // projection boundary CollapseProject keeps the non-cheap producer
+    // un-inlined when referenced more than once (SPARK-36718), so each
+    // array is scanned exactly once.
     Tables.embeddings(spark, sfDir)
       .select(
         $"vec_id",
         size($"embedding").as("n_dims"),
         size(array_distinct($"embedding")).as("n_distinct"),
-        graft.Det.r4s(array_max(asD)).as("max_v"),
-        graft.Det.r4s(array_min(asD)).as("min_v"),
-        graft.Det.r4s(aggregate(slice(asD, 1, 4), lit(0.0), (acc, v) => acc + v))
-          .as("head4_sum"))
+        array_max($"embedding").cast(DoubleType).as("max_raw"),
+        array_min($"embedding").cast(DoubleType).as("min_raw"),
+        aggregate(slice($"embedding", 1, 4), lit(0.0),
+          (acc, v) => acc + v.cast(DoubleType)).as("head4_raw"))
+      .select($"vec_id", $"n_dims", $"n_distinct",
+        graft.Det.r4s($"max_raw").as("max_v"),
+        graft.Det.r4s($"min_raw").as("min_v"),
+        graft.Det.r4s($"head4_raw").as("head4_sum"))
       .orderBy($"vec_id")
   }
 
@@ -391,17 +404,23 @@ object FuncSurface {
     * through Det rounding — same determinism story as array_basic_ops.
     * (These lambdas are CodegenFallback — fine for a per-row 64-element
     * projection; the HOT dedup/vector paths use the custom codegen
-    * expressions in graft.functions instead, per SURVEY §2.3.) */
+    * expressions in graft.functions instead, per SURVEY §2.3.) The
+    * float→double cast lives INSIDE each predicate/fold — four DISTINCT
+    * lambdas over the raw column, not four copies of a shared
+    * transform(cast) alias (the r11-extended PlanAudit rule), and each
+    * column now scans the array once with no intermediate array. */
   def arrayHofOps(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val asD = transform($"embedding", x => x.cast(DoubleType))
     Tables.embeddings(spark, sfDir)
       .select(
         $"vec_id",
-        size(filter(asD, v => v > lit(0.0))).as("n_pos"),
-        exists(asD, v => abs(v) > lit(0.25)).cast(IntegerType).as("has_big"),
-        forall(asD, v => abs(v) < lit(1.0)).cast(IntegerType).as("all_lt1"),
-        graft.Det.r4(aggregate(asD, lit(0.0), (acc, v) => acc + v * v,
+        size(filter($"embedding", v => v.cast(DoubleType) > lit(0.0))).as("n_pos"),
+        exists($"embedding", v => abs(v.cast(DoubleType)) > lit(0.25))
+          .cast(IntegerType).as("has_big"),
+        forall($"embedding", v => abs(v.cast(DoubleType)) < lit(1.0))
+          .cast(IntegerType).as("all_lt1"),
+        graft.Det.r4(aggregate($"embedding", lit(0.0),
+          (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType),
           acc => sqrt(acc))).as("l2_norm"))
       .orderBy($"vec_id")
   }

@@ -302,17 +302,21 @@ object SqlSurface {
     * resolve at ANALYSIS time into the exact explicit plan the oracle
     * states (DuckDB is where GROUP BY ALL originated), so the sugar
     * costs nothing at 100 TB: same pushdown, same two-phase aggregate.
-    * The avg is HALF_UP-rounded via the identical-IEEE floor(x·1e4+0.5)
-    * construction (Det.r4's SQL form) on both engines. */
+    * The hashed surface is INTEGER-ONLY (r10 driver lesson): the old
+    * floor(sum/count·1e4+0.5)/1e4 double chain was 1-ulp-sensitive
+    * across DuckDB builds, so the sum rides as exact 1e-4 BIGINT units
+    * (DECIMAL sum · 10000) and the HALF_UP average is pure integer
+    * arithmetic — (2p+q) div (2q) for positive p,q — bit-identical on
+    * any engine. price_band derives from the integer. */
   def groupByAll(spark: SparkSession, sfDir: String): DataFrame = {
     CatalogDdl.registerStarSchema(spark, sfDir)
     spark.sql(
-      """SELECT o_year, o_orderstatus, n_orders, sum_price,
-        |       floor(sum_price / n_orders * 10000.0 + 0.5) / 10000.0 AS avg_price,
-        |       CASE WHEN avg_price >= 150000.0 THEN 'high' ELSE 'low' END AS price_band
+      """SELECT o_year, o_orderstatus, n_orders, sum_price_e4,
+        |       (2 * sum_price_e4 + n_orders) DIV (2 * n_orders) AS avg_price_e4,
+        |       CASE WHEN avg_price_e4 >= 1500000000 THEN 'high' ELSE 'low' END AS price_band
         |FROM (SELECT year(o_orderdate) AS o_year, o_orderstatus,
         |             count(*) AS n_orders,
-        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4
         |      FROM graft.orders
         |      GROUP BY ALL)
         |ORDER BY ALL""".stripMargin)

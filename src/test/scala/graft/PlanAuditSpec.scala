@@ -144,29 +144,58 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("pipeline_corpus_build").contains("BroadcastHashJoin"))
   }
 
-  test("no Filter condition duplicates a higher-order lambda (alias-inlining blowup)") {
-    // The round-9 25× regression class: a filter over an ALIASED
-    // aggregate(transform(…)) column gets pushed below its projection and
-    // the whole interpreted lambda is inlined into the Filter condition —
-    // once per reference. Two canonically-equal higher-order subtrees in
-    // one Filter means some aliased lambda is being re-evaluated per
-    // filter call (and per output reference again); the fix is either a
-    // single-reference predicate, a codegen Expression, or a Generate
-    // boundary between the lambda and the filter.
+  /** The round-9 25× regression class, generalized past Filter (r10's
+    * rule caught Filter only; the same alias-inlining can land in
+    * Project/Aggregate/Generate): an ALIASED aggregate(transform(…))
+    * column referenced N times gets the whole interpreted lambda inlined
+    * N times into ONE operator's expressions. Two canonically-equal
+    * higher-order subtrees inside a single operator mean some lambda is
+    * re-evaluated per reference; the fix is a single-reference
+    * derivation, a codegen Expression, or a Generate boundary. Returns
+    * one line per (operator, duplicated lambda). */
+  private def duplicatedHofs(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
-    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    plan.collect { case op =>
+      op.expressions
+        .flatMap(_.collect { case h: HigherOrderFunction => h.canonicalized })
+        .groupBy(identity).toSeq.collect { case (expr, occ) if occ.size >= 2 =>
+          s"${op.nodeName}: ${occ.size}x ${expr.toString.take(120)}"
+        }
+    }.flatten
+  }
+
+  test("no operator duplicates a higher-order lambda (alias-inlining blowup)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
       .flatMap { case (name, fn) =>
-        fn(spark, sf).queryExecution.optimizedPlan.collect { case f: Filter =>
-          f.condition.collect { case h: HigherOrderFunction => h.canonicalized }
-            .groupBy(identity).collect { case (expr, occ) if occ.size >= 2 =>
-              s"$name: ${occ.size}x ${expr.toString.take(120)}"
-            }
-        }.flatten
+        duplicatedHofs(fn(spark, sf).queryExecution.optimizedPlan)
+          .map(line => s"$name → $line")
       }
     assert(offenders.isEmpty,
-      s"Filter conditions holding duplicated lambdas:\n${offenders.mkString("\n")}")
+      s"operators holding duplicated lambdas:\n${offenders.mkString("\n")}")
+  }
+
+  test("the duplicated-lambda detector fires on the pre-r11 sentence-split shape") {
+    // Regression fixture: the exact pre-fix text_sentence_split plan —
+    // element_at(sents, 1) + size(sents) > 0 over an ALIASED
+    // filter(split(…)) array. Pushdown inlines the filter lambda into
+    // both references; the detector must flag it (it shipped r10 red).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val old = graft.Tables.documents(spark, sf)
+      .select($"doc_id", regexp_replace($"text", " the ", ". ").as("t"))
+      .select($"doc_id",
+        filter(split($"t", "[.!?]+\\s+"), s => length(s) > 0).as("sents"))
+      .filter(size($"sents") > 0)
+      .select($"doc_id", md5(element_at($"sents", 1)).as("first_sent_md5"),
+        posexplode($"sents").as(Seq("p", "s")))
+    assert(duplicatedHofs(old.queryExecution.optimizedPlan).nonEmpty,
+      "detector no longer catches the known-bad aliased-lambda plan")
+    // and the SHIPPED query is clean under the same detector
+    assert(duplicatedHofs(SparkEntry.queries("text_sentence_split")(spark, sf)
+      .queryExecution.optimizedPlan).isEmpty,
+      "shipped text_sentence_split still duplicates a lambda")
   }
 
   test("the one intentional cartesian stays broadcast, never a shuffle cartesian") {

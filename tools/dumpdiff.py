@@ -11,8 +11,18 @@ import sys
 import duckdb
 
 def norm(v):
+    # Recursive: array-typed parquet columns surface as numpy arrays,
+    # whose != is elementwise (ambiguous truth value) — convert every
+    # sequence cell to a tuple of normalized values so comparison is
+    # scalar. numpy scalars normalize via item().
+    if hasattr(v, "item") and not hasattr(v, "__len__"):
+        v = v.item()
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
     return v
 
 def main(a, b):

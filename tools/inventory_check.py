@@ -26,6 +26,19 @@ def oracle_ids():
     src = open("src/main/scala/graft/Oracle.scala").read()
     return set(re.findall(r'"([a-z0-9_]+)"\s*->', src))
 
+# Queries deliberately shipped WITHOUT a DuckDB oracle twin (approx /
+# sketch / RNG / codec results a row-hash can't pin; each is
+# spec-verified instead — recounts, recall panels, golden bytes). Any
+# NEW query landing here without being added to this list is drift:
+# the correctness gate silently weakens to rows-only.
+NO_ORACLE_OK = {
+    "agg_approx_distinct", "agg_approx_percentile", "agg_count_min_sketch",
+    "agg_hll_sketch", "dedup_embed_cosine", "dedup_fuzzy_minhash",
+    "dedup_simhash", "mm_decode_stub", "mm_image_phash", "mm_resize_stub",
+    "sample_tablesample", "sim_ann_ivf", "sim_ann_lsh", "sim_ann_pq",
+    "text_fingerprint",
+}
+
 def main():
     survey, entry, oracle = survey_ids(), entry_ids(), oracle_ids()
     problems = []
@@ -36,6 +49,13 @@ def main():
     orphans = oracle - entry
     if orphans:
         problems.append(f"oracle SQL for undeclared queries: {sorted(orphans)}")
+    unlisted = entry - oracle - NO_ORACLE_OK
+    if unlisted:
+        problems.append(
+            f"declared queries with neither an oracle twin nor a NO_ORACLE_OK entry: {sorted(unlisted)}")
+    stale = NO_ORACLE_OK - entry | NO_ORACLE_OK & oracle
+    if stale:
+        problems.append(f"NO_ORACLE_OK entries that are stale (gone or now oracled): {sorted(stale)}")
     if problems:
         print("INVENTORY DRIFT:")
         for p in problems:

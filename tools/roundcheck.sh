@@ -1,0 +1,62 @@
+#!/usr/bin/env bash
+# Mechanized round-close checklist (SURVEY "End-of-round checklist"):
+#   1. tools/inventory_check.py exits 0        (SURVEY §2.2 ↔ SparkEntry ↔ Oracle)
+#   2. sbt test green                          (full suite)
+#   3. full Verify + tools/compare.py at sf0.01 all-pass
+#   4. bench JSON parses with no negative per-query values (sf0.001 run)
+#   5. stamp .roundcheck_ok with a hash of every .scala source
+#
+# The git pre-commit hook (tools/hooks/pre-commit) runs `--check` whenever
+# SparkEntry.scala or Oracle.scala is staged: it fails the commit unless
+# the stamp matches the CURRENT sources — i.e. the full gate ran AFTER the
+# last source edit. That is the mechanical form of the standing rule
+# "a query added after step 3 restarts the checklist", which was violated
+# by hand in rounds 9 and 10.
+#
+# Mid-round WIP commits that don't touch the correctness surface are
+# unaffected. A WIP commit that does may use SKIP_ROUNDCHECK=1 — but the
+# end-of-round snapshot commit must pass the full gate.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+STAMP=.roundcheck_ok
+SF=${ROUNDCHECK_SF:-/root/testdata/sf0.01}
+
+hash_sources() {
+  find src/main/scala src/test/scala -name '*.scala' -print0 | sort -z \
+    | xargs -0 sha256sum | sha256sum | cut -d' ' -f1
+}
+
+case "${1:-}" in
+  --check)
+    python3 tools/inventory_check.py
+    cur=$(hash_sources)
+    if [[ ! -f $STAMP ]] || [[ "$(cat "$STAMP")" != "$cur" ]]; then
+      echo "ROUNDCHECK STALE: .scala sources changed since the last full gate run."
+      echo "Run tools/roundcheck.sh (inventory -> sbt test -> Verify+compare@sf0.01 -> bench parse),"
+      echo "or for a mid-round WIP commit only: SKIP_ROUNDCHECK=1 git commit ..."
+      exit 1
+    fi
+    echo "roundcheck stamp fresh ($cur)"
+    ;;
+  "")
+    python3 tools/inventory_check.py
+    sbt -batch test
+    out=$(mktemp -d /tmp/roundcheck-verify.XXXXXX)
+    sbt -batch "runMain graft.Verify $SF $out"
+    python3 tools/compare.py "$SF" "$out"
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" \
+      | grep '^{' | tail -1 | python3 -c '
+import json, sys
+j = json.loads(sys.stdin.read())
+bad = {k: v for k, v in j.get("queries", {}).items() if not (v >= 0)}
+assert not bad, "bench negative/NaN timings: %r" % bad
+print("bench JSON ok: %s %s over %d queries" % (j["value"], j["unit"], len(j["queries"])))
+'
+    hash_sources > "$STAMP"
+    echo "ROUNDCHECK PASS — stamp $(cat "$STAMP")"
+    ;;
+  *)
+    echo "usage: tools/roundcheck.sh [--check]" >&2
+    exit 2
+    ;;
+esac
