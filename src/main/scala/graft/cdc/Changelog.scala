@@ -205,6 +205,38 @@ object Changelog {
       .orderBy($"purchase_event_id")
   }
 
+  /** `join_asof_tolerance`: as-of join with a MAX-GAP tolerance — the
+    * attribution window every real ad pipeline enforces (a 6-day-old
+    * click earns no credit). Same single-shuffle union-window
+    * formulation as [[asofAttribution]]; the 24 h tolerance is applied
+    * per-row AFTER the frame lookup (the lookup must stay
+    * unconditional — an out-of-window click still shadows older ones,
+    * it just attributes nothing). Unmatched purchases survive with
+    * NULL attribution columns and in_window = 0 — left-join
+    * semantics, so downstream funnels see the full purchase set. */
+  def asofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tolUs = 24L * 3600 * 1000000 // 24 h in µs
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("click_event_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("click_ts_us",
+        last(when($"event_type" === "click", unix_micros($"ts")), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select(
+        $"event_id".as("purchase_event_id"),
+        $"user_id",
+        when(unix_micros($"ts") - $"click_ts_us" <= tolUs, lit(1)).otherwise(lit(0))
+          .as("in_window"),
+        when(unix_micros($"ts") - $"click_ts_us" <= tolUs, $"click_event_id")
+          .as("attr_click_id"),
+        when(unix_micros($"ts") - $"click_ts_us" <= tolUs,
+          unix_micros($"ts") - $"click_ts_us").as("attr_gap_us"))
+      .orderBy($"purchase_event_id")
+  }
+
   /** `join_asof_nearest`: NEAREST-event temporal join — for each
     * purchase, the same user's click with the smallest absolute time
     * gap in EITHER direction (ties → the earlier, backward click).

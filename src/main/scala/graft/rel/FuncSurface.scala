@@ -102,6 +102,32 @@ object FuncSurface {
       .orderBy($"p_partkey")
   }
 
+  /** `string_mask_funcs`: the data-masking string family — `mask` with
+    * its default classes (upper→'X', lower→'x', digit→'n', other kept)
+    * and with custom replacement chars per class, plus positional
+    * redaction via a substring splice (the OVERLAY shape; DuckDB has no
+    * overlay, so the twin states the same splice). The phone is
+    * synthesized from key columns (the build-from-columns fixture
+    * idiom — the corpus ships no PII column) with `format_string`,
+    * whose %0Nd padding is the same printf contract on both engines.
+    * Pure per-row codegen projection — no shuffle, trivially parallel;
+    * complements text_pii_redact (regex FINDING) with class masking
+    * (structure-preserving TRANSFORMATION). */
+  def stringMaskFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val phone = format_string("%02d-%03d-%04d",
+      $"c_nationkey", $"c_custkey" % 1000, $"c_custkey" % 10000)
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", phone.as("phone"))
+      .select(
+        $"c_custkey",
+        mask($"c_name").as("name_masked"),
+        mask($"phone", lit("A"), lit("a"), lit("0"), lit("#")).as("phone_masked"),
+        concat(substring($"phone", 1, 3), lit("***"), substring($"phone", 7, 5))
+          .as("phone_redact"))
+      .orderBy($"c_custkey")
+  }
+
   /** `window_moving_avg`: ROWS-frame sliding mean — each order's price
     * averaged with the customer's previous three orders (frame pinned by
     * a (date, orderkey) total order; decimal sum / frame count so the

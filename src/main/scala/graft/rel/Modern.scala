@@ -132,6 +132,33 @@ object Modern {
       .orderBy($"event_id")
   }
 
+  /** `ts_timezone_funcs`: timezone projection of the event clock —
+    * `convert_timezone` into a NAMED zone (Asia/Kolkata, +05:30 since
+    * 1945: the IANA lookup path is exercised while the result stays an
+    * exact interval shift on any tzdb build) and an explicit-offset
+    * zone (-08:00), emitted as epoch micros plus the local hour/date.
+    * DST zones are deliberately OFF the hashed surface — a
+    * tzdb-version divergence between engines would be the timestamp
+    * twin of the sql_group_by_all float bug. Pure projection, no
+    * shuffle; the local-wall-clock columns are what a partition-by-
+    * local-date ingest layout keys on at 100 TB. */
+  def tsTimezoneFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ntz = $"ts".cast(TimestampNTZType) // session is UTC: wall == instant
+    val ist = convert_timezone(lit("UTC"), lit("Asia/Kolkata"), ntz)
+    val pst = convert_timezone(lit("UTC"), lit("-08:00"), ntz)
+    Tables.events(spark, sfDir)
+      .filter($"event_id" % 37 === 0)
+      .select(
+        $"event_id",
+        unix_micros(ist.cast(TimestampType)).as("ist_us"),
+        hour(ist).as("ist_hour"),
+        ist.cast(DateType).cast(StringType).as("ist_date"),
+        unix_micros(pst.cast(TimestampType)).as("pst_us"),
+        hour(pst).as("pst_hour"))
+      .orderBy($"event_id")
+  }
+
   /** `map_transform_ops`: the map higher-order family — map_filter,
     * transform_values, map_zip_with — over the per-user event-type→count
     * map (built exactly as map_type_ops does). Map layouts are
