@@ -3244,6 +3244,63 @@ $iters
                 round(CAST(avg(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS try_avg_price,
                 CAST(max(l_quantity) AS BIGINT) + 1 AS try_add_maxq,
                 count(*) * 2 AS try_double_count
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "join_asof_tolerance" ->
+      // same unconditional frame lookup as join_asof_attribution, the
+      // 24 h (86 400 000 000 µs) tolerance applied per-row after it;
+      // NULL click_ts_us makes the CASE predicate NULL → ELSE arm, the
+      // same null-condition fallthrough Spark's when/otherwise takes
+      """SELECT event_id AS purchase_event_id, user_id,
+                CAST(CASE WHEN epoch_us(ts) - click_ts_us <= 86400000000
+                     THEN 1 ELSE 0 END AS INTEGER) AS in_window,
+                CASE WHEN epoch_us(ts) - click_ts_us <= 86400000000
+                     THEN click_event_id END AS attr_click_id,
+                CASE WHEN epoch_us(ts) - click_ts_us <= 86400000000
+                     THEN epoch_us(ts) - click_ts_us END AS attr_gap_us
+         FROM (
+           SELECT *,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_event_id,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts_us
+           FROM events)
+         WHERE event_type = 'purchase'
+         ORDER BY purchase_event_id""",
+
+    "string_mask_funcs" ->
+      // DuckDB has no mask(): the twin restates the per-class mapping as
+      // regexp_replace chains. Default classes upper→X/lower→x/digit→n
+      // (other kept); the custom-class call only ever sees the phone's
+      // [0-9-] domain, so digit→0 then '-'→'#' is the full mapping. The
+      // positional redact (the OVERLAY shape) is the same splice.
+      """WITH c AS (
+           SELECT c_custkey, c_name,
+                  printf('%02d-%03d-%04d', c_nationkey,
+                         c_custkey % 1000, c_custkey % 10000) AS phone
+           FROM customer)
+         SELECT c_custkey,
+                regexp_replace(regexp_replace(regexp_replace(
+                  c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                  '[0-9]', 'n', 'g') AS name_masked,
+                regexp_replace(regexp_replace(phone, '[0-9]', '0', 'g'),
+                  '-', '#', 'g') AS phone_masked,
+                substr(phone, 1, 3) || '***' || substr(phone, 7, 5) AS phone_redact
+         FROM c ORDER BY c_custkey""",
+
+    "ts_timezone_funcs" ->
+      // tzdb-independent twin by design (the operator doc): Asia/Kolkata
+      // is a fixed +05:30 on the modern event clock and the other zone
+      // is the explicit offset -08:00, so both projections are exact
+      // interval shifts — no ICU/tzdb lookup on the oracle side
+      """SELECT event_id,
+                epoch_us(ts + INTERVAL '330' MINUTE) AS ist_us,
+                CAST(hour(ts + INTERVAL '330' MINUTE) AS INTEGER) AS ist_hour,
+                CAST(CAST(ts + INTERVAL '330' MINUTE AS DATE) AS VARCHAR) AS ist_date,
+                epoch_us(ts - INTERVAL '8' HOUR) AS pst_us,
+                CAST(hour(ts - INTERVAL '8' HOUR) AS INTEGER) AS pst_hour
+         FROM events WHERE event_id % 37 = 0 ORDER BY event_id"""
   )
 }

@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's correctness gate: run DuckDB on
 SparkEntry.oracleSql and compare against the Verify parquet dumps.
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [q1,q2,...]
+(the optional third arg restricts the compare to those query names —
+matches a targeted `graft.Verify ... q1,q2` dump)
 """
 import json, math, sys
 import duckdb
@@ -16,11 +18,13 @@ def norm(v):
         return repr(v)
     return v
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -67,4 +71,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], subset))

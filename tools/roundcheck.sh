@@ -6,12 +6,17 @@
 #   4. bench JSON parses with no negative per-query values (sf0.001 run)
 #   5. stamp .roundcheck_ok with a hash of every .scala source
 #
-# The git pre-commit hook (tools/hooks/pre-commit) runs `--check` whenever
-# SparkEntry.scala or Oracle.scala is staged: it fails the commit unless
-# the stamp matches the CURRENT sources — i.e. the full gate ran AFTER the
-# last source edit. That is the mechanical form of the standing rule
-# "a query added after step 3 restarts the checklist", which was violated
-# by hand in rounds 9 and 10.
+# The git pre-commit hook (tools/hooks/pre-commit) runs `--check-staged`
+# whenever ANY src/{main,test} .scala file is staged: it fails the commit
+# unless the stamp matches the STAGED sources (hashed from the git index,
+# so a partially-staged tree is validated as what would actually commit)
+# — i.e. the full gate ran AFTER the last source edit. That is the
+# mechanical form of the standing rule "a query added after step 3
+# restarts the checklist", violated by hand in rounds 9/10 and through
+# the SparkEntry/Oracle-only trigger loophole in the r11 snapshot.
+# `--check` does the same against the working tree (for direct runs).
+# The full (no-arg) gate also regenerates LEAKCHECK.json/COPYCHECK.json
+# so the driver artifacts can never go stale relative to the stamp.
 #
 # Mid-round WIP commits that don't touch the correctness surface are
 # unaffected. A WIP commit that does may use SKIP_ROUNDCHECK=1 — but the
@@ -26,17 +31,32 @@ hash_sources() {
     | xargs -0 sha256sum | sha256sum | cut -d' ' -f1
 }
 
+check_against() { # $1 = hash to validate against the stamp
+  if [[ ! -f $STAMP ]] || [[ "$(cat "$STAMP")" != "$1" ]]; then
+    echo "ROUNDCHECK STALE: .scala sources changed since the last full gate run."
+    echo "Run tools/roundcheck.sh (inventory -> sbt test -> Verify+compare@sf0.01 -> bench parse -> leak/copy),"
+    echo "or for a mid-round WIP commit only: SKIP_ROUNDCHECK=1 git commit ..."
+    exit 1
+  fi
+  echo "roundcheck stamp fresh ($1)"
+}
+
 case "${1:-}" in
   --check)
     python3 tools/inventory_check.py
-    cur=$(hash_sources)
-    if [[ ! -f $STAMP ]] || [[ "$(cat "$STAMP")" != "$cur" ]]; then
-      echo "ROUNDCHECK STALE: .scala sources changed since the last full gate run."
-      echo "Run tools/roundcheck.sh (inventory -> sbt test -> Verify+compare@sf0.01 -> bench parse),"
-      echo "or for a mid-round WIP commit only: SKIP_ROUNDCHECK=1 git commit ..."
-      exit 1
-    fi
-    echo "roundcheck stamp fresh ($cur)"
+    check_against "$(hash_sources)"
+    ;;
+  --check-staged)
+    # Hash (and inventory-check) what the INDEX would commit, not the
+    # working tree: a partially-staged tree must be validated as the
+    # committed content.
+    idx=$(mktemp -d /tmp/roundcheck-idx.XXXXXX)
+    trap 'rm -rf "$idx"' EXIT
+    git checkout-index --prefix="$idx/" -a
+    (cd "$idx" && python3 tools/inventory_check.py)
+    staged=$(cd "$idx" && find src/main/scala src/test/scala -name '*.scala' -print0 \
+      | sort -z | xargs -0 sha256sum | sha256sum | cut -d' ' -f1)
+    check_against "$staged"
     ;;
   "")
     python3 tools/inventory_check.py
@@ -52,6 +72,8 @@ bad = {k: v for k, v in j.get("queries", {}).items() if not (v >= 0)}
 assert not bad, "bench negative/NaN timings: %r" % bad
 print("bench JSON ok: %s %s over %d queries" % (j["value"], j["unit"], len(j["queries"])))
 '
+    python3 tools/leakcheck.py
+    python3 tools/copycheck.py
     hash_sources > "$STAMP"
     echo "ROUNDCHECK PASS — stamp $(cat "$STAMP")"
     ;;
