@@ -2860,15 +2860,21 @@ $iters
       // Integer-only hashed surface: exact 1e-4 BIGINT units for the
       // sum, HALF_UP avg as (2p+q)//(2q) — no double anywhere, so no
       // DuckDB-build 1-ulp divergence (the r10 driver mismatch).
-      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
-                count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4,
-                (2 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) + count(*))
-                  // (2 * count(*)) AS avg_price_e4,
-                CASE WHEN (2 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) + count(*))
-                          // (2 * count(*)) >= 1500000000
+      """WITH g AS (
+           -- HUGEINT (int128) intermediates: DuckDB's // on DECIMAL
+           -- rides double division (1-ulp hazard), on HUGEINT it is
+           -- exact integer division — the twin of Spark's DECIMAL(38,0)
+           -- DIV path, same headroom class
+           SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
+                  count(*) AS n_orders,
+                  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS DECIMAL(38,0)) AS HUGEINT) AS sum_e4
+           FROM orders GROUP BY 1, 2)
+         SELECT o_year, o_orderstatus, n_orders,
+                CAST(sum_e4 AS BIGINT) AS sum_price_e4,
+                CAST((2 * sum_e4 + n_orders) // (2 * n_orders) AS BIGINT) AS avg_price_e4,
+                CASE WHEN CAST((2 * sum_e4 + n_orders) // (2 * n_orders) AS BIGINT) >= 1500000000
                      THEN 'high' ELSE 'low' END AS price_band
-         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+         FROM g ORDER BY 1, 2""",
 
     "text_sentence_split" ->
       // identical synth-punctuation + split + per-sentence stats; RE2

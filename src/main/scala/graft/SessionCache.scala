@@ -19,14 +19,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     unconditionally — they can never be read again and otherwise pin
   *     their blocks until an unrelated insert crossed the old threshold;
   *  2. only if LIVE entries still exceed the cap are OTHER keys evicted
-  *     one at a time — the caller's own key survives, and a concurrent
-  *     live session loses ONLY its memo reference, never its blocks:
-  *     eager release (unpersist / checkpoint-block free) runs solely for
-  *     stopped-session entries, because a localCheckpoint-backed frame
-  *     has truncated lineage — freeing its blocks while another live
-  *     session still holds the DataFrame fails that session mid-query
-  *     with missing-block errors rather than "lazily rebuilding". Live
-  *     evictions leave reclamation to GC + ContextCleaner.
+  *     one at a time — the caller's own key survives. Whether the
+  *     eviction also RELEASES the entry depends on what backs it
+  *     (`releaseLive`):
+  *     - localCheckpoint-backed frames (`releaseLive = false`, default)
+  *       have truncated lineage — freeing their blocks while another
+  *       live session still holds the DataFrame fails that session
+  *       mid-query with missing-block errors rather than "lazily
+  *       rebuilding"; only the memo reference is dropped. Reclamation
+  *       NEVER happens via GC for these either (the rdd is persisted),
+  *       but the entry is rebuildable-by-rerun and bounded by the cap.
+  *     - lineage-backed `persist()` frames (`releaseLive = true`) are
+  *       unpersisted eagerly: CacheManager holds a strong ref, so a
+  *       dropped memo reference would pin executor storage until
+  *       session stop, and lazy rebuild from lineage makes the eager
+  *       release safe for any concurrent holder.
   *
   * `onEvict` releases the entry's resources (unpersist, checkpoint-block
   * free); failures are swallowed — eviction must proceed even when a
@@ -36,7 +43,7 @@ object SessionCache {
   /** Key contract: `productElement(0)` is the owning SparkSession (all
     * graft memo maps key on the session reference first). */
   def prune[K <: Product, V](map: ConcurrentHashMap[K, V], current: K,
-      cap: Int = 16)(onEvict: V => Unit): Unit = {
+      cap: Int = 16, releaseLive: Boolean = false)(onEvict: V => Unit): Unit = {
     def release(v: V): Unit = try onEvict(v) catch { case _: Throwable => () }
     val dead = map.entrySet().iterator()
     while (dead.hasNext) {
@@ -50,10 +57,13 @@ object SessionCache {
       val it = map.entrySet().iterator()
       while (map.size > cap && it.hasNext) {
         val e = it.next()
-        // drop only the memo reference for live sessions (no release):
-        // the owner may still hold the frame; its blocks are reclaimed
-        // by GC + ContextCleaner once truly unreferenced
-        if (e.getKey != current) it.remove()
+        // live-session eviction: release only when the entry kind makes
+        // it safe (lineage-backed persist — see class doc); otherwise
+        // drop just the memo reference
+        if (e.getKey != current) {
+          if (releaseLive) release(e.getValue)
+          it.remove()
+        }
       }
     }
   }

@@ -121,10 +121,14 @@ object Bucketing {
     * per (session, sfDir); materialized eagerly so the declared query
     * reads the cache, not the build. */
   private[graft] def cachedCustomer(spark: SparkSession, sfDir: String): DataFrame = {
-    // evicted frames are unpersisted eagerly — a dropped reference to a
-    // MEMORY_ONLY frame would otherwise pin executor storage until
-    // session stop (the r9-review hazard this helper exists to close)
-    graft.SessionCache.prune(cachedDims, (spark, sfDir))(_.unpersist())
+    // evicted frames are unpersisted eagerly EVEN for live sessions
+    // (releaseLive): CacheManager holds a strong ref, so a dropped memo
+    // reference alone would pin executor storage until session stop —
+    // and a persist()-backed frame rebuilds lazily from lineage, so the
+    // eager release is safe for any concurrent holder (unlike the
+    // localCheckpoint-backed memos, which keep the default)
+    graft.SessionCache.prune(cachedDims, (spark, sfDir),
+      releaseLive = true)(_.unpersist())
     cachedDims.computeIfAbsent((spark, sfDir), _ => {
       val df = Tables.customer(spark, sfDir)
         .select(org.apache.spark.sql.functions.col("c_custkey"),
@@ -310,11 +314,11 @@ object Bucketing {
               org.apache.spark.sql.functions.col("l_quantity"))
             .repartition(8)
             .write.mode("overwrite").parquet(s"$d/shards")
-          spark.read.parquet(s"$d/shards")
-            .createOrReplaceTempView("graft_rebal_src")
-          spark.sql(
-            "SELECT /*+ REBALANCE(l_returnflag) */ * FROM graft_rebal_src")
-            .write.mode("overwrite").parquet(s"$d/rebalanced")
+          graft.Views.withTemp(spark)(
+            "graft_rebal_src" -> spark.read.parquet(s"$d/shards")) { v =>
+            spark.sql(
+              s"SELECT /*+ REBALANCE(l_returnflag) */ * FROM ${v("graft_rebal_src")}")
+          }.write.mode("overwrite").parquet(s"$d/rebalanced")
         } finally spark.conf.set(advisoryKey, prev)
         d
       }) + "/rebalanced"

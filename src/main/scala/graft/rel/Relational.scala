@@ -270,15 +270,16 @@ object Relational {
     * and grand total, distinguishable via coalesced labels. */
   def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gs")
-    spark.sql(
-      """SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
-        |       coalesce(o_orderpriority, 'ALL') AS orderpriority,
-        |       count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
-        |FROM orders_gs
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY orderstatus, orderpriority""".stripMargin)
+    graft.Views.withTemp(spark)("orders_gs" -> Tables.orders(spark, sfDir)) { v =>
+      spark.sql(
+        s"""SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           |       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           |       count(*) AS n_orders,
+           |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
+           |FROM ${v("orders_gs")}
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY orderstatus, orderpriority""".stripMargin)
+    }
   }
 
   /** `q3_shipping_priority`: TPC-H Q3 shape — segment-filtered customers,
@@ -347,14 +348,15 @@ object Relational {
     * an aggregate + join; declared through spark.sql to exercise exactly
     * that rewrite. */
   def subqueryScalar(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.part(spark, sfDir).createOrReplaceTempView("part_sq")
-    spark.sql(
-      """SELECT p_partkey, p_brand, p_retailprice
-        |FROM part_sq p
-        |WHERE p_retailprice > 1.05 * (SELECT avg(p2.p_retailprice)
-        |                              FROM part_sq p2
-        |                              WHERE p2.p_brand = p.p_brand)
-        |ORDER BY p_partkey""".stripMargin)
+    graft.Views.withTemp(spark)("part_sq" -> Tables.part(spark, sfDir)) { v =>
+      spark.sql(
+        s"""SELECT p_partkey, p_brand, p_retailprice
+           |FROM ${v("part_sq")} p
+           |WHERE p_retailprice > 1.05 * (SELECT avg(p2.p_retailprice)
+           |                              FROM ${v("part_sq")} p2
+           |                              WHERE p2.p_brand = p.p_brand)
+           |ORDER BY p_partkey""".stripMargin)
+    }
   }
 
   /** `set_ops_intersect`: the third set operation — BUILDING ∩ big-spender

@@ -307,16 +307,24 @@ object SqlSurface {
     * across DuckDB builds, so the sum rides as exact 1e-4 BIGINT units
     * (DECIMAL sum · 10000) and the HALF_UP average is pure integer
     * arithmetic — (2p+q) div (2q) for positive p,q — bit-identical on
-    * any engine. price_band derives from the integer. */
+    * any engine. price_band derives from the integer. The doubling and
+    * the division ride DECIMAL(38,0) intermediates (r11 advice):
+    * BIGINT-only arithmetic would silently wrap under Spark non-ANSI
+    * where DuckDB raises, diverging the hashed surfaces exactly at
+    * scale. Only the final surfaces cast down; the one residual BIGINT
+    * bound is the emitted sum_price_e4 itself — safe while any
+    * (year, status) group's price sum < ~9.2e14 currency units
+    * (≈ TPC-H SF 4e9, far past the 100 TB narrative). */
   def groupByAll(spark: SparkSession, sfDir: String): DataFrame = {
     CatalogDdl.registerStarSchema(spark, sfDir)
     spark.sql(
-      """SELECT o_year, o_orderstatus, n_orders, sum_price_e4,
-        |       (2 * sum_price_e4 + n_orders) DIV (2 * n_orders) AS avg_price_e4,
+      """SELECT o_year, o_orderstatus, n_orders,
+        |       CAST(sum_e4 AS BIGINT) AS sum_price_e4,
+        |       CAST((2 * sum_e4 + n_orders) DIV (2 * n_orders) AS BIGINT) AS avg_price_e4,
         |       CASE WHEN avg_price_e4 >= 1500000000 THEN 'high' ELSE 'low' END AS price_band
         |FROM (SELECT year(o_orderdate) AS o_year, o_orderstatus,
         |             count(*) AS n_orders,
-        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS DECIMAL(38,0)) AS sum_e4
         |      FROM graft.orders
         |      GROUP BY ALL)
         |ORDER BY ALL""".stripMargin)

@@ -353,20 +353,15 @@ object TpchShapes {
       // NOT IN (null-aware anti): spelled via the SQL operator so the
       // planner exercises the same path as the oracle's NOT IN
       .join(broadcast(parts), $"l_partkey" === $"p_partkey")
-    rel.createOrReplaceTempView("graft_q16_rel")
-    badSupp.createOrReplaceTempView("graft_q16_bad")
-    val out = spark.sql(
-      """SELECT p_brand, p_type, p_size,
-        |       count(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM graft_q16_rel
-        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM graft_q16_bad)
-        |GROUP BY p_brand, p_type, p_size
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
-    // analysis inlines temp views into the plan; drop them so the query
-    // leaves no trace in the session catalog
-    spark.catalog.dropTempView("graft_q16_rel")
-    spark.catalog.dropTempView("graft_q16_bad")
-    out
+    graft.Views.withTemp(spark)("graft_q16_rel" -> rel, "graft_q16_bad" -> badSupp) { v =>
+      spark.sql(
+        s"""SELECT p_brand, p_type, p_size,
+           |       count(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM ${v("graft_q16_rel")}
+           |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM ${v("graft_q16_bad")})
+           |GROUP BY p_brand, p_type, p_size
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    }
   }
 
   /** `q11_important_stock` (TPC-H Q11 shape; revenue stands in for
