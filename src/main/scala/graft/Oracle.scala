@@ -3307,6 +3307,123 @@ $iters
                 CAST(CAST(ts + INTERVAL '330' MINUTE AS DATE) AS VARCHAR) AS ist_date,
                 epoch_us(ts - INTERVAL '8' HOUR) AS pst_us,
                 CAST(hour(ts - INTERVAL '8' HOUR) AS INTEGER) AS pst_hour
-         FROM events WHERE event_id % 37 = 0 ORDER BY event_id"""
+         FROM events WHERE event_id % 37 = 0 ORDER BY event_id""",
+
+    "num_format_funcs" ->
+      // format('{:,}') / printf are DuckDB's spellings of Spark's
+      // format_number/to_char/format_string; every formatted value is
+      // integer-driven (doubles quantized through the DECIMAL(18,2)
+      // cast first) so the string surfaces are engine-identical. The
+      // to_char→to_number round-trip is the key itself by construction.
+      """SELECT p_partkey,
+                format('{:,}', p_partkey * 131 + 7) AS grouped,
+                printf('%07d', p_partkey) AS pad7,
+                p_partkey AS roundtrip,
+                format('{:,}', CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS cents_grouped,
+                printf('%05d|%s', p_partkey, p_brand) AS tagged
+         FROM part ORDER BY p_partkey""",
+
+    "agg_corr_covar" ->
+      // identical exact-decimal moments, identical final IEEE double
+      // arithmetic (each op correctly rounded), identical HALF_UP
+      // 4-place quantization — the agg_regression twin recipe
+      """WITH m AS (
+           SELECT l_linestatus, count(*) AS n,
+                  CAST(sum(CAST(l_discount * 100 AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_tax * 100 AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                  CAST(CAST(sum(CAST(CAST(l_discount * 100 AS DECIMAL(18,4))
+                    * CAST(l_tax * 100 AS DECIMAL(18,4)) AS DECIMAL(28,8)))
+                    AS DECIMAL(28,4)) AS DOUBLE) AS sxy,
+                  CAST(CAST(sum(CAST(CAST(l_discount * 100 AS DECIMAL(18,4))
+                    * CAST(l_discount * 100 AS DECIMAL(18,4)) AS DECIMAL(28,8)))
+                    AS DECIMAL(28,4)) AS DOUBLE) AS sxx,
+                  CAST(CAST(sum(CAST(CAST(l_tax * 100 AS DECIMAL(18,4))
+                    * CAST(l_tax * 100 AS DECIMAL(18,4)) AS DECIMAL(28,8)))
+                    AS DECIMAL(28,4)) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY 1)
+         SELECT l_linestatus, n,
+                floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                       * (CAST(n AS DOUBLE) * syy - sy * sy)) * 10000.0 + 0.5)
+                  / 10000.0 AS corr_xy,
+                floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * 10000.0 + 0.5)
+                  / 10000.0 AS covar_samp,
+                floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 10000.0 + 0.5)
+                  / 10000.0 AS covar_pop
+         FROM m ORDER BY l_linestatus""",
+
+    "text_html_strip" ->
+      // identical synthesized markup, identical strip/unescape/collapse
+      // chain; DuckDB regexp_replace needs the 'g' flag for the
+      // all-occurrence semantics Spark has by default
+      """WITH h AS (
+           SELECT doc_id,
+                  '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+                  || regexp_replace(text, ' the ', ' &amp; ', 'g')
+                  || '</p><footer>&copy; ' || source
+                  || ' &lt;eof&gt;</footer></body></html>' AS html
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  trim(regexp_replace(
+                    replace(replace(replace(replace(
+                      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                      '&lt;', '<'), '&gt;', '>'), '&copy;', '(c)'), '&amp;', '&'),
+                    ' +', ' ', 'g')) AS clean
+           FROM h)
+         SELECT doc_id, md5(clean) AS clean_md5,
+                CAST(length(clean) AS INTEGER) AS clean_len,
+                CAST(len(string_split(clean, ' ')) AS INTEGER) AS n_tokens
+         FROM c ORDER BY doc_id""",
+
+    "text_readability" ->
+      // identical synth punctuation + vowel-group syllable estimator;
+      // the Flesch expression is the same fixed IEEE double tree over
+      // integer counts, quantized HALF_UP before the band thresholds
+      """WITH t AS (
+           SELECT doc_id, regexp_replace(text, ' the ', '. ', 'g') AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(t, '\. ')) + 1 AS BIGINT) AS n_sentences,
+                  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+                  CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT) AS n_syllables
+           FROM t),
+         s AS (
+           SELECT *, floor((206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+                  * 10000.0 + 0.5) / 10000.0 AS flesch
+           FROM c)
+         SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+                CASE WHEN flesch >= 80.0 THEN 'easy'
+                     WHEN flesch >= 55.0 THEN 'medium'
+                     ELSE 'hard' END AS band
+         FROM s ORDER BY doc_id""",
+
+    "sql_select_except" ->
+      // DuckDB's spelling of the same star-minus feature; the driver's
+      // name-sorted hash makes the differing column orders equivalent
+      """SELECT * EXCLUDE (o_orderdate, o_orderpriority),
+                CAST(year(o_orderdate) AS INTEGER) AS o_year
+         FROM orders
+         WHERE o_totalprice > 400000
+         ORDER BY o_orderkey""",
+
+    "cdc_stream_union" ->
+      // batch twin of the two-source fan-in: the same filtered
+      // projections unioned, then the hourly (window, type) aggregate —
+      // complete mode makes the streaming final state the full answer
+      """WITH u AS (
+           SELECT ts, event_type, value FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT ts, event_type, 0.0 AS value FROM events WHERE event_type = 'click')
+         SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+                count(*) AS n_events,
+                round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+         FROM u GROUP BY 1, 2 ORDER BY bucket_ms, event_type"""
   )
 }

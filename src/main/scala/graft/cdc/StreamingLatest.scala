@@ -1337,4 +1337,58 @@ object StreamingLatest {
     rmTree(runDir)
     out
   } }
+
+  /** `cdc_stream_union`: UNION of two live streams feeding ONE stateful
+    * aggregate — the fan-in topology (many CDC topics → one consumer)
+    * the reference's single-topic tutorial is the degenerate case of.
+    * Two independent file sources replay the same staged log with
+    * different predicates/projections (purchases keep their value,
+    * clicks ride a zero — the schema-alignment step any real fan-in
+    * needs), `unionByName` merges them BEFORE the watermark, so one
+    * watermark/state pipeline serves both sources; complete-mode hourly
+    * aggregate = the full answer. Scale: the union is a no-shuffle
+    * narrow op — each source's partitions feed the shared hash
+    * aggregate directly; state stays bounded by (window × type). */
+  def streamUnion(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) { withoutNoDataBatch(spark) {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val runDir  = jvmTmpDir("runu")
+    val inDir   = stagedEventLog(spark, sfDir)
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"ts", $"event_type", $"value").schema
+
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val purchases = src().filter($"event_type" === "purchase")
+      .select($"ts", $"event_type", $"value")
+    val clicks = src().filter($"event_type" === "click")
+      .select($"ts", $"event_type", lit(0.0).as("value"))
+
+    val agg = purchases.unionByName(clicks)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 6))).as("sum_dec"))
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    rmTree(Paths.get(ckptDir))
+
+    spark.read.parquet(outDir)
+      .select(
+        unix_millis($"w.start").as("bucket_ms"),
+        $"event_type", $"n_events",
+        round($"sum_dec".cast("double"), 4).as("sum_value"))
+      .orderBy($"bucket_ms", $"event_type")
+  } }
 }

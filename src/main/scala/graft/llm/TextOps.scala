@@ -1442,4 +1442,72 @@ object TextOps {
           .otherwise("tail").as("ppl_bucket"))
       .orderBy($"doc_id")
   }
+
+  /** `text_html_strip`: HTML boilerplate removal — the step that runs
+    * before every other filter when a corpus comes from a web crawl:
+    * strip tags (`<[^>]*>` → space), decode the common entities, collapse
+    * whitespace, and report the digest/length/token surface of the clean
+    * text. The fixture corpus is plain text, so the markup is synthesized
+    * deterministically from the row's own columns first (the same
+    * build-from-columns idiom as the PII/URL/sentence fixtures) — tags
+    * around the doc, entity-escaped separators inside it — then removed;
+    * the digest pins that the removal recovered exactly the intended
+    * text. Pure per-row scalar chain inside whole-stage codegen; the only
+    * shuffle is the output ORDER BY. */
+  def htmlStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val html = concat(
+      lit("<html><body><h1>Doc "), $"doc_id".cast(StringType), lit("</h1><p>"),
+      regexp_replace($"text", " the ", " &amp; "),
+      lit("</p><footer>&copy; "), $"source", lit(" &lt;eof&gt;</footer></body></html>"))
+    val stripped = regexp_replace(html, "<[^>]*>", " ")
+    // entity order matters only if entities nest; these never do. All-
+    // occurrence `replace` in both engines.
+    val unescaped =
+      expr("""replace(replace(replace(replace(stripped,
+              '&lt;', '<'), '&gt;', '>'), '&copy;', '(c)'), '&amp;', '&')""")
+    val clean = trim(regexp_replace(unescaped, " +", " "))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", stripped.as("stripped"))
+      .select($"doc_id", clean.as("clean"))
+      .select(
+        $"doc_id",
+        md5($"clean").as("clean_md5"),
+        length($"clean").as("clean_len"),
+        size(split($"clean", " ")).as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** `text_readability`: Flesch reading-ease per document — the classic
+    * surface-statistics readability score (words/sentence and
+    * syllables/word), a standard quality-bucketing signal next to the
+    * perplexity family. Sentence boundaries are synthesized like
+    * `text_sentence_split` (` the ` → `. `); syllables are approximated
+    * as vowel-group runs (`[aeiouy]+`), the usual cheap estimator. The
+    * score arithmetic is a fixed IEEE double expression over integer
+    * counts (each op correctly rounded, so engine-identical), quantized
+    * HALF_UP to 4 places BEFORE the band thresholds so both engines
+    * bucket the same value. One scan, per-row regex counts in codegen,
+    * no shuffle but the output sort. */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = regexp_replace($"text", " the ", ". ")
+    val base = Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        (regexp_count(t, lit("\\. ")) + 1).cast(LongType).as("n_sentences"),
+        size(split(t, " ")).cast(LongType).as("n_words"),
+        regexp_count(lower(t), lit("[aeiouy]+")).cast(LongType).as("n_syllables"))
+    val w = $"n_words".cast(DoubleType)
+    val s = $"n_sentences".cast(DoubleType)
+    val sy = $"n_syllables".cast(DoubleType)
+    val flesch = graft.Det.r4(
+      lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w))
+    base.select(
+        $"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+        flesch.as("flesch"),
+        when(flesch >= 80.0, "easy").when(flesch >= 55.0, "medium")
+          .otherwise("hard").as("band"))
+      .orderBy($"doc_id")
+  }
 }

@@ -540,4 +540,62 @@ object FuncSurface {
       .unionByName(r5).unionByName(r6).unionByName(r7)
       .orderBy($"table_name", $"rule")
   }
+
+  /** `num_format_funcs`: the number↔string formatting surface —
+    * `format_number` (locale-grouped integers), `to_char`/`to_number`
+    * (template formatting with an exact parse round-trip), and
+    * `format_string` (printf). Every surface is integer-driven: doubles
+    * are first quantized through the DECIMAL(18,2) cast (the Oracle.scala
+    * conversion idiom) so the string the formatter sees is bit-identical
+    * on both engines — to_char on a raw double would hash-diverge on the
+    * engines' different shortest-round-trip printers. Pure codegen
+    * projection, no shuffle. */
+  def numFormatFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select(
+        $"p_partkey",
+        format_number($"p_partkey" * 131 + lit(7), 0).as("grouped"),
+        expr("to_char(p_partkey, '0000000')").as("pad7"),
+        expr("CAST(to_number(to_char(p_partkey, '0000000'), '0000000') AS BIGINT)")
+          .as("roundtrip"),
+        format_number(($"p_retailprice".cast(DecimalType(18, 2)) * 100)
+          .cast(LongType), 0).as("cents_grouped"),
+        format_string("%05d|%s", $"p_partkey", $"p_brand").as("tagged"))
+      .orderBy($"p_partkey")
+  }
+
+  /** `agg_corr_covar`: Pearson correlation + sample/population covariance
+    * of discount vs tax per linestatus — the corr/covar_samp/covar_pop
+    * family computed from EXACT decimal moments (Σx, Σy, Σxy, Σx², Σy²,
+    * n), the same bit-stability trick as `agg_regression` (which covers
+    * the regr_* half of the bivariate-statistics surface; this covers
+    * the normalized half): Spark's native corr/covar stream double
+    * accumulators whose value depends on partition merge order. One
+    * grouped pass, map-side combinable, final arithmetic identical IEEE
+    * double (mul/div/sqrt are single correctly-rounded ops) + r4. */
+  def aggCorrCovar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = ($"l_discount" * 100).cast(DecimalType(18, 4))
+    val y = ($"l_tax" * 100).cast(DecimalType(18, 4))
+    val m = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum((x * y).cast(DecimalType(28, 8))).cast(DecimalType(28, 4)).cast(DoubleType).as("sxy"),
+        sum((x * x).cast(DecimalType(28, 8))).cast(DecimalType(28, 4)).cast(DoubleType).as("sxx"),
+        sum((y * y).cast(DecimalType(28, 8))).cast(DecimalType(28, 4)).cast(DoubleType).as("syy"))
+    val n = $"n".cast(DoubleType)
+    val covn  = n * $"sxy" - $"sx" * $"sy"   // n²·cov_pop
+    val varxn = n * $"sxx" - $"sx" * $"sx"
+    val varyn = n * $"syy" - $"sy" * $"sy"
+    m.select(
+        $"l_linestatus", $"n",
+        graft.Det.r4(covn / sqrt(varxn * varyn)).as("corr_xy"),
+        graft.Det.r4(covn / (n * (n - lit(1.0)))).as("covar_samp"),
+        graft.Det.r4(covn / (n * n)).as("covar_pop"))
+      .orderBy($"l_linestatus")
+  }
 }

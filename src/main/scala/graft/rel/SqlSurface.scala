@@ -435,4 +435,23 @@ object SqlSurface {
         |        AND o.o_orderpriority = '1-URGENT')) AS not_exists
         |""".stripMargin)
   }
+
+  /** `sql_select_except`: `SELECT * EXCEPT (cols)` — the wide-table
+    * ergonomics every ELT job wants ("all 200 columns but the payload")
+    * without enumerating the keep-list. Analysis resolves the EXCEPT
+    * list against the star BEFORE column pruning, so the parquet
+    * ReadSchema contains only the surviving columns plus the derived
+    * expression's input — the pruning behaves exactly as if the
+    * keep-list had been written out. The oracle is DuckDB's spelling of
+    * the same feature (`* EXCLUDE`); the driver's name-sorted hash makes
+    * the two column orders equivalent. */
+  def selectExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """SELECT * EXCEPT (o_orderdate, o_orderpriority),
+        |       CAST(year(o_orderdate) AS INT) AS o_year
+        |FROM graft.orders
+        |WHERE o_totalprice > 400000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
 }

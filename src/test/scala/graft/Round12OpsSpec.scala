@@ -118,4 +118,85 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(j.filter($"ist_date" =!=
       date_format(timestamp_micros($"ist_us"), "yyyy-MM-dd")).count() == 0)
   }
+
+  // ---- second batch ----
+
+  test("num_format: parse round-trips the key, grouped strings are well-formed") {
+    val s = spark
+    import s.implicits._
+    val df = rel.FuncSurface.numFormatFuncs(spark, sf)
+    assert(df.filter($"roundtrip" =!= $"p_partkey").count() == 0)
+    // locale-grouped integers: 1-3 leading digits then comma-separated triples
+    assert(df.filter(!$"grouped".rlike("^\\d{1,3}(,\\d{3})*$")).count() == 0)
+    assert(df.filter(!$"pad7".rlike("^\\d{7}$")).count() == 0)
+    // pad7 parses back to the key as an integer
+    assert(df.filter($"pad7".cast("long") =!= $"p_partkey").count() == 0)
+  }
+
+  test("corr/covar: correlation bounds and the pop/samp covariance identity") {
+    val s = spark
+    import s.implicits._
+    val df = rel.FuncSurface.aggCorrCovar(spark, sf)
+    assert(df.count() > 0)
+    assert(df.filter($"corr_xy" < -1.0 || $"corr_xy" > 1.0).count() == 0)
+    // covar_pop = covar_samp * (n-1)/n within the r4 quantum
+    assert(df.filter(
+      abs($"covar_pop" - $"covar_samp" * ($"n" - 1) / $"n") > 0.001).count() == 0)
+  }
+
+  test("html strip: no markup or entity residue, content recovered exactly") {
+    val s = spark
+    import s.implicits._
+    val base = Tables.documents(spark, sf)
+    val got = llm.TextOps.htmlStrip(spark, sf)
+    assert(got.count() == base.count())
+    // recompute the expected clean text independently: the synthesized
+    // wrapper reduces to "Doc <id> <text-with-&-for-the> (c) <source> <eof>"
+    val want = base.select($"doc_id",
+      md5(concat(lit("Doc "), $"doc_id".cast("string"), lit(" "),
+        trim(regexp_replace(regexp_replace($"text", " the ", " & "), " +", " ")),
+        lit(" (c) "), $"source", lit(" <eof>"))).as("want_md5"))
+    assert(got.join(want, "doc_id").filter($"clean_md5" =!= $"want_md5").count() == 0)
+  }
+
+  test("readability: count consistency and band thresholds on the quantized score") {
+    val s = spark
+    import s.implicits._
+    val df = llm.TextOps.readability(spark, sf)
+    assert(df.filter($"n_sentences" < 1 || $"n_words" < 1).count() == 0)
+    // band is a pure function of the emitted (already-quantized) score
+    assert(df.filter(
+      when($"flesch" >= 80.0, lit("easy")).when($"flesch" >= 55.0, lit("medium"))
+        .otherwise(lit("hard")) =!= $"band").count() == 0)
+  }
+
+  test("select-except: star-minus drops exactly the named columns, pruning intact") {
+    val df = rel.SqlSurface.selectExcept(spark, sf)
+    val cols = df.columns.toSet
+    assert(!cols.contains("o_orderdate") && !cols.contains("o_orderpriority"))
+    assert(cols == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_year"))
+    // column pruning: the scan must NOT read the dropped-but-unused column
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scan.contains("o_orderpriority"))
+  }
+
+  test("stream union ≡ batch union twin, row for row") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val streamed = cdc.StreamingLatest.streamUnion(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"ts", $"event_type", $"value")
+      .unionByName(Tables.events(spark, sf).filter($"event_type" === "click")
+        .select($"ts", $"event_type", lit(0.0).as("value")))
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 6))).as("sum_dec"))
+      .select(unix_millis($"w.start").as("bucket_ms"), $"event_type",
+        $"n_events", round($"sum_dec".cast("double"), 4).as("sum_value"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
