@@ -3343,16 +3343,23 @@ $iters
                     AS DECIMAL(28,4)) AS DOUBLE) AS syy
            FROM lineitem GROUP BY 1)
          SELECT l_linestatus, n,
-                floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+                sign((CAST(n AS DOUBLE) * sxy - sx * sy)
                   / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
-                       * (CAST(n AS DOUBLE) * syy - sy * sy)) * 10000.0 + 0.5)
-                  / 10000.0 AS corr_xy,
-                floor((CAST(n AS DOUBLE) * sxy - sx * sy)
-                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * 10000.0 + 0.5)
-                  / 10000.0 AS covar_samp,
-                floor((CAST(n AS DOUBLE) * sxy - sx * sy)
-                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 10000.0 + 0.5)
-                  / 10000.0 AS covar_pop
+                       * (CAST(n AS DOUBLE) * syy - sy * sy)))
+                  * (floor(abs((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                         * (CAST(n AS DOUBLE) * syy - sy * sy))) * 10000.0 + 0.5)
+                  / 10000.0) AS corr_xy,
+                sign((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                  * (floor(abs((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) * 10000.0 + 0.5)
+                  / 10000.0) AS covar_samp,
+                sign((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  * (floor(abs((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 10000.0 + 0.5)
+                  / 10000.0) AS covar_pop
          FROM m ORDER BY l_linestatus""",
 
     "text_html_strip" ->
@@ -3393,10 +3400,13 @@ $iters
                   CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT) AS n_syllables
            FROM t),
          s AS (
-           SELECT *, floor((206.835
+           SELECT *, sign(206.835
                   - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
                   - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
-                  * 10000.0 + 0.5) / 10000.0 AS flesch
+                  * (floor(abs(206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+                  * 10000.0 + 0.5) / 10000.0) AS flesch
            FROM c)
          SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
                 CASE WHEN flesch >= 80.0 THEN 'easy'
@@ -3424,6 +3434,113 @@ $iters
          SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
                 count(*) AS n_events,
                 round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
-         FROM u GROUP BY 1, 2 ORDER BY bucket_ms, event_type"""
+         FROM u GROUP BY 1, 2 ORDER BY bucket_ms, event_type""",
+
+    "agg_skew_kurtosis" ->
+      // identical exact decimal raw moments, identical fixed IEEE
+      // central-moment tree (x^1.5 spelled m2*sqrt(m2) on both sides —
+      // libm pow is not correctly rounded), identical HALF_UP r4
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s2,
+                  CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+                    AS DECIMAL(28,8))) AS DOUBLE) AS s3,
+                  CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                    AS DECIMAL(28,8))) AS DOUBLE) AS s4
+           FROM lineitem GROUP BY 1),
+         c AS (
+           SELECT l_returnflag, n,
+                  s1 / CAST(n AS DOUBLE) AS mean,
+                  s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m2,
+                  s3 / CAST(n AS DOUBLE)
+                    - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+                    + 2.0 * ((s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) AS m3,
+                  s4 / CAST(n AS DOUBLE)
+                    - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+                    + 6.0 * ((s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) * (s2 / CAST(n AS DOUBLE))
+                    - 3.0 * (((s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                           * ((s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))) AS m4
+           FROM m)
+         SELECT l_returnflag, n,
+                floor(mean * 10000.0 + 0.5) / 10000.0 AS mean_qty,
+                sign(m3 / (m2 * sqrt(m2)))
+                  * (floor(abs(m3 / (m2 * sqrt(m2))) * 10000.0 + 0.5) / 10000.0)
+                  AS skewness,
+                sign(m4 / (m2 * m2) - 3.0)
+                  * (floor(abs(m4 / (m2 * m2) - 3.0) * 10000.0 + 0.5) / 10000.0)
+                  AS kurtosis_ex
+         FROM c ORDER BY l_returnflag""",
+
+    "ts_calendar_features" ->
+      // weekday ≡ isodow-1 (Monday-based ISO pair — dayofweek is
+      // 1=Sunday in Spark but 0=Sunday in DuckDB, the trap the operator
+      // doc pins); weekofyear is ISO in both
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+                CAST(CASE WHEN isodow(o_orderdate) - 1 >= 5 THEN 1 ELSE 0 END
+                  AS INTEGER) AS is_weekend,
+                count(*) AS n_orders,
+                count(DISTINCT weekofyear(o_orderdate)) AS n_weeks,
+                CAST(min(isodow(o_orderdate) - 1) AS INTEGER) AS min_wd,
+                CAST(max(isodow(o_orderdate) - 1) AS INTEGER) AS max_wd,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS sum_price
+         FROM orders GROUP BY 1, 2, 3 ORDER BY o_year, o_quarter, is_weekend""",
+
+    "source_parquet_merge_schema" ->
+      // closed-form twin from the base table: v1 = even keys (no
+      // evolved columns → NULLs under mergeSchema), v2 = odd keys with
+      // year + band populated exactly as the staging derives them
+      """SELECT o_orderstatus,
+                count(*) AS n_rows,
+                count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_year,
+                count(CASE WHEN o_orderkey % 2 = 1 AND o_totalprice > 200000.0
+                           THEN 1 END) AS n_big,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS sum_price,
+                min(o_orderkey) AS min_key
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+
+    "text_vocab_novelty" ->
+      // same distinct-token explode → first-seer min → join-back shape
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents)),
+         first_seen AS (
+           SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1)
+         SELECT t.doc_id,
+                count(*) AS n_vocab,
+                count(CASE WHEN f.first_doc = t.doc_id THEN 1 END) AS n_novel,
+                floor(CAST(count(CASE WHEN f.first_doc = t.doc_id THEN 1 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS novelty
+         FROM toks t JOIN first_seen f USING (tok)
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+    "dedup_template_hash" ->
+      // identical token-length shape digest over the first 10 tokens
+      """WITH s AS (
+           SELECT doc_id,
+                  md5(array_to_string(list_transform(
+                    string_split(text, ' ')[1:10],
+                    x -> CAST(length(x) AS VARCHAR)), ' ')) AS template_md5
+           FROM documents)
+         SELECT template_md5, count(*) AS n_docs, min(doc_id) AS canonical_doc
+         FROM s GROUP BY 1 HAVING count(*) > 1 ORDER BY template_md5""",
+
+    "cdc_stream_windowed_append" ->
+      // the tumbling aggregate restricted to the finalized horizon
+      // H = max(ts) − 1 h: append mode emits exactly the windows the
+      // watermark closed; both engines apply the identical strict
+      // integer predicate (window end µs < H µs)
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+         SELECT * FROM (
+           SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+                  count(*) AS n_events,
+                  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+           FROM events GROUP BY 1, 2)
+         WHERE (bucket_ms + 3600000) * 1000 < (SELECT m FROM mx) - 3600000000
+         ORDER BY bucket_ms, event_type"""
   )
 }

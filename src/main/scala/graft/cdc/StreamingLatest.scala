@@ -1391,4 +1391,61 @@ object StreamingLatest {
         round($"sum_dec".cast("double"), 4).as("sum_value"))
       .orderBy($"bucket_ms", $"event_type")
   } }
+
+  /** `cdc_stream_windowed_append`: the tumbling aggregate in APPEND
+    * mode — each window row is emitted exactly ONCE, when the watermark
+    * finalizes it, and never revised. Complete mode
+    * (`cdc_stream_windowed`) re-emits the whole result every batch —
+    * fine for a small dashboard sink; append is the mode a downstream
+    * TABLE needs (immutable window rows, incremental consumption), and
+    * its state is evicted at emission instead of held forever, which is
+    * what bounds state at 100 TB. The no-data micro-batch is REQUIRED
+    * here (unlike the complete-mode queries): emission happens on
+    * watermark advance, so the final watermark-only batch is what
+    * flushes the last closed windows. Output pinned to the finalized
+    * horizon H = max(ts) − 1 h (strictly-below filter on BOTH engines,
+    * the `streamSessionize` oracle trick) so the emitted set is
+    * deterministic and closed-form. */
+  def streamWindowedAppend(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 4) {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val runDir = jvmTmpDir("runwa")
+    val inDir   = stagedEventLog(spark, sfDir)
+    val outDir  = s"$runDir/out"
+    val ckptDir = s"$runDir/ckpt"
+    val schema = graft.Tables.events(spark, sfDir)
+      .select($"ts", $"event_type", $"value").schema
+
+    val agg = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 6))).as("sum_dec"))
+
+    val q = agg.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+
+    rmTree(Paths.get(ckptDir))
+
+    val horizonUs = graft.Tables.events(spark, sfDir)
+      .agg(unix_micros(max($"ts"))).first().getLong(0) - 3600L * 1000000L
+
+    spark.read.parquet(outDir)
+      .filter(unix_micros($"w.end") < horizonUs)
+      .select(
+        unix_millis($"w.start").as("bucket_ms"),
+        $"event_type", $"n_events",
+        round($"sum_dec".cast("double"), 4).as("sum_value"))
+      .orderBy($"bucket_ms", $"event_type")
+  }
 }

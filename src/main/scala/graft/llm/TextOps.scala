@@ -1501,7 +1501,7 @@ object TextOps {
     val w = $"n_words".cast(DoubleType)
     val s = $"n_sentences".cast(DoubleType)
     val sy = $"n_syllables".cast(DoubleType)
-    val flesch = graft.Det.r4(
+    val flesch = graft.Det.r4s(
       lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w))
     base.select(
         $"doc_id", $"n_words", $"n_sentences", $"n_syllables",
@@ -1509,5 +1509,52 @@ object TextOps {
         when(flesch >= 80.0, "easy").when(flesch >= 55.0, "medium")
           .otherwise("hard").as("band"))
       .orderBy($"doc_id")
+  }
+
+  /** `text_vocab_novelty`: per-document vocabulary novelty — the
+    * fraction of a doc's distinct words that no earlier doc (by doc_id,
+    * the corpus ingest order) has used. The running-diversity signal a
+    * curriculum/dedup pipeline watches: novelty collapsing toward 0
+    * means the crawl is re-reading itself. Shape: distinct-token explode
+    * → per-token min(doc_id) (the first seer) → join back → per-doc
+    * conditional count. Both aggregates map-side combine and the join is
+    * token-keyed equi — at 100 TB the token strings would ride as
+    * xxhash64 keys, but the oracle gate needs engine-portable values, so
+    * the (short) words themselves key the shuffle here. */
+  def vocabNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+    val firstSeen = toks.groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+    toks.join(firstSeen, "tok")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
+      .select($"doc_id", $"n_vocab", $"n_novel",
+        graft.Det.r4($"n_novel".cast(DoubleType) / $"n_vocab".cast(DoubleType))
+          .as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  /** `dedup_template_hash`: template/boilerplate clustering — docs are
+    * grouped by the SHAPE of their opening (the lengths of the first 10
+    * tokens, digest-keyed), the cheap structural signature that catches
+    * machine-generated template families exact-hash dedup misses (same
+    * skeleton, different fill-ins) without any pair join: one
+    * projection + one hash-keyed aggregate, the most scalable near-dup
+    * signal there is. Canonical doc = min doc_id per cluster, the same
+    * convention as `dedup_exact`/`dedup_cluster_canonical`. */
+  def templateHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val shape = array_join(
+      transform(slice(split($"text", " "), 1, 10),
+        t => length(t).cast(StringType)), " ")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", md5(shape).as("template_md5"))
+      .groupBy($"template_md5")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc"))
+      .filter($"n_docs" > 1)
+      .orderBy($"template_md5")
   }
 }

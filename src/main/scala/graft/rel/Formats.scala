@@ -36,6 +36,7 @@ object Formats {
     stagedCorruptJsonl(spark, sfDir)
     stagedDynOverwrite(spark, sfDir)
     textLines(spark, sfDir)
+    parquetMergeSchema(spark, sfDir)
   }
 
   private val stagedCsv =
@@ -555,5 +556,51 @@ object Formats {
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n_rows"), count($"event_id").as("n_parsed"))
       .orderBy($"bucket")
+  }
+
+  private val stagedMergeSchema =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** `source_parquet_merge_schema`: schema-evolution read — a dataset
+    * whose older files predate a column addition, read under
+    * `mergeSchema=true` so the union schema resolves and the legacy
+    * files surface NULLs for the added columns (the evolution mode every
+    * long-lived 100 TB table lives in; the footer-merge pass is why
+    * mergeSchema is opt-in — here it's the point). Staged once per
+    * (session, sfDir): even keys as the v1 schema, odd keys as v2 with
+    * `o_year INT` + `o_band STRING` appended. The aggregate pins both
+    * populations: `n_with_year` counts exactly the v2 rows, and the v2
+    * extras reproduce closed-form from the base table, so the oracle
+    * needs only the original parquet. */
+  def parquetMergeSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.SessionCache.prunePaths(stagedMergeSchema, (spark, sfDir))
+    val dir = stagedMergeSchema.computeIfAbsent(
+      (spark, sfDir),
+      _ => {
+        val d = graft.StageDirs.fresh("graft-mergeschema").toString
+        val src = Tables.orders(spark, sfDir)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate")
+        src.filter($"o_orderkey" % 2 === 0)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+          .write.mode("overwrite").parquet(s"$d/orders/v1")
+        src.filter($"o_orderkey" % 2 === 1)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+            year($"o_orderdate").as("o_year"),
+            when($"o_totalprice" > 200000.0, "big").otherwise("small").as("o_band"))
+          .write.mode("overwrite").parquet(s"$d/orders/v2")
+        d
+      })
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/orders/v1", s"$dir/orders/v2")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"o_year").as("n_with_year"),
+        count(when($"o_band" === "big", 1)).as("n_big"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price"),
+        min($"o_orderkey").as("min_key"))
+      .orderBy($"o_orderstatus")
   }
 }

@@ -593,9 +593,45 @@ object FuncSurface {
     val varyn = n * $"syy" - $"sy" * $"sy"
     m.select(
         $"l_linestatus", $"n",
-        graft.Det.r4(covn / sqrt(varxn * varyn)).as("corr_xy"),
-        graft.Det.r4(covn / (n * (n - lit(1.0)))).as("covar_samp"),
-        graft.Det.r4(covn / (n * n)).as("covar_pop"))
+        graft.Det.r4s(covn / sqrt(varxn * varyn)).as("corr_xy"),
+        graft.Det.r4s(covn / (n * (n - lit(1.0)))).as("covar_samp"),
+        graft.Det.r4s(covn / (n * n)).as("covar_pop"))
       .orderBy($"l_linestatus")
+  }
+
+  /** `agg_skew_kurtosis`: third/fourth-moment shape statistics —
+    * population skewness and excess kurtosis of quantity per returnflag —
+    * from EXACT decimal raw moments Σx..Σx⁴ (Spark's native skewness/
+    * kurtosis stream double central-moment accumulators whose value
+    * depends on partition merge order). Completes the moment ladder:
+    * stats_moments (2nd), regression/corr (bivariate 2nd), here 3rd/4th.
+    * Headroom: x ≤ 50 so Σx⁴ ≤ 6.25e6·rows — DECIMAL(28,8) holds to
+    * ~1.6e13 rows per group, far past bench scale. The central-moment
+    * algebra is a fixed IEEE tree (x^1.5 spelled x·√x, not pow — libm
+    * pow is not correctly rounded and may differ across engines), + r4. */
+  def aggSkewKurtosis(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"l_quantity"
+    val d18 = DecimalType(18, 4); val d28 = DecimalType(28, 8)
+    val m = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(d18)).cast(DoubleType).as("s1"),
+        sum((x * x).cast(d28)).cast(DoubleType).as("s2"),
+        sum((x * x * x).cast(d28)).cast(DoubleType).as("s3"),
+        sum((x * x * x * x).cast(d28)).cast(DoubleType).as("s4"))
+    val n = $"n".cast(DoubleType)
+    val mean = $"s1" / n
+    val m2 = $"s2" / n - mean * mean
+    val m3 = $"s3" / n - lit(3.0) * mean * ($"s2" / n) + lit(2.0) * (mean * mean * mean)
+    val m4 = $"s4" / n - lit(4.0) * mean * ($"s3" / n) +
+      lit(6.0) * (mean * mean) * ($"s2" / n) - lit(3.0) * ((mean * mean) * (mean * mean))
+    m.select(
+        $"l_returnflag", $"n",
+        graft.Det.r4(mean).as("mean_qty"),
+        graft.Det.r4s(m3 / (m2 * sqrt(m2))).as("skewness"),
+        graft.Det.r4s(m4 / (m2 * m2) - lit(3.0)).as("kurtosis_ex"))
+      .orderBy($"l_returnflag")
   }
 }

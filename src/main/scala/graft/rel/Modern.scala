@@ -882,4 +882,35 @@ object Modern {
         graft.functions.CmsFunctions.cms_estimate($"sk", $"user_id").as("cms_est"))
       .orderBy($"user_id")
   }
+
+  /** `ts_calendar_features`: the calendar feature family every
+    * partition-by-date pipeline derives before bucketing — ISO weekday,
+    * ISO week-of-year, quarter, weekend flag — then the seasonal
+    * rollup over (year, quarter, weekend). Cross-engine trap this query
+    * exists to pin: Spark's `dayofweek` is 1=Sunday while DuckDB's
+    * `dayofweek` is 0=Sunday — the ISO pair (`weekday` ≡ `isodow`−1,
+    * Monday-based) is the only alignment that hashes identically, and
+    * `weekofyear` is ISO in both (Jan 1 1995 → week 52). One scan,
+    * bounded output, map-side combinable. */
+  def tsCalendarFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wd = expr("weekday(o_orderdate)")
+    Tables.orders(spark, sfDir)
+      .select(
+        $"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"),
+        quarter($"o_orderdate").as("o_quarter"),
+        weekofyear($"o_orderdate").as("iso_week"),
+        wd.as("iso_weekday"),
+        (wd >= 5).cast(IntegerType).as("is_weekend"))
+      .groupBy($"o_year", $"o_quarter", $"is_weekend")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct($"iso_week").as("n_weeks"),
+        min($"iso_weekday").as("min_wd"),
+        max($"iso_weekday").as("max_wd"),
+        round(sum($"o_totalprice".cast(DecimalType(18, 4))).cast(DoubleType), 4)
+          .as("sum_price"))
+      .orderBy($"o_year", $"o_quarter", $"is_weekend")
+  }
 }

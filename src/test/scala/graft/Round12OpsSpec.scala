@@ -181,6 +181,107 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(!scan.contains("o_orderpriority"))
   }
 
+  // ---- third batch ----
+
+  test("skew/kurtosis: exact zero on a planted symmetric fixture, sign on a skewed one") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    // symmetric {1,2,3} per flag -> skewness 0, excess kurtosis -1.5;
+    // right-tailed {1,1,1,7} -> positive skewness
+    val dir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get("/root/repo/target/r12-tmp")), "skew")
+    (Seq(("A", 1.0), ("A", 2.0), ("A", 3.0)) ++
+      Seq(("B", 1.0), ("B", 1.0), ("B", 1.0), ("B", 7.0)))
+      .toDF("l_returnflag", "l_quantity")
+      .select($"l_returnflag", $"l_quantity",
+        lit(0.0).as("l_extendedprice"), lit(0.0).as("l_discount"),
+        lit(0.0).as("l_tax"), lit("x").as("l_linestatus"),
+        lit(1L).as("l_orderkey"), lit(1L).as("l_partkey"),
+        lit(1L).as("l_suppkey"), lit(1).as("l_linenumber"),
+        lit(java.sql.Date.valueOf("1995-01-01")).as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = rel.FuncSurface.aggSkewKurtosis(spark, dir.toString)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("A") == ((0.0, -1.5)))
+    assert(got("B")._1 > 1.0) // strongly right-skewed
+  }
+
+  test("calendar features: weekday/weekend flags consistent with epoch-day arithmetic") {
+    val s = spark
+    import s.implicits._
+    val base = Tables.orders(spark, sf).select($"o_orderdate",
+      expr("weekday(o_orderdate)").as("wd"),
+      // 1970-01-01 was a Thursday = ISO weekday 3
+      pmod(datediff($"o_orderdate", lit(java.sql.Date.valueOf("1970-01-01"))) + 3, lit(7))
+        .as("wd_arith"))
+    assert(base.filter($"wd" =!= $"wd_arith").count() == 0)
+    val agg = rel.Modern.tsCalendarFeatures(spark, sf)
+    assert(agg.filter($"min_wd" < 0 || $"max_wd" > 6).count() == 0)
+    // weekend rows span only {5,6}, weekday rows only {0..4}
+    assert(agg.filter($"is_weekend" === 1 && $"min_wd" < 5).count() == 0)
+    assert(agg.filter($"is_weekend" === 0 && $"max_wd" > 4).count() == 0)
+  }
+
+  test("merge-schema read: evolved columns NULL exactly on the legacy half") {
+    val s = spark
+    import s.implicits._
+    val df = rel.Formats.parquetMergeSchema(spark, sf)
+    val base = Tables.orders(spark, sf)
+    val odd = base.filter($"o_orderkey" % 2 === 1).count()
+    val total = base.count()
+    val got = df.agg(sum($"n_rows"), sum($"n_with_year")).first()
+    assert(got.getLong(0) == total && got.getLong(1) == odd)
+  }
+
+  test("vocab novelty: doc 0 fully novel, novelty telescopes to the corpus vocab") {
+    val s = spark
+    import s.implicits._
+    val df = llm.TextOps.vocabNovelty(spark, sf)
+    assert(df.filter($"doc_id" === 0).select($"n_novel" === $"n_vocab")
+      .first().getBoolean(0))
+    // every word is novel exactly once: Σ n_novel = |corpus vocabulary|
+    val totalNovel = df.agg(sum($"n_novel")).first().getLong(0)
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t")).distinct().count()
+    assert(totalNovel == vocab)
+  }
+
+  test("template hash: clusters are non-trivial and canonical is the min member") {
+    val s = spark
+    import s.implicits._
+    val df = llm.TextOps.templateHash(spark, sf)
+    assert(df.filter($"n_docs" <= 1).count() == 0)
+    // recompute one cluster independently: every member shares the shape
+    // of the canonical doc's first-10-token lengths
+    val shape = array_join(transform(slice(split($"text", " "), 1, 10),
+      t => length(t).cast("string")), " ")
+    val shapes = Tables.documents(spark, sf).select($"doc_id", md5(shape).as("m"))
+    val joined = df.join(shapes, df("template_md5") === shapes("m"))
+    assert(joined.groupBy($"template_md5").agg(
+        count(lit(1)).as("k"), min($"doc_id").as("mn"))
+      .join(df, "template_md5")
+      .filter($"k" =!= $"n_docs" || $"mn" =!= $"canonical_doc").count() == 0)
+  }
+
+  test("append-mode windowed stream ≡ batch twin under the finalized horizon") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val streamed = cdc.StreamingLatest.streamWindowedAppend(spark, sf)
+    val horizonUs = Tables.events(spark, sf)
+      .agg(unix_micros(max($"ts"))).first().getLong(0) - 3600L * 1000000L
+    val batch = Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 6))).as("sum_dec"))
+      .filter(unix_micros($"w.end") < horizonUs)
+      .select(unix_millis($"w.start").as("bucket_ms"), $"event_type",
+        $"n_events", round($"sum_dec".cast("double"), 4).as("sum_value"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream union ≡ batch union twin, row for row") {
     val s = spark
     import s.implicits._
