@@ -3541,6 +3541,101 @@ $iters
                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
            FROM events GROUP BY 1, 2)
          WHERE (bucket_ms + 3600000) * 1000 < (SELECT m FROM mx) - 3600000000
-         ORDER BY bucket_ms, event_type"""
+         ORDER BY bucket_ms, event_type""",
+
+    "agg_map_collect" ->
+      // the sorted-key JSON rendering is the canonical map surface:
+      // string_agg ORDER BY key rebuilds exactly Spark's to_json of the
+      // sorted-entries map (counts render as bare integers in both)
+      """WITH c AS (
+           SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2)
+         SELECT user_id,
+                CAST(count(*) AS INTEGER) AS n_types,
+                '{' || string_agg('"' || event_type || '":' || CAST(cnt AS VARCHAR),
+                                  ',' ORDER BY event_type) || '}' AS type_counts_json
+         FROM c GROUP BY user_id ORDER BY user_id""",
+
+    "window_rolling_zscore" ->
+      // identical decimal frame sums, identical IEEE z tree, identical
+      // signed HALF_UP quantization, outlier gate on the quantized z
+      """WITH f AS (
+           SELECT event_id, user_id, value,
+                  count(*) OVER w AS n_frame,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+                  CAST(CAST(sum(CAST(value * value AS DECIMAL(28,8))) OVER w
+                    AS DECIMAL(28,4)) AS DOUBLE) AS sxx
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+         z AS (
+           SELECT event_id, user_id, n_frame,
+                  CASE WHEN (CAST(n_frame AS DOUBLE) * sxx - sx * sx) > 0.0
+                        AND n_frame >= 3 THEN
+                    sign((value - sx / CAST(n_frame AS DOUBLE))
+                      / sqrt((CAST(n_frame AS DOUBLE) * sxx - sx * sx)
+                           / (CAST(n_frame AS DOUBLE) * (CAST(n_frame AS DOUBLE) - 1.0))))
+                    * (floor(abs((value - sx / CAST(n_frame AS DOUBLE))
+                      / sqrt((CAST(n_frame AS DOUBLE) * sxx - sx * sx)
+                           / (CAST(n_frame AS DOUBLE) * (CAST(n_frame AS DOUBLE) - 1.0))))
+                      * 10000.0 + 0.5) / 10000.0)
+                  END AS z
+           FROM f)
+         SELECT event_id, user_id, n_frame, z,
+                CAST(CASE WHEN z IS NOT NULL AND abs(z) > 2.0 THEN 1 ELSE 0 END
+                  AS INTEGER) AS is_outlier
+         FROM z ORDER BY event_id""",
+
+    "window_rolling_median" ->
+      // quantile_disc(0.5) picks the LOWER middle — exactly the
+      // (n+1) DIV 2 element pick on the Spark side; pure element
+      // selection, no interpolation arithmetic to diverge
+      """SELECT event_id, user_id,
+                CAST(count(*) OVER w AS INTEGER) AS n_frame,
+                round(quantile_disc(value, 0.5) OVER w, 4) AS rolling_median
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "graph_degree_distribution" ->
+      // the dedup_ngram_jaccard pair CTE (same as the pagerank/LPA
+      // twins), then endpoints → per-node degree → per-degree histogram
+      """WITH sh AS MATERIALIZED (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(string_split(text,' ')) - 2, 1)),
+             i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))) AS s
+           FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n, b.n
+           HAVING round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) >= 0.5),
+         ends AS (SELECT doc_a AS node FROM pairs
+                  UNION ALL SELECT doc_b AS node FROM pairs),
+         deg AS (SELECT node, count(*) AS degree FROM ends GROUP BY node)
+         SELECT degree, count(*) AS n_nodes, min(node) AS min_doc
+         FROM deg GROUP BY degree ORDER BY degree""",
+
+    "agg_entropy_gini" ->
+      // identical per-class HALF_UP micro-unit quantization BEFORE the
+      // (exact, integer) cohort sum — a raw double SUM would be
+      // partition-order dependent on the Spark side
+      """WITH c AS (
+           SELECT user_id % 10 AS cohort, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT cohort, cnt,
+                  CAST(floor(-((CAST(cnt AS DOUBLE) / s) * ln(CAST(cnt AS DOUBLE) / s))
+                    * 1000000.0 + 0.5) AS BIGINT) AS h_term_u,
+                  CAST(floor(((CAST(cnt AS DOUBLE) / s) * (CAST(cnt AS DOUBLE) / s))
+                    * 1000000.0 + 0.5) AS BIGINT) AS g_term_u
+           FROM (SELECT *, CAST(sum(cnt) OVER (PARTITION BY cohort) AS DOUBLE) AS s
+                 FROM c))
+         SELECT cohort, count(*) AS n_types, sum(cnt) AS n_events,
+                CAST(sum(h_term_u) AS DOUBLE) / 1000000.0 AS entropy_nats,
+                1.0 - CAST(sum(g_term_u) AS DOUBLE) / 1000000.0 AS gini
+         FROM t GROUP BY cohort ORDER BY cohort"""
   )
 }

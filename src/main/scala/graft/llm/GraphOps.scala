@@ -245,4 +245,25 @@ object GraphOps {
         coalesce(sum(when($"t" === "e", 1L).otherwise(0L)), lit(0L)).as("n_edges"),
         coalesce(sum(when($"t" === "t", 1L).otherwise(0L)), lit(0L)).as("n_triangles"))
   }
+
+  /** `graph_degree_distribution`: the degree histogram of the near-dup
+    * pair graph — the first diagnostic read off any similarity graph
+    * (a heavy tail means template families; a spike at k means cloned
+    * clusters of size k+1). Shape: symmetric edge endpoints → per-node
+    * count → per-degree count, three hash aggregates on integer keys,
+    * no joins at all; the expensive stage is the shared staged pair
+    * build ([[TextOps.ngramJaccardPairs]], one build — four consumers
+    * now with pagerank/LPA/components). `min_doc` pins each bucket to a
+    * concrete witness, not just a count. */
+  def degreeDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = TextOps.ngramJaccardPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+    val ends = pairs.select($"doc_a".as("node"))
+      .union(pairs.select($"doc_b".as("node")))
+    ends.groupBy($"node").agg(count(lit(1)).as("degree"))
+      .groupBy($"degree")
+      .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_doc"))
+      .orderBy($"degree")
+  }
 }

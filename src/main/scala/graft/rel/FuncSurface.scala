@@ -634,4 +634,35 @@ object FuncSurface {
         graft.Det.r4s(m4 / (m2 * m2) - lit(3.0)).as("kurtosis_ex"))
       .orderBy($"l_returnflag")
   }
+
+  /** `agg_entropy_gini`: class-balance diagnostics per user cohort —
+    * Shannon entropy (nats) and Gini impurity of the event-type mix,
+    * the two numbers a dataset-curation pass reads before rebalancing
+    * (complements `text_entropy`'s per-document character entropy with
+    * the cross-row categorical form). Determinism: a double SUM of
+    * per-class terms would be partition-order dependent, so each term
+    * (−p·ln p, p²) is HALF_UP-quantized to integer micro-units per
+    * class FIRST and the cohort total is an exact long sum — the tfidf
+    * log-quantization idiom lifted to aggregation. Two map-side
+    * combinable passes over integer keys. */
+  def aggEntropyGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.Tables.events(spark, sfDir)
+      .groupBy(pmod($"user_id", lit(10)).as("cohort"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = Window.partitionBy($"cohort")
+    val p = $"cnt".cast(DoubleType) / sum($"cnt").over(tot).cast(DoubleType)
+    counts
+      .select($"cohort", $"cnt",
+        floor(-(p * log(p)) * 1000000.0 + 0.5).cast(LongType).as("h_term_u"),
+        floor((p * p) * 1000000.0 + 0.5).cast(LongType).as("g_term_u"))
+      .groupBy($"cohort")
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum($"cnt").as("n_events"),
+        (sum($"h_term_u").cast(DoubleType) / 1000000.0).as("entropy_nats"),
+        (lit(1.0) - sum($"g_term_u").cast(DoubleType) / 1000000.0).as("gini"))
+      .orderBy($"cohort")
+  }
 }

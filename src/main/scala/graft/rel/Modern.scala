@@ -913,4 +913,78 @@ object Modern {
           .as("sum_price"))
       .orderBy($"o_year", $"o_quarter", $"is_weekend")
   }
+
+  /** `agg_map_collect`: rows → MAP aggregation — each user's event-type
+    * mix collected into one map column (`map_from_entries` over a sorted
+    * struct list), the inverse of `map_explode_entries`. The map is
+    * emitted through `to_json` because a map's physical layout is
+    * engine-specific but its sorted-key JSON rendering is canonical —
+    * the same hash-surface trick as the VARIANT queries. Two map-side
+    * combinable aggregates; the collect_list is bounded by the
+    * event-type cardinality (5), not the event count. */
+  def aggMapCollect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(array_sort(collect_list(struct($"event_type", $"cnt"))))
+        .as("m"))
+      .select($"user_id", size($"m").as("n_types"),
+        to_json($"m").as("type_counts_json"))
+      .orderBy($"user_id")
+  }
+
+  /** `window_rolling_zscore`: rolling anomaly score — each event's value
+    * standardized against its user's trailing 7-event frame (sample
+    * std from EXACT decimal frame sums, the window twin of the
+    * agg_regression moment trick), with the outlier flag taken on the
+    * QUANTIZED z so both engines gate the same value. The telemetry
+    * anomaly pass every ingest pipeline runs; frame state is two sums +
+    * a count per row, and the single exchange is the per-user sort. */
+  def windowRollingZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-6, 0)
+    val sx = sum($"value".cast(DecimalType(18, 6))).over(w).cast(DoubleType)
+    val sxx = sum(($"value" * $"value").cast(DecimalType(28, 8))).over(w)
+      .cast(DecimalType(28, 4)).cast(DoubleType)
+    val n = count(lit(1)).over(w).cast(DoubleType)
+    val varOk = (n * sxx - sx * sx) > 0.0 && n >= 3.0
+    val z = ($"value" - sx / n) /
+      sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0))))
+    val zq = graft.Det.r4s(z)
+    graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts", $"value",
+        count(lit(1)).over(w).as("n_frame"),
+        when(varOk, zq).as("z"),
+        when(varOk, (abs(zq) > 2.0).cast(IntegerType)).otherwise(0)
+          .as("is_outlier"))
+      .select($"event_id", $"user_id", $"n_frame", $"z", $"is_outlier")
+      .orderBy($"event_id")
+  }
+
+  /** `window_rolling_median`: exact rolling median over the trailing
+    * 5-event frame — the robust smoother next to `window_moving_avg`'s
+    * mean (one fat-fingered reading skews a mean for 4 frames; the
+    * median shrugs). Spark has no frame-median, so the frame is
+    * collected (bounded: ≤5 values) and the LOWER median picked by
+    * index — which is exactly DuckDB's `quantile_disc(0.5)` convention,
+    * making the twin an element pick on both sides, no interpolation
+    * arithmetic to diverge. */
+  def windowRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-4, 0)
+    graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id",
+        sort_array(collect_list($"value").over(w)).as("frame"))
+      .select($"event_id", $"user_id",
+        size($"frame").as("n_frame"),
+        round(expr("element_at(frame, CAST((size(frame) + 1) DIV 2 AS INT))"), 4)
+          .as("rolling_median"))
+      .orderBy($"event_id")
+  }
 }

@@ -282,6 +282,100 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  // ---- fourth batch ----
+
+  test("map collect: JSON parses back to exactly the per-user count map") {
+    val s = spark
+    import s.implicits._
+    val df = rel.Modern.aggMapCollect(spark, sf)
+    val parsed = df.select($"user_id", $"n_types",
+      from_json($"type_counts_json", lit("map<string,bigint>")).as("m"))
+      .select($"user_id", $"n_types", explode($"m").as(Seq("event_type", "cnt")))
+    val want = Tables.events(spark, sf).groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("w_cnt"))
+    assert(parsed.join(want, Seq("user_id", "event_type"))
+      .filter($"cnt" =!= $"w_cnt").count() == 0)
+    assert(parsed.groupBy($"user_id", $"n_types").count()
+      .filter($"n_types" =!= $"count").count() == 0)
+  }
+
+  test("rolling zscore: constant series yields null z, a planted spike flags") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get("/root/repo/target/r12-tmp")), "zs")
+    // user 1: constant 5.0 (variance 0 -> z null); user 2: flat 10.0
+    // with one 100.0 spike (must flag)
+    val rows = (1 to 8).map(i => (i.toLong, 1L, 5.0)) ++
+      (11 to 18).map(i => (i.toLong, 2L, if (i == 18) 100.0 else 10.0))
+    rows.toDF("event_id", "user_id", "value")
+      .select($"event_id", timestamp_micros($"event_id" * 1000000L).as("ts"),
+        $"user_id", lit("view").as("event_type"), $"value", lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = rel.Modern.windowRollingZscore(spark, dir.toString)
+    assert(got.filter($"user_id" === 1 && $"z".isNotNull).count() == 0)
+    val spike = got.filter($"event_id" === 18).first()
+    assert(spike.getInt(4) == 1 && spike.getDouble(3) > 2.0)
+    assert(got.filter($"user_id" === 2 && $"event_id" < 18 && $"z".isNotNull)
+      .count() == 0) // flat prefix has zero variance too
+  }
+
+  test("rolling median: exact lower-median on a planted series") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get("/root/repo/target/r12-tmp")), "med")
+    val vals = Seq(5.0, 1.0, 3.0, 2.0, 4.0, 9.0)
+    vals.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+      .toDF("event_id", "value")
+      .select($"event_id", timestamp_micros($"event_id" * 1000000L).as("ts"),
+        lit(1L).as("user_id"), lit("view").as("event_type"), $"value",
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = rel.Modern.windowRollingMedian(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // frames: {5}=5, {5,1}=1, {5,1,3}=3, {5,1,3,2}=2, {5,1,3,2,4}=3,
+    // {1,3,2,4,9}=3
+    assert(got == Map(1L -> 5.0, 2L -> 1.0, 3L -> 3.0, 4L -> 2.0,
+      5L -> 3.0, 6L -> 3.0))
+  }
+
+  test("degree distribution: handshake identity against the pair set") {
+    val s = spark
+    import s.implicits._
+    val df = llm.GraphOps.degreeDistribution(spark, sf)
+    val nPairs = llm.TextOps.ngramJaccardPairs(spark, sf).count()
+    val sums = df.agg(
+      sum($"degree" * $"n_nodes"), sum($"n_nodes")).first()
+    assert(sums.getLong(0) == 2 * nPairs) // Σ deg = 2|E|
+    val nNodes = llm.TextOps.ngramJaccardPairs(spark, sf)
+      .select(explode(array($"doc_a", $"doc_b")).as("n")).distinct().count()
+    assert(sums.getLong(1) == nNodes)
+  }
+
+  test("entropy/gini: closed forms on planted uniform and single-class cohorts") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get("/root/repo/target/r12-tmp")), "ent")
+    // cohort 1 (user 1): 4 types x 25 events -> uniform over 4;
+    // cohort 2 (user 2): single type -> entropy 0, gini 0
+    val rows = (1 to 100).map(i => (i.toLong, 1L, s"t${i % 4}")) ++
+      (101 to 150).map(i => (i.toLong, 2L, "only"))
+    rows.toDF("event_id", "user_id", "event_type")
+      .select($"event_id", timestamp_micros($"event_id" * 1000000L).as("ts"),
+        $"user_id", $"event_type", lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = rel.FuncSurface.aggEntropyGini(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val h4 = math.floor(-(0.25 * math.log(0.25)) * 1e6 + 0.5) * 4 / 1e6
+    assert(got(1L) == ((h4, 1.0 - 4 * 0.0625)))
+    assert(got(2L) == ((0.0, 0.0)))
+  }
+
   test("stream union ≡ batch union twin, row for row") {
     val s = spark
     import s.implicits._
