@@ -3636,6 +3636,73 @@ $iters
          SELECT cohort, count(*) AS n_types, sum(cnt) AS n_events,
                 CAST(sum(h_term_u) AS DOUBLE) / 1000000.0 AS entropy_nats,
                 1.0 - CAST(sum(g_term_u) AS DOUBLE) / 1000000.0 AS gini
-         FROM t GROUP BY cohort ORDER BY cohort"""
+         FROM t GROUP BY cohort ORDER BY cohort""",
+
+    "sql_named_window" ->
+      // the twin states the windows explicitly — the WINDOW clause is
+      // Spark-side analysis sugar whose expansion this match proves;
+      // lag and the running decimal sum ride the same (custkey,
+      // date, orderkey) order
+      """SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS rn,
+                round(lag(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey), 4) AS prev_price,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                  AS DOUBLE), 4) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "sql_lateral_view_explode" ->
+      // unnest is DuckDB's generator spelling; same bounded histogram
+      """SELECT CAST(length(tok) AS INTEGER) AS tok_len,
+                count(*) AS n_tokens,
+                count(DISTINCT tok) AS n_distinct
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY 1 ORDER BY tok_len""",
+
+    "text_pmi_cooccur" ->
+      // identical in-row ±2 skip-gram pair generation (list indexing
+      // instead of element_at), identical exact counts, identical ln
+      // tree quantized to signed micro-units (r6s mirror)
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         p AS (SELECT doc_id, s, unnest(range(len(s))) AS i FROM t),
+         pairs AS (
+           SELECT s[i+1] AS a, s[i+2] AS b FROM p WHERE i+2 <= len(s)
+           UNION ALL
+           SELECT s[i+1] AS a, s[i+3] AS b FROM p WHERE i+3 <= len(s)),
+         cxy AS (SELECT a, b, count(*) AS c_xy FROM pairs GROUP BY 1, 2),
+         cx AS (SELECT a, count(*) AS c_x FROM pairs GROUP BY 1),
+         cy AS (SELECT b, count(*) AS c_y FROM pairs GROUP BY 1),
+         nt AS (SELECT count(*) AS n_pairs FROM pairs)
+         SELECT a, b, c_xy,
+                sign(ln((CAST(c_xy AS DOUBLE) * CAST(n_pairs AS DOUBLE))
+                      / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))))
+                * (floor(abs(ln((CAST(c_xy AS DOUBLE) * CAST(n_pairs AS DOUBLE))
+                             / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))))
+                    * 1000000.0 + 0.5) / 1000000.0) AS pmi
+         FROM cxy JOIN cx USING (a) JOIN cy USING (b), nt
+         WHERE c_xy >= 3 ORDER BY a, b""",
+
+    "source_csv_malformed_permissive" ->
+      // closed form of the synthesized corruption: every 7th key's line
+      // is truncated (no price -> quarantined, key/status still parse),
+      // every 13th key is lettered (quarantined, key null); the clean
+      // sum re-rides the DECIMAL(18,2) text render both engines share
+      """WITH base AS (
+           SELECT o_orderstatus,
+                  o_orderkey % 7 = 0 AS trunc,
+                  o_orderkey % 13 = 0 AS badkey,
+                  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                    AS DOUBLE) AS reparsed
+           FROM orders)
+         SELECT o_orderstatus,
+                count(*) AS n_rows,
+                count(CASE WHEN trunc OR badkey THEN 1 END) AS n_quarantined,
+                count(CASE WHEN NOT badkey THEN 1 END) AS n_key_parsed,
+                round(CAST(sum(CASE WHEN NOT trunc
+                  THEN CAST(reparsed AS DECIMAL(18,4)) END) AS DOUBLE), 4)
+                  AS sum_price_clean
+         FROM base GROUP BY 1 ORDER BY o_orderstatus"""
   )
 }

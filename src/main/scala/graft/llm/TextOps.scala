@@ -1537,6 +1537,72 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** `text_compression_ratio`: the compression-ratio quality filter —
+    * DEFLATE length over raw UTF-8 length per document, with the keep
+    * flag on the QUANTIZED ratio (near-constant byte streams compress
+    * far below the prose band and get dropped; the signal per-token
+    * heuristics miss). The deflate runs inside the codegen
+    * [[graft.functions.DeflateLen]] expression: only the LENGTH escapes,
+    * the compressed bytes never ride a row. Oracle-exempt (DuckDB has no
+    * zlib surface) — spec-gated by independent recompute + planted
+    * fixed points + determinism. One scan, no shuffle but the sort. */
+  def compressionRatio(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    val dlen = graft.functions.DeflateLen.deflate_len($"text")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        length($"text").as("raw_len"),
+        dlen.as("deflate_len"))
+      .select($"doc_id", $"raw_len", $"deflate_len",
+        graft.Det.r4($"deflate_len".cast(DoubleType) / $"raw_len".cast(DoubleType))
+          .as("ratio"))
+      .withColumn("keep",
+        ($"ratio" >= threshold).cast(org.apache.spark.sql.types.IntegerType))
+      .orderBy($"doc_id")
+  }
+
+  /** `text_pmi_cooccur`: pointwise mutual information of token pairs
+    * co-occurring within a ±2 skip-gram window — the association score
+    * embedding-era pipelines (word2vec/GloVe lineage) derive before
+    * factorization, and a collocation detector in its own right. Pair
+    * generation is IN-ROW (two `element_at` projections per position —
+    * no self-join: a position joins only its own +1/+2 neighbors), so
+    * the only shuffles are the pair-count and unigram-count aggregates,
+    * both map-side combinable on token keys; the PMI log is quantized
+    * to micro-units (the tfidf idiom) AFTER exact integer count
+    * arithmetic. Output bounded by the `minPairCount` support filter —
+    * standard practice (PMI of rare pairs is noise) and what keeps the
+    * result a model table, not a corpus blowup, at 100 TB. */
+  def pmiCooccur(spark: SparkSession, sfDir: String,
+      minPairCount: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val toks = split($"text", " ")
+    val pos = docs.select($"doc_id", toks.as("ts"))
+      .select($"doc_id", $"ts", posexplode($"ts").as(Seq("p", "a")))
+    // p is 0-based, element_at 1-based: neighbors at +1 and +2.
+    // try_element_at, not element_at: under default ANSI an index past
+    // the array end throws; try_ gives the NULL the where-filter eats
+    val pairs = pos.select($"a",
+        explode(array(expr("try_element_at(ts, p + 2)"),
+          expr("try_element_at(ts, p + 3)"))).as("b"))
+      .where($"b".isNotNull)
+    val cxy = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_xy"))
+    val cx = pairs.groupBy($"a").agg(count(lit(1)).as("c_x"))
+    val cy = pairs.groupBy($"b").agg(count(lit(1)).as("c_y"))
+    val nTot = pairs.agg(count(lit(1)).as("n_pairs"))
+    cxy.filter($"c_xy" >= minPairCount)
+      .join(cx, "a").join(cy, "b")
+      .crossJoin(broadcast(nTot))
+      .select($"a", $"b", $"c_xy",
+        graft.Det.r6s(log(
+          ($"c_xy".cast(DoubleType) * $"n_pairs".cast(DoubleType)) /
+            ($"c_x".cast(DoubleType) * $"c_y".cast(DoubleType))))
+          .as("pmi"))
+      .orderBy($"a", $"b")
+  }
+
   /** `dedup_template_hash`: template/boilerplate clustering — docs are
     * grouped by the SHAPE of their opening (the lengths of the first 10
     * tokens, digest-keyed), the cheap structural signature that catches

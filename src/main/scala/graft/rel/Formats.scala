@@ -603,4 +603,67 @@ object Formats {
         min($"o_orderkey").as("min_key"))
       .orderBy($"o_orderstatus")
   }
+
+  private val stagedBadCsv =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** `source_csv_malformed_permissive`: the CSV twin of the JSON
+    * quarantine — a feed where some lines are truncated (too few
+    * columns) or carry a non-numeric key, parsed under PERMISSIVE mode
+    * with `columnNameOfCorruptRecord`, so every malformed line lands in
+    * the quarantine bucket instead of killing the 100 TB job (FAILFAST)
+    * or silently vanishing (DROPMALFORMED). Corruption is synthesized
+    * deterministically from the key (every 7th line truncated, every
+    * 13th key lettered); the oracle reproduces the closed form.
+    *
+    * The parse rides text-source + `from_csv`, NOT the CSV FileFormat,
+    * and that is the trap this query pins: the CSV source's short-row
+    * detection is column-pruning-dependent (prune `o_totalprice` out of
+    * a downstream aggregate and a line missing only that token silently
+    * stops being malformed — the quarantine count CHANGES with the
+    * consumer's projection). `from_csv` parses the whole line as one
+    * expression, so the corrupt flag is stable under any downstream
+    * plan. A short row's PARSED PREFIX columns still surface next to
+    * the corrupt-record column — the aggregate counts both
+    * populations. */
+  def csvMalformedPermissive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.SessionCache.prunePaths(stagedBadCsv, (spark, sfDir))
+    val dir = stagedBadCsv.computeIfAbsent(
+      (spark, sfDir),
+      _ => {
+        val d = graft.StageDirs.fresh("graft-badcsv").toString
+        Tables.orders(spark, sfDir)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+          .select(
+            when($"o_orderkey" % 13 === 0,
+              concat(lit("K"), $"o_orderkey".cast("string")))
+              .otherwise($"o_orderkey".cast("string")).as("k"),
+            $"o_orderstatus".as("s"),
+            // price text via the DECIMAL(18,2) render (exact-decimal,
+            // scale-preserving in both engines) — a %.2f printf would
+            // diverge on ties: Java rounds HALF_UP, C half-to-even
+            when($"o_orderkey" % 7 === 0, lit(null: String))
+              .otherwise($"o_totalprice".cast("decimal(18,2)").cast("string")).as("p"))
+          .select(when($"p".isNull, concat_ws(",", $"k", $"s"))
+            .otherwise(concat_ws(",", $"k", $"s", $"p")).as("line"))
+          .write.mode("overwrite").text(s"$d/orders_csv")
+        d
+      })
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, _bad STRING")
+    spark.read.text(s"$dir/orders_csv")
+      .select(from_csv($"value", schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad"))
+        .as("r"))
+      .select($"r.*")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"_bad").as("n_quarantined"),
+        count($"o_orderkey").as("n_key_parsed"),
+        round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_price_clean"))
+      .orderBy($"o_orderstatus")
+  }
 }

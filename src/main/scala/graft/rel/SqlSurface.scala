@@ -454,4 +454,45 @@ object SqlSurface {
         |WHERE o_totalprice > 400000
         |ORDER BY o_orderkey""".stripMargin)
   }
+
+  /** `sql_named_window`: the SQL `WINDOW` clause — one named
+    * specification shared by several window functions (the de-duplicated
+    * spelling every analyst query with 3+ functions over the same
+    * partition wants; analysis expands the name, so the PLAN is
+    * identical to repeating the OVER — and Catalyst computes all three
+    * functions in ONE Window operator over one sort). The running sum
+    * rides the named window's default frame (RANGE … CURRENT ROW),
+    * which equals the ROWS frame here because the (date, orderkey)
+    * order is unique per partition — Spark's parser does not accept a
+    * frame REFINEMENT of a named window (`OVER (w ROWS …)`), a real
+    * dialect edge this query documents. */
+  def namedWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER w AS rn,
+        |       round(lag(o_totalprice) OVER w, 4) AS prev_price,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w
+        |             AS DOUBLE), 4) AS running_total
+        |FROM graft.orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  /** `sql_lateral_view_explode`: the Hive-heritage `LATERAL VIEW`
+    * generator syntax — the FROM-clause spelling of explode that a
+    * decade of migrated warehouse SQL arrives in (the DataFrame explode
+    * family is covered by `explode_outer_tokens`; this pins the SQL
+    * path resolves to the same Generate operator). Token-length
+    * histogram so the output is bounded and engine-orderable. */
+  def lateralViewExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """SELECT length(tok) AS tok_len, count(*) AS n_tokens,
+        |       count(DISTINCT tok) AS n_distinct
+        |FROM graft.documents
+        |LATERAL VIEW explode(split(text, ' ')) t AS tok
+        |GROUP BY length(tok)
+        |ORDER BY tok_len""".stripMargin)
+  }
 }

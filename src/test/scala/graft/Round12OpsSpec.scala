@@ -376,6 +376,78 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got(2L) == ((0.0, 0.0)))
   }
 
+  // ---- fifth batch ----
+
+  test("named window: the shared spec compiles to exactly ONE Window operator") {
+    val df = rel.SqlSurface.namedWindow(spark, sf)
+    val nWindowOps = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(nWindowOps == 1) // three functions, one sort — the clause's point
+    assert(df.columns.toSeq ==
+      Seq("o_custkey", "o_orderkey", "rn", "prev_price", "running_total"))
+  }
+
+  test("lateral view explode ≡ the DataFrame explode aggregate") {
+    val s = spark
+    import s.implicits._
+    val sql = rel.SqlSurface.lateralViewExplode(spark, sf)
+    val api = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy(length($"tok").as("tok_len"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct($"tok").as("n_distinct"))
+    assert(sql.exceptAll(api).count() == 0 && api.exceptAll(sql).count() == 0)
+  }
+
+  test("pmi: planted single-token corpus scores exactly zero") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get("/root/repo/target/r12-tmp")), "pmi")
+    Seq((0L, "x x x x", "en", "src0", 7L)).toDF(
+        "doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // all 5 pairs are (x,x): c_xy=c_x=c_y=N=5 -> PMI = ln(1) = 0
+    val got = llm.TextOps.pmiCooccur(spark, dir.toString, minPairCount = 1)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "x" && got(0).getString(1) == "x"
+      && got(0).getLong(2) == 5 && got(0).getDouble(3) == 0.0)
+  }
+
+  test("compression ratio: independent recompute, repetition compresses below prose") {
+    val s = spark
+    import s.implicits._
+    val df = llm.TextOps.compressionRatio(spark, sf)
+    val sample = df.join(Tables.documents(spark, sf), "doc_id")
+      .select($"doc_id", $"text", $"deflate_len", $"ratio").limit(50).collect()
+    sample.foreach { r =>
+      assert(r.getInt(2) == graft.functions.DeflateLen.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)), 6))
+    }
+    // planted fixed point: a constant string compresses to a sliver
+    val const = graft.functions.DeflateLen.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a" * 1000), 6)
+    assert(const < 50)
+    // determinism: two evaluations of the declared plan are identical
+    val again = llm.TextOps.compressionRatio(spark, sf)
+    assert(df.exceptAll(again).count() == 0)
+  }
+
+  test("csv quarantine: population counts match the synthesized corruption closed form") {
+    val s = spark
+    import s.implicits._
+    val df = rel.Formats.csvMalformedPermissive(spark, sf)
+    val base = Tables.orders(spark, sf)
+      .select($"o_orderkey" % 7 === 0 as "t", $"o_orderkey" % 13 === 0 as "b")
+    val sums = df.agg(sum($"n_rows"), sum($"n_quarantined"), sum($"n_key_parsed"))
+      .first()
+    assert(sums.getLong(0) == base.count())
+    assert(sums.getLong(1) == base.filter($"t" || $"b").count())
+    assert(sums.getLong(2) == base.filter(!$"b").count())
+  }
+
   test("stream union ≡ batch union twin, row for row") {
     val s = spark
     import s.implicits._
