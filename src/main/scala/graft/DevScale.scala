@@ -147,7 +147,25 @@ object DevScale {
     // per-doc config parse (projection-flat family), and the
     // whole-file-per-task multiLine JSON read (staging memoized; the
     // timed pass parses M× the array bytes across M× the files)
-    "agg_grouping_id", "map_str_to_map", "source_json_multiline")
+    "agg_grouping_id", "map_str_to_map", "source_json_multiline",
+    // round 14: the per-doc scalar families (html strip, readability,
+    // formatting, deflate ratio — projection-flat by design), the
+    // token-keyed novelty join and PMI model build (shuffles grow with
+    // the corpus, outputs stay model-sized), template clustering (one
+    // hash agg), rolling window stats (10x events per user stresses
+    // frame density), the calendar/moment/entropy/map aggregates
+    // (bounded outputs), and the two staged-source reads (staging
+    // memoized/untimed). graph_degree_distribution stays out with
+    // pagerank/LPA: the cloned corpus makes the pair graph quadratic by
+    // fixture artifact; cdc_stream_union/_windowed_append stay out with
+    // the rest of cdc_stream_*: streaming floor; sql_* are thin
+    // wrappers over audited plans.
+    "text_html_strip", "text_readability", "text_vocab_novelty",
+    "text_pmi_cooccur", "text_compression_ratio", "dedup_template_hash",
+    "window_rolling_zscore", "window_rolling_median",
+    "agg_map_collect", "agg_entropy_gini", "agg_skew_kurtosis",
+    "agg_corr_covar", "num_format_funcs", "ts_calendar_features",
+    "source_parquet_merge_schema", "source_csv_malformed_permissive")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
