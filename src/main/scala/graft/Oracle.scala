@@ -3703,6 +3703,59 @@ $iters
                 round(CAST(sum(CASE WHEN NOT trunc
                   THEN CAST(reparsed AS DECIMAL(18,4)) END) AS DOUBLE), 4)
                   AS sum_price_clean
-         FROM base GROUP BY 1 ORDER BY o_orderstatus"""
+         FROM base GROUP BY 1 ORDER BY o_orderstatus""",
+
+    "window_drawdown" ->
+      // running peak is an element pick (exact on both engines); the
+      // ratio is one IEEE division + signed HALF_UP floor, identical op
+      // trees; the new-peak flag is raw-double equality against the pick
+      """SELECT event_id, user_id,
+                floor(pk * 10000.0 + 0.5) / 10000.0 AS running_peak,
+                sign(value / pk - 1.0)
+                  * (floor(abs(value / pk - 1.0) * 10000.0 + 0.5) / 10000.0)
+                  AS drawdown,
+                CASE WHEN value = pk THEN 1 ELSE 0 END AS is_new_peak
+         FROM (SELECT event_id, user_id, value,
+                      max(value) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+               FROM events)
+         ORDER BY event_id""",
+
+    "layout_partition_only_agg" ->
+      // the oracle recomputes the per-year counts from the ORIGINAL
+      // parquet; a hash match proves the partition-directory-only read
+      // (empty ReadSchema, asserted in spec) loses nothing
+      """SELECT year(o_orderdate) AS o_year, count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY o_year""",
+
+    "sql_filter_clause" ->
+      // both engines implement SQL-standard FILTER; the money sum rides
+      // the shared DECIMAL(18,4)->DOUBLE round used suite-wide
+      """SELECT o_orderpriority,
+                count(*) AS n_all,
+                count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                        FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 4)
+                  AS sum_f_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "text_vocab_coverage" ->
+      // integer counts all the way to one BIGINT->DOUBLE cast, one IEEE
+      // division and one HALF_UP floor — the exact Spark op tree
+      """SELECT vocab_rank, tok, cnt,
+                floor((CAST(cum_cnt AS DOUBLE) / CAST(total_cnt AS DOUBLE))
+                      * 10000.0 + 0.5) / 10000.0 AS coverage
+         FROM (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INTEGER)
+                        AS vocab_rank,
+                      tok, cnt,
+                      sum(cnt) OVER (ORDER BY cnt DESC, tok
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+                      sum(cnt) OVER () AS total_cnt
+               FROM (SELECT tok, count(*) AS cnt
+                     FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                           FROM documents)
+                     GROUP BY tok))
+         ORDER BY vocab_rank"""
   )
 }

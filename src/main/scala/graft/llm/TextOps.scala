@@ -836,6 +836,37 @@ object TextOps {
       .orderBy($"vocab_id")
   }
 
+  /** `text_vocab_coverage`: the tokenizer-budget curve — rank the
+    * vocabulary by corpus frequency and report, at every rank k, the
+    * fraction of ALL corpus token occurrences the top-k entries cover.
+    * This is the question a vocab-size decision actually asks ("how big
+    * must the vocabulary be to cover 99% of tokens?") and the cumulative
+    * complement of `text_vocab_ids`. Both windows (rank + running sum)
+    * run over the AGGREGATED counts — vocab cardinality, which Zipf
+    * keeps sub-linear in corpus size — never the token stream, so the
+    * single-partition window is over a frame that is small by
+    * construction. Coverage is one BIGINT→DOUBLE cast and one IEEE
+    * division on each side, quantized HALF_UP. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val ord = Window.orderBy($"cnt".desc, $"tok")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("vocab_rank", row_number().over(ord))
+      .withColumn("cum_cnt", sum($"cnt").over(cum))
+      .withColumn("total_cnt", sum($"cnt").over(all))
+      .select($"vocab_rank", $"tok", $"cnt",
+        graft.Det.r4($"cum_cnt".cast("double") / $"total_cnt".cast("double"))
+          .as("coverage"))
+      .orderBy($"vocab_rank")
+  }
+
   /** `sample_group_hash_topk`: deterministic per-group sampling — for
     * each language, the 3 documents with the smallest md5 content hash.
     * Hash-rank sampling is the distributed answer to "give me a uniform

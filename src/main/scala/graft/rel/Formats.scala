@@ -604,6 +604,23 @@ object Formats {
       .orderBy($"o_orderstatus")
   }
 
+  /** `layout_partition_only_agg`: an aggregate answered ENTIRELY from
+    * the directory layout — grouping a partitioned dataset by its
+    * partition column reads ZERO data columns (the scan's ReadSchema is
+    * empty; row counts come from parquet footers via the batch reader,
+    * values from the path). The layout-design payoff this pins: at
+    * 100 TB, the freshness dashboard over a date-partitioned table is a
+    * metadata-priced query, IF the partition column exists — the same
+    * staged layout `source_partitioned_roundtrip` prunes against. The
+    * spec asserts the empty ReadSchema, not just the numbers. */
+  def layoutPartitionOnlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(stagedPartitionedOrders(spark, sfDir))
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_year")
+  }
+
   private val stagedBadCsv =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

@@ -973,6 +973,30 @@ object Modern {
     * index — which is exactly DuckDB's `quantile_disc(0.5)` convention,
     * making the twin an element pick on both sides, no interpolation
     * arithmetic to diverge. */
+  /** `window_drawdown`: running-peak drawdown per user — the
+    * peak-to-current decline every monitoring/financial series tracks
+    * (how far below its historical max is this reading?). Running max is
+    * an exact element pick over the expanding frame (no float
+    * accumulation), the drawdown ratio is one IEEE division quantized
+    * signed HALF_UP, and the flag marks NEW PEAKS (drawdown 0 ⇔ the
+    * reading is its own running max). Same single per-user exchange as
+    * the other rolling-window queries. */
+  def windowDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val peak = max($"value").over(w)
+    graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"value",
+        graft.Det.r4(peak).as("running_peak"),
+        graft.Det.r4s($"value" / peak - lit(1.0)).as("drawdown"),
+        ($"value" === peak).cast(IntegerType).as("is_new_peak"))
+      .select($"event_id", $"user_id", $"running_peak", $"drawdown",
+        $"is_new_peak")
+      .orderBy($"event_id")
+  }
+
   def windowRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -495,4 +495,24 @@ object SqlSurface {
         |GROUP BY length(tok)
         |ORDER BY tok_len""".stripMargin)
   }
+
+  /** `sql_filter_clause`: the SQL-standard `FILTER (WHERE …)` aggregate
+    * modifier — the declarative spelling of conditional aggregation
+    * (`agg_conditional` covers the count_if/when API form; this pins the
+    * standard syntax resolves to the same plan). One grouped pass
+    * computes the unconditional and both filtered aggregates — no
+    * second scan per condition, which is the clause's scale point. */
+  def filterClause(spark: SparkSession, sfDir: String): DataFrame = {
+    CatalogDdl.registerStarSchema(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority,
+        |       count(*) AS n_all,
+        |       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |               FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 4)
+        |         AS sum_f_price
+        |FROM graft.orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
 }

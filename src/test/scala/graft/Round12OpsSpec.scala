@@ -466,4 +466,81 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("drawdown: invariants — non-positive, peak non-decreasing, flag ⇔ zero") {
+    val s = spark
+    import s.implicits._
+    val df = rel.Modern.windowDrawdown(spark, sf)
+    assert(df.filter($"drawdown" > 0).count() == 0)
+    assert(df.filter($"is_new_peak" === 1 && $"drawdown" =!= 0.0).count() == 0)
+    assert(df.filter($"is_new_peak" === 0 && $"drawdown" >= 0.0).count() == 0)
+    // running peak never decreases along each user's (ts, event_id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"event_id")
+    val dec = df.withColumn("prev", lag($"running_peak", 1).over(w))
+      .filter($"prev".isNotNull && $"running_peak" < $"prev")
+    assert(dec.count() == 0)
+    // every user's first event is its own peak
+    val firsts = df.withColumn(
+        "rk", row_number().over(w)).filter($"rk" === 1)
+    assert(firsts.filter($"is_new_peak" =!= 1).count() == 0)
+  }
+
+  test("partition-only agg: the scan reads ZERO data columns") {
+    val s = spark
+    import s.implicits._
+    val df = rel.Formats.layoutPartitionOnlyAgg(spark, sf)
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScan(st.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Some(f)
+      case other => other.children.view.flatMap(findScan(_)).headOption
+    }
+    val scan = findScan(df.queryExecution.executedPlan).get
+    assert(scan.requiredSchema.isEmpty,
+      s"expected empty ReadSchema, got ${scan.requiredSchema.catalogString}")
+    // and the metadata-priced answer still matches the data-priced one
+    val full = Tables.orders(spark, sf)
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"))
+    assert(df.exceptAll(full).count() == 0 && full.exceptAll(df).count() == 0)
+  }
+
+  test("FILTER clause ≡ conditional-aggregation API twin") {
+    val s = spark
+    import s.implicits._
+    val sql = rel.SqlSurface.filterClause(spark, sf)
+    val api = Tables.orders(spark, sf)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_all"),
+        count(when($"o_totalprice" > 200000, 1)).as("n_big"),
+        round(sum(when($"o_orderstatus" === "F",
+          $"o_totalprice".cast("decimal(18,4)"))).cast("double"), 4)
+          .as("sum_f_price"))
+      .orderBy($"o_orderpriority")
+    assert(sql.exceptAll(api).count() == 0 && api.exceptAll(sql).count() == 0)
+    // one grouped pass: a single HashAggregate pair, no extra scan
+    val scans = sql.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, "FILTER clause must not add a per-condition scan")
+  }
+
+  test("vocab coverage: monotone to exactly 1.0 over the full vocabulary") {
+    val s = spark
+    import s.implicits._
+    val df = llm.TextOps.vocabCoverage(spark, sf).collect()
+    assert(df.nonEmpty)
+    assert(df.last.getDouble(3) == 1.0)
+    val cov = df.map(_.getDouble(3))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      "coverage curve must be non-decreasing")
+    // rank column is 1..n dense
+    assert(df.map(_.getInt(0)).toSeq == (1 to df.length))
+    // counts are rank-ordered desc
+    val cnts = df.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
 }
