@@ -144,6 +144,39 @@ $iters
          SELECT id AS doc_id, lbl AS community FROM l4 ORDER BY doc_id"""
   }
 
+  /** `graph_bfs_distance` twin: the same 4 multi-source BFS relaxation
+    * rounds as GraphOps.bfsDistance, unrolled as chained CTEs over the
+    * identical pair graph (the pageRankSql/labelPropSql prefix). All
+    * integer — seeds at hops 0, each round unions the previous reached
+    * set with every one-hop extension and keeps the min — so the match
+    * is exact; nodes beyond 4 hops are absent on both engines. */
+  private val bfsDistanceSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""         d$i AS (SELECT id, min(hops) AS hops FROM (
+             SELECT id, hops FROM d${i - 1}
+             UNION ALL
+             SELECT e.dst AS id, p.hops + 1 AS hops
+             FROM edges e JOIN d${i - 1} p ON e.src = p.id)
+           GROUP BY id)"""
+    }.mkString(",\n")
+    s"""WITH sh AS MATERIALIZED (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(string_split(text,' ')) - 2, 1)),
+             i -> array_to_string((string_split(text,' '))[i+1:i+3], ' '))) AS s
+           FROM documents),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh),
+         pairs AS MATERIALIZED (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n, b.n
+           HAVING round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         d0 AS (SELECT DISTINCT src AS id, 0 AS hops FROM edges WHERE src % 25 = 0),
+$rounds
+         SELECT id AS doc_id, hops FROM d4 ORDER BY doc_id"""
+  }
+
   val sql: Map[String, String] = Map(
     // Skew-safe and streaming twins share the oracle of their batch
     // originals: the gate thereby checks salted ≡ windowed formulation
@@ -3756,6 +3789,99 @@ $iters
                      FROM (SELECT unnest(string_split(text, ' ')) AS tok
                            FROM documents)
                      GROUP BY tok))
-         ORDER BY vocab_rank"""
+         ORDER BY vocab_rank""",
+
+    "graph_bfs_distance" -> bfsDistanceSql,
+
+    "window_ratio_to_report" ->
+      // exact DECIMAL(18,4) sums on both frames; IEEE touched only in
+      // the two final divisions + the shared HALF_UP floor
+      """SELECT o_custkey, o_orderkey,
+                floor((o_totalprice / tot) * 10000.0 + 0.5) / 10000.0 AS share,
+                floor((cum / tot) * 10000.0 + 0.5) / 10000.0 AS cum_share
+         FROM (SELECT o_custkey, o_orderkey,
+                      CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                        OVER (PARTITION BY o_custkey) AS DOUBLE) AS tot,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                        OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS cum
+               FROM orders)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "sample_poisson_bootstrap" ->
+      // the byte is the same two md5 hex digits on both engines (Spark
+      // spells it conv(substr,16,10), here digit-position arithmetic);
+      // sums are cast off DuckDB's HUGEINT to match Spark's BIGINT
+      """WITH d AS (
+           SELECT lang, n_chars,
+             (CASE WHEN b < 94 THEN 0 WHEN b < 188 THEN 1
+                   WHEN b < 235 THEN 2 WHEN b < 251 THEN 3
+                   ELSE 4 END) AS k
+           FROM (SELECT lang, n_chars,
+                   (strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*16
+                   + strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1 AS b
+                 FROM documents)),
+         boot AS (SELECT lang, count(*) AS n_boot,
+                         CAST(sum(n_chars) AS BIGINT) AS chars_boot
+                  FROM (SELECT lang, n_chars, unnest(range(k))
+                        FROM d WHERE k > 0)
+                  GROUP BY lang),
+         orig AS (SELECT lang, count(*) AS n_orig,
+                         CAST(sum(n_chars) AS BIGINT) AS chars_orig
+                  FROM d GROUP BY lang)
+         SELECT o.lang, o.n_orig, o.chars_orig,
+                coalesce(b2.n_boot, 0) AS n_boot,
+                coalesce(b2.chars_boot, 0) AS chars_boot,
+                floor((CAST(coalesce(b2.n_boot, 0) AS DOUBLE)
+                       / CAST(o.n_orig AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+                  AS boot_ratio
+         FROM orig o LEFT JOIN boot b2 ON o.lang = b2.lang
+         ORDER BY o.lang""",
+
+    "embed_drift_stats" ->
+      // vec_label_centroids decimal-mean idiom per (dim, cohort); the
+      // centroid cosine rides micro-unit BIGINT products (order-free
+      // exact sums over the 64-row dim frame) — IEEE only in the final
+      // division and the signed HALF_UP quantizes
+      """WITH x AS (SELECT CAST(vec_id % 2 AS INTEGER) AS cohort,
+                           unnest(range(len(embedding))) AS dim,
+                           unnest(embedding) AS v
+                    FROM embeddings),
+         g AS (SELECT dim, cohort,
+                      sum(CAST(v AS DECIMAL(20,10))) AS s, count(*) AS n
+               FROM x GROUP BY dim, cohort),
+         m AS (SELECT dim,
+                 CAST(sum(CASE WHEN cohort = 0 THEN s END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN cohort = 0 THEN n END) AS DOUBLE)
+                   AS mean_old,
+                 CAST(sum(CASE WHEN cohort = 1 THEN s END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN cohort = 1 THEN n END) AS DOUBLE)
+                   AS mean_new
+               FROM g GROUP BY dim),
+         q AS (SELECT dim, mean_old, mean_new,
+                 CAST(sign(mean_old) * floor(abs(mean_old)*1000000.0 + 0.5)
+                   AS BIGINT) AS qo,
+                 CAST(sign(mean_new) * floor(abs(mean_new)*1000000.0 + 0.5)
+                   AS BIGINT) AS qn
+               FROM m)
+         SELECT dim,
+           sign(mean_old) * (floor(abs(mean_old)*10000.0 + 0.5)/10000.0)
+             AS mean_old,
+           sign(mean_new) * (floor(abs(mean_new)*10000.0 + 0.5)/10000.0)
+             AS mean_new,
+           sign(mean_new - mean_old)
+             * (floor(abs(mean_new - mean_old)*10000.0 + 0.5)/10000.0) AS delta,
+           sign(cosr) * (floor(abs(cosr)*10000.0 + 0.5)/10000.0) AS centroid_cos
+         FROM (SELECT dim, mean_old, mean_new,
+                 CAST(sum(qo*qn) OVER () AS DOUBLE)
+                   / (sqrt(CAST(sum(qo*qo) OVER () AS DOUBLE))
+                      * sqrt(CAST(sum(qn*qn) OVER () AS DOUBLE))) AS cosr
+               FROM q)
+         ORDER BY dim"""
   )
 }

@@ -266,4 +266,56 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_doc"))
       .orderBy($"degree")
   }
+
+  /** `graph_bfs_distance`: multi-source BFS hop distance over the
+    * near-dup pair graph — "how many dedup hops from a known-bad seed is
+    * every document", the frontier primitive behind contamination
+    * tracing (a benchmark leak spreads through near-dup links) and
+    * graph-radius diagnostics. Seeds are the `doc_id % 25 == 0` members
+    * of the node set; 4 relaxation rounds of
+    * `dist_i(v) = min(dist_{i-1}(v), min over (u,v)∈E of dist_{i-1}(u)+1)`
+    * — the Bellman-Ford-on-relational layout: each round is ONE
+    * equi-join of edges against the reached set plus ONE integer
+    * min-aggregate, both keyed on node id. Nodes farther than 4 hops
+    * are absent by construction on both engines (no sentinel rows).
+    *
+    * All arithmetic is integer, so the DuckDB oracle (the identical 4
+    * rounds unrolled as chained CTEs over the same pair graph) matches
+    * exactly. Scale shape: the expensive stage is the SHARED staged
+    * pair build ([[TextOps.ngramJaccardPairs]] — one build, five
+    * consumers now); the BFS rounds shuffle only (id, hops) longs and
+    * the reached set grows monotonically but is bounded by the node
+    * count — the standard Pregel-on-relational frontier expansion, no
+    * driver-side traversal. */
+  def bfsDistance(spark: SparkSession, sfDir: String, rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val pairs = TextOps.ngramJaccardPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .cache()
+    // materialize at full parallelism, then shrink shuffles to the
+    // node-count-sized rounds — same staging economics as pageRank
+    edges.count()
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, "4")
+    try {
+      var dist = edges.select($"src".as("id")).distinct()
+        .filter($"id" % 25 === 0)
+        .select($"id", lit(0).as("hops"))
+      for (_ <- 1 to rounds) {
+        dist = dist.union(
+            edges.join(dist, edges("src") === dist("id"))
+              .select(edges("dst").as("id"), (dist("hops") + 1).as("hops")))
+          .groupBy($"id").agg(min($"hops").as("hops"))
+      }
+      dist.select($"id".as("doc_id"), $"hops")
+        .orderBy($"doc_id")
+        .localCheckpoint(true)
+    } finally {
+      edges.unpersist(false)
+      spark.conf.set(partKey, prevParts)
+    }
+  }
 }

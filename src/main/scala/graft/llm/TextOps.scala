@@ -1274,6 +1274,47 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** `sample_poisson_bootstrap`: the online-bootstrap resample — every
+    * document replicated Poisson(1) times, the standard trick for
+    * computing bootstrap confidence intervals over a corpus in ONE pass
+    * (each of B resamples weights every row by an independent
+    * Poisson(1) draw instead of materializing B samples-with-
+    * replacement). The draw is DETERMINISTIC: two md5 hex digits of the
+    * doc_id → a byte 0..255 → inverse-CDF thresholds 94/188/235/251,
+    * the Poisson(1) pmf quantized to 256ths (P(0)≈P(1)≈.368, P(2)≈.184,
+    * P(3)≈.061, tail→4) — reproducible, engine-independent, and stable
+    * under repartitioning like [[sampleSplitAssign]]. Replication is a
+    * bounded explode (k ≤ 4): a per-row generator, never a driver loop,
+    * and the shuffle carries only (lang, n_chars) — the text never
+    * rides the resample. The report joins the resampled per-language
+    * aggregate back onto the original on the language key (a handful of
+    * rows, broadcast); `boot_ratio` is the resampling-noise diagnostic
+    * read before trusting a bootstrap CI. */
+  def samplePoissonBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = conv(substring(md5($"doc_id".cast(StringType)), 1, 2), 16, 10)
+      .cast(IntegerType)
+    val k = when(b < 94, 0).when(b < 188, 1).when(b < 235, 2)
+      .when(b < 251, 3).otherwise(4)
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars", k.as("k"))
+    val boot = docs
+      .select($"lang", $"n_chars",
+        explode(when($"k" > 0, sequence(lit(1), $"k"))
+          .otherwise(array().cast("array<int>"))).as("rep"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_boot"), sum($"n_chars").as("chars_boot"))
+    docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_orig"), sum($"n_chars").as("chars_orig"))
+      .join(boot, Seq("lang"), "left")
+      .select($"lang", $"n_orig", $"chars_orig",
+        coalesce($"n_boot", lit(0L)).as("n_boot"),
+        coalesce($"chars_boot", lit(0L)).as("chars_boot"),
+        graft.Det.r4(coalesce($"n_boot", lit(0L)).cast(DoubleType) /
+          $"n_orig".cast(DoubleType)).as("boot_ratio"))
+      .orderBy($"lang")
+  }
+
   /** `pipeline_corpus_build`: the END-TO-END corpus build — the query a
     * user of this engine actually ships: quality gate → exact dedup →
     * temperature-budget sampling, composed as ONE declarative plan so

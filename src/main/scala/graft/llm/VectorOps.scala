@@ -354,4 +354,51 @@ object VectorOps {
       .filter($"cos_sim" >= tau)
       .orderBy($"probe_id", $"vec_id")
   }
+
+  /** `embed_drift_stats`: per-dimension embedding drift between two
+    * corpus snapshots (vec_id parity stands in for old/new cohorts) —
+    * the distribution-shift check an embedding pipeline runs before
+    * trusting a refreshed encoder against an existing index: per-dim
+    * cohort means, their signed delta, and the cosine between the two
+    * centroid vectors (near 1.0 ⇒ the space didn't rotate; per-dim
+    * deltas localize any shift). Means are exact decimal averages (the
+    * [[vecLabelCentroids]] idiom); the centroid cosine is computed on
+    * micro-unit-QUANTIZED means — BIGINT products summed order-free
+    * over the 64-row dim frame — so both engines agree bit-for-bit,
+    * with IEEE touched only in the final division and the HALF_UP
+    * quantizes. Scale shape: ONE scan, posexplode to (dim, cohort)
+    * partial aggregates (map-side combined, 2×64 groups); every window
+    * below runs on the 64-row dim frame, never the corpus. */
+  def embedDriftStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def mean(c: Int, col: String): Column =
+      (sum(when($"cohort" === c, org.apache.spark.sql.functions.col(col)))
+        .cast(DoubleType) /
+        sum(when($"cohort" === c, $"n")).cast(DoubleType))
+    // micro-unit signed quantize: integral-valued double, exact as long
+    def q(c: Column): Column =
+      (signum(c) * floor(abs(c) * 1000000.0 + 0.5)).cast(LongType)
+    val m = Tables.embeddings(spark, sfDir)
+      .select(($"vec_id" % 2).cast(IntegerType).as("cohort"),
+        posexplode($"embedding"))
+      .toDF("cohort", "dim", "v")
+      .groupBy($"dim", $"cohort")
+      .agg(sum($"v".cast(DecimalType(20, 10))).as("s"), count(lit(1)).as("n"))
+      .groupBy($"dim")
+      .agg(mean(0, "s").as("mean_old"), mean(1, "s").as("mean_new"))
+      .select($"dim", $"mean_old", $"mean_new",
+        q($"mean_old").as("qo"), q($"mean_new").as("qn"))
+    val wAll = Window.partitionBy(lit(1))
+    m.select($"dim",
+        graft.Det.r4s($"mean_old").as("mean_old"),
+        graft.Det.r4s($"mean_new").as("mean_new"),
+        graft.Det.r4s($"mean_new" - $"mean_old").as("delta"),
+        graft.Det.r4s(
+          sum($"qo" * $"qn").over(wAll).cast(DoubleType) /
+            (sqrt(sum($"qo" * $"qo").over(wAll).cast(DoubleType)) *
+              sqrt(sum($"qn" * $"qn").over(wAll).cast(DoubleType))))
+          .as("centroid_cos"))
+      .orderBy($"dim")
+  }
 }

@@ -965,14 +965,6 @@ object Modern {
       .orderBy($"event_id")
   }
 
-  /** `window_rolling_median`: exact rolling median over the trailing
-    * 5-event frame — the robust smoother next to `window_moving_avg`'s
-    * mean (one fat-fingered reading skews a mean for 4 frames; the
-    * median shrugs). Spark has no frame-median, so the frame is
-    * collected (bounded: ≤5 values) and the LOWER median picked by
-    * index — which is exactly DuckDB's `quantile_disc(0.5)` convention,
-    * making the twin an element pick on both sides, no interpolation
-    * arithmetic to diverge. */
   /** `window_drawdown`: running-peak drawdown per user — the
     * peak-to-current decline every monitoring/financial series tracks
     * (how far below its historical max is this reading?). Running max is
@@ -997,6 +989,14 @@ object Modern {
       .orderBy($"event_id")
   }
 
+  /** `window_rolling_median`: exact rolling median over the trailing
+    * 5-event frame — the robust smoother next to `window_moving_avg`'s
+    * mean (one fat-fingered reading skews a mean for 4 frames; the
+    * median shrugs). Spark has no frame-median, so the frame is
+    * collected (bounded: ≤5 values) and the LOWER median picked by
+    * index — which is exactly DuckDB's `quantile_disc(0.5)` convention,
+    * making the twin an element pick on both sides, no interpolation
+    * arithmetic to diverge. */
   def windowRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1010,5 +1010,34 @@ object Modern {
         round(expr("element_at(frame, CAST((size(frame) + 1) DIV 2 AS INT))"), 4)
           .as("rolling_median"))
       .orderBy($"event_id")
+  }
+
+  /** `window_ratio_to_report`: each order's share of its customer's
+    * lifetime spend, plus the running cumulative share along the order
+    * history — the SQL ratio-to-report analytic (Oracle's
+    * `RATIO_TO_REPORT`), the per-entity Pareto curve behind "the top 3
+    * orders explain 80% of this account" reporting. ONE exchange on
+    * `o_custkey` serves BOTH frames (the full-partition total and the
+    * expanding cumsum share the partition key, so Spark plans a single
+    * window exchange); the sums are exact DECIMAL(18,4) — order-free
+    * under any partitioning — and only the final two ratios touch IEEE,
+    * through the shared HALF_UP quantize, so the oracle mirrors the
+    * arithmetic literally. At 100 TB this is the canonical "window over
+    * the natural entity key" plan: per-customer partitions are bounded,
+    * no global sort, no skew (order counts per customer are ~uniform). */
+  def windowRatioToReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy($"o_custkey")
+    val cum = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val p = $"o_totalprice".cast(DecimalType(18, 4))
+    val tot = sum(p).over(part).cast(DoubleType)
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey",
+        graft.Det.r4($"o_totalprice".cast(DoubleType) / tot).as("share"),
+        graft.Det.r4(sum(p).over(cum).cast(DoubleType) / tot).as("cum_share"))
+      .orderBy($"o_custkey", $"o_orderkey")
   }
 }
