@@ -3666,7 +3666,7 @@ $rounds
                     * 1000000.0 + 0.5) AS BIGINT) AS g_term_u
            FROM (SELECT *, CAST(sum(cnt) OVER (PARTITION BY cohort) AS DOUBLE) AS s
                  FROM c))
-         SELECT cohort, count(*) AS n_types, sum(cnt) AS n_events,
+         SELECT cohort, count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_events,
                 CAST(sum(h_term_u) AS DOUBLE) / 1000000.0 AS entropy_nats,
                 1.0 - CAST(sum(g_term_u) AS DOUBLE) / 1000000.0 AS gini
          FROM t GROUP BY cohort ORDER BY cohort""",

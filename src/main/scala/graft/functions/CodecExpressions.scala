@@ -13,8 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * drop documents that compress "too well": near-constant byte streams
   * are boilerplate or degenerate repetition that per-token heuristics
   * can miss). Only the LENGTH escapes the expression: the compressed
-  * bytes never materialize into a row, so the scan stays narrow and the
-  * per-row state is one reused Deflater.
+  * bytes never materialize into a row, so the scan stays narrow; each
+  * row allocates its own Deflater (native zlib state is not
+  * thread-safe across codegen task threads).
   *
   * No DuckDB twin exists (no zlib surface), so the declared query is
   * oracle-exempt and spec-gated: an independent in-test Deflater

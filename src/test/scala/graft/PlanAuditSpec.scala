@@ -32,8 +32,12 @@ class PlanAuditSpec extends AnyFunSuite {
   // graph_label_propagation: same iterative-construction shape (eager
   // edge-cache count inside; the returned frame is a materialized
   // checkpoint) — pair-graph build audited via dedup_ngram_jaccard.
+  // graph_bfs_distance: same again (eager edge-cache count + rounds of
+  // joins during construction, returns a localCheckpoint whose plan is
+  // a vacuous checkpoint scan) — auditing it would execute the full BFS
+  // for nothing; relaxation rounds are unit-tested on planted graphs.
   private val skip = Set("dedup_cluster_canonical", "graph_pagerank",
-    "graph_label_propagation") ++
+    "graph_label_propagation", "graph_bfs_distance") ++
     SparkEntry.queries.keys.filter(_.startsWith("cdc_stream_"))
 
   /** Queries that INTENTIONALLY broadcast a one-row (or dim-sized) frame
@@ -51,7 +55,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "vec_kmeans_lloyd",
     // 1-row DESCRIBE-stats frame × 1-row column-stats frame: a
     // constant fold over catalog metadata, no data-sized side exists
-    "sql_analyze_stats")
+    "sql_analyze_stats",
+    // 1-row corpus-total frame broadcast against the pair counts (the
+    // q11/q15 scalar-denominator pattern at TextOps.scala:1669): a
+    // constant fold, not a quadratic join
+    "text_pmi_cooccur")
 
   test("no declared batch query plans an accidental cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
