@@ -165,7 +165,16 @@ object DevScale {
     "window_rolling_zscore", "window_rolling_median",
     "agg_map_collect", "agg_entropy_gini", "agg_skew_kurtosis",
     "agg_corr_covar", "num_format_funcs", "ts_calendar_features",
-    "source_parquet_merge_schema", "source_csv_malformed_permissive")
+    "source_parquet_merge_schema", "source_csv_malformed_permissive",
+    // round 15: the three remaining evidence-weak queries (r12 verdict
+    // item 2). ratio_to_report: per-customer window, replication adds
+    // customers not partition depth; poisson bootstrap: bounded explode
+    // + per-lang agg; embed drift: posexplode to a 2x64-group partial
+    // agg. graph_bfs_distance stays out with pagerank/LPA (cloned
+    // corpus -> quadratic pair graph, a fixture artifact) — its slope
+    // is measured on synthetic graphs instead: DevStress graph.
+    "window_ratio_to_report", "sample_poisson_bootstrap",
+    "embed_drift_stats")
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only stress harnesses for the two scale claims the replicated
+  * star schema (DevScale) cannot exercise:
+  *
+  *   `runMain graft.DevStress skew` — HOT-KEY stress for the salted
+  *   paths. Builds a skewed twin of sf0.1 (80% of events collapsed onto
+  *   ONE user; 80% of orders onto ONE customer) and times the salted
+  *   plan against its unsalted twin on BOTH the uniform and the skewed
+  *   fixture. Broadcast is disabled for the join pair: the salted join
+  *   exists for dims too big to broadcast (at local scale the customer
+  *   dim would otherwise broadcast and neither plan would shuffle).
+  *   AQE stays ON — its skew-join handles post-shuffle SMJ skew but
+  *   cannot split a window partition or a single hot aggregate group,
+  *   which is precisely what salting fixes.
+  *
+  *   `runMain graft.DevStress graph [n]` — BFS slope on synthetic
+  *   graphs. graph_bfs_distance is excluded from DevScale for the same
+  *   fixture artifact as pagerank/LPA (cloning the corpus makes the
+  *   near-dup PAIR GRAPH quadratic — an artifact of duplicated text,
+  *   not plan quality), so the relaxation rounds are scaled directly:
+  *   deterministic pseudo-random graphs of n, 10n and 30n edges
+  *   (xxhash64 endpoints, so the graph is identical across runs),
+  *   timing [[graft.llm.GraphOps.bfsOnPairs]] at each size.
+  */
+object DevStress {
+  private val Base = "/root/testdata/sf0.1"
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timeIt(body: => Long): Double = {
+    body // warm plan+codegen
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("skew")  => skew()
+    case Some("graph") => graph(args.lift(1).map(_.toInt).getOrElse(60000))
+    case _ => System.err.println("usage: DevStress skew | graph [nEdges]")
+  }
+
+  // ── hot-key stress ─────────────────────────────────────────────────
+  private def skew(): Unit = {
+    val spark = session()
+    import spark.implicits._
+    val out = "/root/repo/target/skew"
+    if (!new java.io.File(s"$out/events.parquet").exists()) {
+      println(s"[skew] building hot-key twin of $Base at $out")
+      // 80% of events land on user 0 — the one-key-is-a-celebrity shape
+      spark.read.parquet(s"$Base/events.parquet")
+        .withColumn("user_id",
+          when(pmod($"event_id", lit(5)) < 4, lit(0L)).otherwise($"user_id"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      // 80% of orders belong to customer 1
+      spark.read.parquet(s"$Base/orders.parquet")
+        .withColumn("o_custkey",
+          when(pmod($"o_orderkey", lit(5)) < 4, lit(1L)).otherwise($"o_custkey"))
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      spark.read.parquet(s"$Base/customer.parquet")
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    }
+    spark.read.parquet(s"$out/events.parquet").count() // warm listings
+    spark.read.parquet(s"$Base/events.parquet").count()
+
+    // the unsalted twin of join_salted_skew: same join + agg, no salt
+    def joinUnsalted(dir: String): DataFrame = {
+      val fact = spark.read.parquet(s"$dir/orders.parquet")
+      val dim = spark.read.parquet(s"$dir/customer.parquet")
+        .select($"c_custkey", $"c_mktsegment")
+      fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4)
+            .as("revenue"))
+    }
+    def withNoBroadcast[T](body: => T): T = {
+      val k = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(k)
+      spark.conf.set(k, "-1")
+      try body finally spark.conf.set(k, prev)
+    }
+
+    println(f"${"case"}%-34s ${"uniform_s"}%10s ${"skewed_s"}%10s")
+    def row(name: String, f: String => Double): Unit = {
+      val u = f(Base); val sk = f(out)
+      println(f"$name%-34s $u%10.3f $sk%10.3f")
+    }
+    row("cdc_latest_state (window)",
+      dir => timeIt(SparkEntry.queries("cdc_latest_state")(spark, dir).count()))
+    row("cdc_latest_state_salted",
+      dir => timeIt(SparkEntry.queries("cdc_latest_state_salted")(spark, dir).count()))
+    row("join unsalted SMJ (no broadcast)",
+      dir => withNoBroadcast(timeIt(joinUnsalted(dir).count())))
+    row("join_salted_skew (no broadcast)",
+      dir => withNoBroadcast(timeIt(
+        graft.rel.Relational.joinSaltedSkew(spark, dir).count())))
+    // equality guard: the salted plans must still produce the unsalted
+    // answers on the skewed fixture (the whole point of salting)
+    val a = SparkEntry.queries("cdc_latest_state")(spark, out)
+    val b = SparkEntry.queries("cdc_latest_state_salted")(spark, out)
+    require(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "salted latest-state diverged on the skewed fixture")
+    spark.stop()
+  }
+
+  // ── synthetic-graph BFS slope ──────────────────────────────────────
+  private def graph(nEdges: Int): Unit = {
+    val spark = session()
+    import spark.implicits._
+    def pairsOf(m: Int): DataFrame = {
+      val n = m / 3 // ~3 edges per node
+      spark.range(m.toLong).select(
+        pmod(xxhash64($"id", lit(1)), lit(n.toLong)).as("doc_a"),
+        pmod(xxhash64($"id", lit(2)), lit(n.toLong)).as("doc_b"))
+        .filter($"doc_a" =!= $"doc_b")
+    }
+    println(f"${"edges"}%10s ${"sec"}%8s ${"reached"}%10s")
+    Seq(nEdges, 10 * nEdges, 30 * nEdges).foreach { m =>
+      val t = timeIt(graft.llm.GraphOps.bfsOnPairs(spark, pairsOf(m)).count())
+      val reached = graft.llm.GraphOps.bfsOnPairs(spark, pairsOf(m)).count()
+      println(f"$m%10d $t%8.3f $reached%10d")
+    }
+    spark.stop()
+  }
+}

@@ -539,6 +539,18 @@ $rounds
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
+    // Exact BECAUSE the sketch is in its coupon regime at the gate
+    // fixtures: a lgK=14 DataSketches HLL estimate equals the true
+    // distinct count below ~2048 keys (Relational.aggHllSketch) —
+    // the same below-nominal-capacity argument as agg_theta_setops.
+    "agg_hll_sketch" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
+         FROM events GROUP BY 1
+         UNION ALL
+         SELECT 'ALL' AS event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
+         FROM events
+         ORDER BY event_type""",
+
     "agg_histogram" ->
       """SELECT CASE WHEN o_totalprice < 0 THEN 0
                      WHEN o_totalprice >= 600000.0 THEN 13

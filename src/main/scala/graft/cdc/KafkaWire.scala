@@ -63,61 +63,85 @@ object KafkaWire {
     b
   }
 
-  /** Publish the events table to the topic (batch Kafka sink): key =
-    * user_id, value = JSON with ts as unix micros. Keying by user_id
-    * keeps one key's events in one partition, but a batch write from
-    * parallel tasks gives NO event-time order within that partition —
-    * and none is needed: correctness rests on (a) `latestWinsOver`
-    * selecting the max by (ts_us, event_id), arrival-order-independent,
-    * and (b) AvailableNow consuming the whole topic before the 1-hour
-    * watermark can finalize, so no event is dropped as late. A change
-    * that throttles consumption (e.g. maxOffsetsPerTrigger) must
-    * re-examine (b). */
+  /** The wire value schema — what one broker record's JSON payload
+    * deserializes to. Shared by the broker source and the broker-free
+    * MemoryStream twin in KafkaWireSpec, so the spec exercises the
+    * EXACT parse the deployed path runs. */
+  private[graft] val wireSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+  }
+
+  /** The produce-side wire projection: key = user_id string (one key's
+    * updates stay in one partition — the ordering contract latest-wins
+    * relies on), value = JSON with event-time as `ts_us` unix micros
+    * (exact — no timestamp-format round-trip loss). Factored out of
+    * [[publishEvents]] so the MemoryStream twin serializes through the
+    * identical code. */
+  private[graft] def toWire(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").cast("string").as("key"),
+      to_json(struct(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))).as("value"))
+
+  /** The consume-side parse: wire records (any frame with a string/
+    * binary `value` column — the broker stream or the twin's
+    * MemoryStream) to the exact column set the file source yields.
+    * From here on the sources are indistinguishable to every
+    * downstream pipeline. */
+  private[graft] def fromWire(wire: DataFrame): DataFrame =
+    wire.select(from_json(col("value").cast("string"), wireSchema).as("e"))
+      .select(col("e.event_id").as("event_id"),
+        timestamp_micros(col("e.ts_us")).as("ts"),
+        col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"),
+        col("e.value").as("value"))
+
+  /** Publish the events table to the topic (batch Kafka sink) via
+    * [[toWire]]. A batch write from parallel tasks gives NO event-time
+    * order within a partition — and none is needed: correctness rests
+    * on (a) `latestWinsOver` selecting the max by (ts_us, event_id),
+    * arrival-order-independent, and (b) AvailableNow consuming the
+    * whole topic before the 1-hour watermark can finalize, so no event
+    * is dropped as late. A change that throttles consumption (e.g.
+    * maxOffsetsPerTrigger) must re-examine (b). */
   def publishEvents(spark: SparkSession, sfDir: String): Unit = {
-    import spark.implicits._
     val b = requireWired()
-    graft.Tables.events(spark, sfDir)
-      .select(
-        $"user_id".cast("string").as("key"),
-        to_json(struct(
-          $"event_id", unix_micros($"ts").as("ts_us"),
-          $"user_id", $"event_type", $"value")).as("value"))
+    toWire(graft.Tables.events(spark, sfDir))
       .write.format("kafka")
       .option("kafka.bootstrap.servers", b)
       .option("topic", topic)
       .save()
   }
 
-  /** The event stream consumed back from the broker, parsed to the
-    * exact column set the file source yields — from here on the two
-    * sources are indistinguishable to every downstream pipeline. */
+  /** The event stream consumed back from the broker, parsed via
+    * [[fromWire]]. */
   def eventStream(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.types._
     val b = requireWired()
-    val wireSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts_us", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType)))
-    spark.readStream
+    fromWire(spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", b)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
-      .load()
-      .select(from_json(col("value").cast("string"), wireSchema).as("e"))
-      .select(col("e.event_id").as("event_id"),
-        timestamp_micros(col("e.ts_us")).as("ts"),
-        col("e.user_id").as("user_id"),
-        col("e.event_type").as("event_type"),
-        col("e.value").as("value"))
+      .load())
   }
+
+  /** The consume-side pipeline body over ANY parsed wire stream —
+    * shared verbatim by the broker path ([[latestState]]) and the
+    * MemoryStream twin spec, so the two cannot drift. */
+  private[graft] def latestStateOver(spark: SparkSession, events: DataFrame): DataFrame =
+    StreamingLatest.withStatePartitions(spark, 4) {
+      StreamingLatest.withoutNoDataBatch(spark) {
+        StreamingLatest.latestWinsOver(spark, events)
+      }
+    }
 
   /** `cdc_stream_stateful` over a real topic: identical pipeline body
     * ([[StreamingLatest.latestWinsOver]]), different source. */
   def latestState(spark: SparkSession): DataFrame =
-    StreamingLatest.withStatePartitions(spark, 4) {
-      StreamingLatest.withoutNoDataBatch(spark) {
-        StreamingLatest.latestWinsOver(spark, eventStream(spark))
-      }
-    }
+    latestStateOver(spark, eventStream(spark))
 }

@@ -289,8 +289,21 @@ object GraphOps {
     * driver-side traversal. */
   def bfsDistance(spark: SparkSession, sfDir: String, rounds: Int = 4): DataFrame = {
     import spark.implicits._
-    val pairs = TextOps.ngramJaccardPairs(spark, sfDir)
-      .select($"doc_a", $"doc_b")
+    bfsOnPairs(spark,
+      TextOps.ngramJaccardPairs(spark, sfDir).select($"doc_a", $"doc_b"), rounds)
+  }
+
+  /** The relaxation core of [[bfsDistance]] on an arbitrary undirected
+    * (doc_a, doc_b) pair set — exposed (mirroring [[pageRankOnPairs]] /
+    * [[labelPropagationOnPairs]]) so the hop arithmetic and the
+    * fixed-round horizon are unit-testable on planted graphs: a path
+    * from a seed must count hops exactly, nodes past `rounds` hops must
+    * be ABSENT (no sentinel rows), and a node reachable from two seeds
+    * must take the minimum. Seeds are the `id % 25 == 0` members of the
+    * node set, the same rule [[bfsDistance]] applies to doc_ids. */
+  private[graft] def bfsOnPairs(
+      spark: SparkSession, pairs: DataFrame, rounds: Int = 4): DataFrame = {
+    import spark.implicits._
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .cache()

@@ -653,12 +653,24 @@ object TextOps {
     val toks = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
     val freqs = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-    // corpus size without an explode pass: sum of per-doc token counts
+    // corpus size without an explode pass: sum of per-doc token counts.
+    // Deliberately a driver-side .first() (the one-scalar model-build
+    // action, same class as the iterative-convergence probes): the
+    // total folds into the codegen'd nll expression as a LITERAL, which
+    // whole-stage-codegen constant-folds — the 1-row-broadcast
+    // alternative (the pmiCooccur shape) keeps the plan "pure" but adds
+    // a build relation + join to every row for the same constant. One
+    // extra job over a count-only projection is the entire cost, at any
+    // corpus size.
     val total = Tables.documents(spark, sfDir)
       .select(size(split($"text", " ")).cast("long").as("n"))
       .agg(sum($"n")).first().getLong(0).toDouble
     // -ln p(tok) = ln(total) - ln(cnt), quantized to 1e-6
     val nll = floor((log(lit(total)) - log($"cnt")) * 1e6 + 0.5) / 1e6
+    // broadcast(freqs) assumes a BOUNDED vocabulary: word vocabularies
+    // plateau (Heaps' law — ~millions of (tok, cnt) longs at 100 TB,
+    // comfortably broadcastable); a character-n-gram or URL "vocab"
+    // would not, and should drop the hint to let AQE pick the join side
     toks.join(broadcast(freqs), "tok")
       .select($"doc_id", nll.cast(DecimalType(18, 10)).as("nllq"))
       .groupBy($"doc_id")

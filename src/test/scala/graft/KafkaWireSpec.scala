@@ -4,33 +4,83 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cdc.KafkaWire
 
-/** End-to-end proof of the optional real-broker path: publish the
-  * events table to a Kafka/Redpanda topic, consume it back through the
-  * SAME latest-wins pipeline the file source drives, and require the
-  * identical per-key state as batch `cdc_latest_state`.
+/** The wire path, proven twice:
   *
-  * The build sandbox has neither a broker nor the spark-sql-kafka
-  * runtime jar, so both preconditions are `assume`d: without them the
-  * test CANCELS (visibly, with the reason) rather than silently
-  * passing. A deployment with a broker runs it by setting
-  * `SPARK_GRAFT_KAFKA=host:port` (and optionally
-  * `SPARK_GRAFT_KAFKA_TOPIC`). */
+  * 1. A broker-free MemoryStream TWIN (always runs): the events table is
+  *    serialized through the SAME [[KafkaWire.toWire]] projection the
+  *    broker sink uses, the resulting (key, JSON-value) records are
+  *    replayed as a stream, parsed by the SAME [[KafkaWire.fromWire]],
+  *    and driven through the SAME [[KafkaWire.latestStateOver]] pipeline
+  *    — asserting the envelope bytes round-trip losslessly and the
+  *    streamed latest-wins state equals batch `cdc_latest_state`. The
+  *    only thing it cannot prove is the broker itself.
+  *
+  * 2. The real-broker end-to-end (publish → consume → identical state),
+  *    registered ONLY when `SPARK_GRAFT_KAFKA=host:port` points at a
+  *    live Kafka/Redpanda AND the spark-sql-kafka runtime jar is on the
+  *    classpath. The build sandbox has neither, so by default the test
+  *    is registered as ignored (with the reason in its name) instead of
+  *    canceling mid-run — the default suite reports 0 canceled. */
 class KafkaWireSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sf = SparkFixture.Sf
 
-  test("latest-wins over a real Kafka topic equals batch cdc_latest_state") {
-    assume(KafkaWire.bootstrap.isDefined,
-      s"${KafkaWire.BootstrapEnv} not set — no broker in this sandbox")
-    assume(KafkaWire.runtimePresent,
-      "spark-sql-kafka runtime not on the classpath")
+  test("wire envelope round-trips losslessly: fromWire(toWire(events)) ≡ events") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val back = KafkaWire.fromWire(KafkaWire.toWire(ev))
+    // ts carries µs precision on both sides (toWire ships unix micros);
+    // compare the full column set as sets — no row survives mutated
+    assert(back.exceptAll(ev).count() == 0 && ev.exceptAll(back).count() == 0)
+    // and the produce-side key contract: key = user_id, stringly
+    val keys = KafkaWire.toWire(ev)
+      .select($"key".cast("long").as("k")).distinct().collect().map(_.getLong(0)).toSet
+    val users = ev.select($"user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(keys == users)
+  }
 
-    KafkaWire.publishEvents(spark, sf)
-    val fromKafka = KafkaWire.latestState(spark)
+  test("latest-wins over a MemoryStream wire twin equals batch cdc_latest_state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val wireRecords = KafkaWire.toWire(graft.Tables.events(spark, sf))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // two adds = at least two source offsets, like a topic read in
+    // multiple micro-batches; order is scrambled within each half to
+    // prove arrival-order independence (a broker partition only orders
+    // per key; the pipeline must not rely even on that)
+    val (h1, h2) = new scala.util.Random(42)
+      .shuffle(wireRecords).splitAt(wireRecords.size / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    ms.addData(h1)
+    ms.addData(h2)
+    val wire = ms.toDF().toDF("key", "value")
+    val fromTwin = KafkaWire.latestStateOver(spark, KafkaWire.fromWire(wire))
       .collect().map(_.toSeq).toSet
     val fromBatch = graft.cdc.Changelog.latestState(spark, sf)
       .collect().map(_.toSeq).toSet
-    assert(fromKafka == fromBatch,
-      "Kafka-sourced latest-wins state diverged from the batch oracle twin")
+    assert(fromTwin == fromBatch,
+      "MemoryStream-wire latest-wins state diverged from the batch oracle twin")
+  }
+
+  private val brokerReady =
+    KafkaWire.bootstrap.isDefined && KafkaWire.runtimePresent
+
+  if (brokerReady) {
+    test("latest-wins over a real Kafka topic equals batch cdc_latest_state") {
+      KafkaWire.publishEvents(spark, sf)
+      val fromKafka = KafkaWire.latestState(spark)
+        .collect().map(_.toSeq).toSet
+      val fromBatch = graft.cdc.Changelog.latestState(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(fromKafka == fromBatch,
+        "Kafka-sourced latest-wins state diverged from the batch oracle twin")
+    }
+  } else {
+    ignore("latest-wins over a real Kafka topic equals batch cdc_latest_state " +
+      s"[needs ${KafkaWire.BootstrapEnv}=host:port + spark-sql-kafka jar]") {}
   }
 }

@@ -35,7 +35,9 @@ class PlanAuditSpec extends AnyFunSuite {
   // graph_bfs_distance: same again (eager edge-cache count + rounds of
   // joins during construction, returns a localCheckpoint whose plan is
   // a vacuous checkpoint scan) — auditing it would execute the full BFS
-  // for nothing; relaxation rounds are unit-tested on planted graphs.
+  // for nothing; relaxation rounds are unit-tested on planted graphs
+  // via GraphOps.bfsOnPairs in Round15OpsSpec (hop counts, multi-source
+  // min, and the fixed-round horizon on a 2-component fixture).
   private val skip = Set("dedup_cluster_canonical", "graph_pagerank",
     "graph_label_propagation", "graph_bfs_distance") ++
     SparkEntry.queries.keys.filter(_.startsWith("cdc_stream_"))
@@ -57,8 +59,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // constant fold over catalog metadata, no data-sized side exists
     "sql_analyze_stats",
     // 1-row corpus-total frame broadcast against the pair counts (the
-    // q11/q15 scalar-denominator pattern at TextOps.scala:1669): a
-    // constant fold, not a quadratic join
+    // q11/q15 scalar-denominator pattern — the broadcast(nTot)
+    // crossJoin in TextOps.pmiCooccur): a constant fold, not a
+    // quadratic join
     "text_pmi_cooccur")
 
   test("no declared batch query plans an accidental cartesian or nested-loop join") {
