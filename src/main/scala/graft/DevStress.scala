@@ -50,33 +50,36 @@ object DevStress {
   }
 
   def main(args: Array[String]): Unit = args.headOption match {
-    case Some("skew")  => skew()
+    case Some("skew")  => skew(args.lift(1).getOrElse(Base))
     case Some("graph") => graph(args.lift(1).map(_.toInt).getOrElse(60000))
-    case _ => System.err.println("usage: DevStress skew | graph [nEdges]")
+    case _ => System.err.println("usage: DevStress skew [srcDir] | graph [nEdges]")
   }
 
   // ── hot-key stress ─────────────────────────────────────────────────
-  private def skew(): Unit = {
+  // srcDir defaults to sf0.1; pass target/scale10 (the DevScale replica,
+  // 6M events) to make the hot partition big enough that single-reducer
+  // pain is visible over local-mode fixed overheads.
+  private def skew(src: String): Unit = {
     val spark = session()
     import spark.implicits._
-    val out = "/root/repo/target/skew"
+    val out = s"/root/repo/target/skew-${new java.io.File(src).getName}"
     if (!new java.io.File(s"$out/events.parquet").exists()) {
-      println(s"[skew] building hot-key twin of $Base at $out")
+      println(s"[skew] building hot-key twin of $src at $out")
       // 80% of events land on user 0 — the one-key-is-a-celebrity shape
-      spark.read.parquet(s"$Base/events.parquet")
+      spark.read.parquet(s"$src/events.parquet")
         .withColumn("user_id",
           when(pmod($"event_id", lit(5)) < 4, lit(0L)).otherwise($"user_id"))
         .write.mode("overwrite").parquet(s"$out/events.parquet")
       // 80% of orders belong to customer 1
-      spark.read.parquet(s"$Base/orders.parquet")
+      spark.read.parquet(s"$src/orders.parquet")
         .withColumn("o_custkey",
           when(pmod($"o_orderkey", lit(5)) < 4, lit(1L)).otherwise($"o_custkey"))
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
-      spark.read.parquet(s"$Base/customer.parquet")
+      spark.read.parquet(s"$src/customer.parquet")
         .write.mode("overwrite").parquet(s"$out/customer.parquet")
     }
     spark.read.parquet(s"$out/events.parquet").count() // warm listings
-    spark.read.parquet(s"$Base/events.parquet").count()
+    spark.read.parquet(s"$src/events.parquet").count()
 
     // the unsalted twin of join_salted_skew: same join + agg, no salt
     def joinUnsalted(dir: String): DataFrame = {
@@ -98,7 +101,7 @@ object DevStress {
 
     println(f"${"case"}%-34s ${"uniform_s"}%10s ${"skewed_s"}%10s")
     def row(name: String, f: String => Double): Unit = {
-      val u = f(Base); val sk = f(out)
+      val u = f(src); val sk = f(out)
       println(f"$name%-34s $u%10.3f $sk%10.3f")
     }
     row("cdc_latest_state (window)",
