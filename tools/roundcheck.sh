@@ -59,6 +59,14 @@ case "${1:-}" in
     check_against "$staged"
     ;;
   "")
+    # self-arming enforcement (r15, advisor note): the gate depends on
+    # the pre-commit/commit-msg hooks being installed, which a fresh
+    # clone would silently lack — (re)install the symlinks so running
+    # the full gate once is enough to arm every later commit.
+    if [[ -d .git/hooks ]]; then
+      ln -sf ../../tools/hooks/pre-commit  .git/hooks/pre-commit
+      ln -sf ../../tools/hooks/commit-msg  .git/hooks/commit-msg
+    fi
     python3 tools/inventory_check.py
     sbt -batch test
     out=$(mktemp -d /tmp/roundcheck-verify.XXXXXX)
