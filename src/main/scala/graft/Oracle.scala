@@ -540,9 +540,10 @@ $rounds
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     // Exact BECAUSE the sketch is in its coupon regime at the gate
-    // fixtures: a lgK=14 DataSketches HLL estimate equals the true
-    // distinct count below ~2048 keys (Relational.aggHllSketch) —
-    // the same below-nominal-capacity argument as agg_theta_setops.
+    // fixtures: a lgK=15 DataSketches HLL estimate equals the true
+    // distinct count through ~3072 keys, measured — fixtures top out
+    // at 1500 (Relational.aggHllSketch) — the same
+    // below-nominal-capacity argument as agg_theta_setops.
     "agg_hll_sketch" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
          FROM events GROUP BY 1

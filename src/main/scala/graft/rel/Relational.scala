@@ -606,22 +606,24 @@ object Relational {
 
   /** `agg_hll_sketch`: mergeable Datasketches HLL — per-type sketches
     * estimated, plus the union across all types (the operation plain
-    * approx_count_distinct cannot do). lgConfigK = 14: a DataSketches
+    * approx_count_distinct cannot do). lgConfigK = 15: a DataSketches
     * HLL stays in its coupon (LIST/SET) representation — where the
-    * estimate is EXACTLY the distinct count — until ~2^(lgK-3) = 2048
-    * distinct keys, so at the gate fixtures (≤1500 users at sf0.1,
-    * measured r15: per-type and union both exact at every sf, while
-    * the default lgK=12 already drifts to 1494 at sf0.1) the estimator
-    * is in its exact regime and the query shares an exact DuckDB
-    * `count(DISTINCT)` oracle — the theta-sketch precedent. Past the
-    * coupon range the SAME plan degrades gracefully to ±0.8% RSE
-    * estimates; RelationalSpec keeps the regime-independent bounds
-    * (within 5% of exact, union ≥ max per-type). */
+    * estimate is EXACTLY the distinct count — until ~0.75·2^(lgK-3)
+    * keys (measured r15 with range probes: lgK=15 exact through 3072,
+    * drifting at 3500; lgK=14 exact through ~1600; the old default
+    * lgK=12 already drifts to 1494/1500 at sf0.1). The gate fixtures
+    * top out at 1500 users, 2× inside lgK=15's exact regime, so the
+    * query shares an exact DuckDB `count(DISTINCT)` oracle — the
+    * theta-sketch below-nominal-capacity precedent. Past the coupon
+    * range the SAME plan degrades gracefully to ±0.4% RSE estimates;
+    * Round15OpsSpec pins both regimes, RelationalSpec keeps the
+    * regime-independent bounds (within 5% of exact, union ≥ max
+    * per-type). */
   def aggHllSketch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
     val perType = ev.groupBy($"event_type")
-      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .agg(expr("hll_sketch_agg(user_id, 15)").as("sk"))
     perType
       .select($"event_type", expr("hll_sketch_estimate(sk)").cast("long").as("est_users"))
       .union(

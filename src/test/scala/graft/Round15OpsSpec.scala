@@ -45,6 +45,50 @@ class Round15OpsSpec extends AnyFunSuite {
       "nodes past the 4-round horizon must be absent, not sentinel-valued")
   }
 
+  test("bfs: randomized graph equals a driver-side reference BFS (seeded)") {
+    val s = spark
+    import s.implicits._
+    // seeded sparse random graph: 240 nodes, 360 edges — several seeds
+    // (id % 25 == 0 among nodes present in edges), several components,
+    // and an unreached tail. The reference is an independent queue BFS.
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(360)((rnd.nextInt(240).toLong, rnd.nextInt(240).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val nodes = adj.keySet
+    val seeds = nodes.filter(_ % 25 == 0)
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0).toSeq: _*)
+    var frontier = seeds.toSeq
+    for (d <- 1 to 4) {
+      frontier = frontier.flatMap(adj(_)).distinct.filterNot(dist.contains)
+      frontier.foreach(dist(_) = d)
+    }
+    val got = graft.llm.GraphOps.bfsOnPairs(spark, edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == dist.toMap,
+      s"random-graph BFS diverged from reference (seed 7): " +
+        s"only-got=${(got.keySet -- dist.keySet).toSeq.sorted.take(5)} " +
+        s"only-ref=${(dist.keySet.toSet -- got.keySet).toSeq.sorted.take(5)}")
+  }
+
+  test("hll lgK=15: exact coupon regime covers the fixtures with 2x margin, then estimates") {
+    val s = spark
+    import s.implicits._
+    def est(n: Long): Long = s.sql(
+      s"SELECT CAST(hll_sketch_estimate(hll_sketch_agg(id, 15)) AS LONG) FROM range($n)")
+      .collect()(0).getLong(0)
+    // exact regime: the declared oracle's load-bearing claim — 3000 is
+    // 2x the largest fixture cardinality (1500 users at sf0.1)
+    assert(est(1500) == 1500L && est(3000) == 3000L,
+      "lgK=15 sketch left its exact coupon regime below 2x fixture scale")
+    // estimate regime: past coupon capacity the same plan degrades to
+    // a bounded estimate, not garbage (±0.4% RSE nominal; assert 1%)
+    val e = est(100000)
+    assert(math.abs(e - 100000L) < 1000,
+      s"estimate regime off: $e for 100000")
+  }
+
   test("ratio_to_report: planted spend history — exact shares, cumshares, HALF_UP edge") {
     val s = spark
     import s.implicits._
@@ -134,3 +178,5 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(got.toSeq == expected, s"drift stats diverged: ${got.toSeq}")
   }
 }
+
+
