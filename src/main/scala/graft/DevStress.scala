@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Dev-only stress harnesses for the two scale claims the replicated
   * star schema (DevScale) cannot exercise:
   *
-  *   `runMain graft.DevStress skew` — HOT-KEY stress for the salted
-  *   paths. Builds a skewed twin of sf0.1 (80% of events collapsed onto
-  *   ONE user; 80% of orders onto ONE customer) and times the salted
+  *   `runMain graft.DevStress skew [srcDir]` — HOT-KEY stress for the
+  *   salted paths. Builds a skewed twin of the source fixture (default
+  *   sf0.1; pass `target/scale10`/`scale30` — the DevScale replicas —
+  *   so the hot key is millions of rows: 80% of events collapsed onto
+  *   ONE user, 80% of orders onto ONE customer) and times the salted
   *   plan against its unsalted twin on BOTH the uniform and the skewed
   *   fixture. Broadcast is disabled for the join pair: the salted join
   *   exists for dims too big to broadcast (at local scale the customer

@@ -178,5 +178,3 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(got.toSeq == expected, s"drift stats diverged: ${got.toSeq}")
   }
 }
-
-
