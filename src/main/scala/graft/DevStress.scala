@@ -44,11 +44,13 @@ object DevStress {
     s
   }
 
-  private def timeIt(body: => Long): Double = {
+  /** Warm run + timed run; returns (seconds, timed run's result) so
+    * callers never re-execute a pipeline just to read its count. */
+  private def timeIt(body: => Long): (Double, Long) = {
     body // warm plan+codegen
     val t0 = System.nanoTime()
-    body
-    (System.nanoTime() - t0) / 1e9
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
   }
 
   def main(args: Array[String]): Unit = args.headOption match {
@@ -65,7 +67,9 @@ object DevStress {
     val spark = session()
     import spark.implicits._
     val out = s"/root/repo/target/skew-${new java.io.File(src).getName}"
-    if (!new java.io.File(s"$out/events.parquet").exists()) {
+    // memo keys on the LAST artifact written: an interrupted build
+    // (events written, customer not yet) must rebuild, not half-run
+    if (!new java.io.File(s"$out/customer.parquet").exists()) {
       println(s"[skew] building hot-key twin of $src at $out")
       // 80% of events land on user 0 — the one-key-is-a-celebrity shape
       spark.read.parquet(s"$src/events.parquet")
@@ -107,20 +111,28 @@ object DevStress {
       println(f"$name%-34s $u%10.3f $sk%10.3f")
     }
     row("cdc_latest_state (window)",
-      dir => timeIt(SparkEntry.queries("cdc_latest_state")(spark, dir).count()))
+      dir => timeIt(SparkEntry.queries("cdc_latest_state")(spark, dir).count())._1)
     row("cdc_latest_state_salted",
-      dir => timeIt(SparkEntry.queries("cdc_latest_state_salted")(spark, dir).count()))
+      dir => timeIt(SparkEntry.queries("cdc_latest_state_salted")(spark, dir).count())._1)
     row("join unsalted SMJ (no broadcast)",
-      dir => withNoBroadcast(timeIt(joinUnsalted(dir).count())))
+      dir => withNoBroadcast(timeIt(joinUnsalted(dir).count())._1))
     row("join_salted_skew (no broadcast)",
       dir => withNoBroadcast(timeIt(
-        graft.rel.Relational.joinSaltedSkew(spark, dir).count())))
-    // equality guard: the salted plans must still produce the unsalted
-    // answers on the skewed fixture (the whole point of salting)
-    val a = SparkEntry.queries("cdc_latest_state")(spark, out)
-    val b = SparkEntry.queries("cdc_latest_state_salted")(spark, out)
-    require(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
-      "salted latest-state diverged on the skewed fixture")
+        graft.rel.Relational.joinSaltedSkew(spark, dir).count())._1))
+    // equality guards: BOTH salted plans must still produce the
+    // unsalted answers on the skewed fixture (the whole point of
+    // salting) — the timing rows above are meaningless without this
+    def sameRows(a: DataFrame, b: DataFrame, what: String): Unit =
+      require(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what diverged on the skewed fixture")
+    sameRows(
+      SparkEntry.queries("cdc_latest_state")(spark, out),
+      SparkEntry.queries("cdc_latest_state_salted")(spark, out),
+      "salted latest-state")
+    sameRows(
+      joinUnsalted(out),
+      graft.rel.Relational.joinSaltedSkew(spark, out),
+      "salted join aggregate")
     spark.stop()
   }
 
@@ -128,17 +140,19 @@ object DevStress {
   private def graph(nEdges: Int): Unit = {
     val spark = session()
     import spark.implicits._
-    def pairsOf(m: Int): DataFrame = {
+    def pairsOf(m: Long): DataFrame = {
       val n = m / 3 // ~3 edges per node
-      spark.range(m.toLong).select(
-        pmod(xxhash64($"id", lit(1)), lit(n.toLong)).as("doc_a"),
-        pmod(xxhash64($"id", lit(2)), lit(n.toLong)).as("doc_b"))
+      spark.range(m).select(
+        pmod(xxhash64($"id", lit(1)), lit(n)).as("doc_a"),
+        pmod(xxhash64($"id", lit(2)), lit(n)).as("doc_b"))
         .filter($"doc_a" =!= $"doc_b")
     }
     println(f"${"edges"}%10s ${"sec"}%8s ${"reached"}%10s")
-    Seq(nEdges, 10 * nEdges, 30 * nEdges).foreach { m =>
-      val t = timeIt(graft.llm.GraphOps.bfsOnPairs(spark, pairsOf(m)).count())
-      val reached = graft.llm.GraphOps.bfsOnPairs(spark, pairsOf(m)).count()
+    // sizes as Long: 30 * an Int nEdges near 2^31/30 would overflow to
+    // a negative range and silently time an empty graph
+    Seq(nEdges.toLong, 10L * nEdges, 30L * nEdges).foreach { m =>
+      val (t, reached) = timeIt(
+        graft.llm.GraphOps.bfsOnPairs(spark, pairsOf(m)).count())
       println(f"$m%10d $t%8.3f $reached%10d")
     }
     spark.stop()

@@ -45,15 +45,27 @@ class KafkaWireSpec extends AnyFunSuite {
   test("latest-wins over a MemoryStream wire twin equals batch cdc_latest_state") {
     val s = spark
     import s.implicits._
+    import org.apache.spark.sql.functions.{min, max, unix_micros}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val wireRecords = KafkaWire.toWire(graft.Tables.events(spark, sf))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    // two adds = at least two source offsets, like a topic read in
-    // multiple micro-batches; order is scrambled within each half to
-    // prove arrival-order independence (a broker partition only orders
-    // per key; the pipeline must not rely even on that)
-    val (h1, h2) = new scala.util.Random(42)
-      .shuffle(wireRecords).splitAt(wireRecords.size / 2)
+    val ev = graft.Tables.events(spark, sf)
+    // Two addData blocks split at the event-time midpoint (the same
+    // ordered-halves shape as StreamingLatest.stagedEventLog), each
+    // half shuffled internally: this proves arrival-order independence
+    // WITHIN a source offset block (a broker partition only orders per
+    // key; the pipeline must not rely even on that), and keeps the
+    // replay watermark-safe whether AvailableNow consumes the two
+    // offsets as one micro-batch (what MemoryStream does today) or
+    // two — the second half is strictly newer, so the 1-hour watermark
+    // can never drop a half-2 event below a half-1 high-water mark.
+    val mm = ev.agg(unix_micros(min($"ts")), unix_micros(max($"ts"))).first()
+    val midUs = (mm.getLong(0) + mm.getLong(1)) / 2
+    val rnd = new scala.util.Random(42)
+    def wireHalf(keep: org.apache.spark.sql.Column): Seq[(String, String)] =
+      rnd.shuffle(KafkaWire.toWire(ev.filter(keep))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq)
+    val h1 = wireHalf(unix_micros($"ts") <= midUs)
+    val h2 = wireHalf(unix_micros($"ts") > midUs)
+    assert(h1.nonEmpty && h2.nonEmpty)
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
     ms.addData(h1)
     ms.addData(h2)

@@ -61,11 +61,18 @@ case "${1:-}" in
   "")
     # self-arming enforcement (r15, advisor note): the gate depends on
     # the pre-commit/commit-msg hooks being installed, which a fresh
-    # clone would silently lack — (re)install the symlinks so running
-    # the full gate once is enough to arm every later commit.
-    if [[ -d .git/hooks ]]; then
-      ln -sf ../../tools/hooks/pre-commit  .git/hooks/pre-commit
-      ln -sf ../../tools/hooks/commit-msg  .git/hooks/commit-msg
+    # clone would silently lack. `core.hooksPath` (repo-local config)
+    # arms linked worktrees too (where .git is a FILE, not a dir) and
+    # wins over a user-global hooksPath that would otherwise silently
+    # bypass the symlinks; the symlink install is kept as a fallback
+    # for tooling that reads .git/hooks directly.
+    if git rev-parse --git-dir >/dev/null 2>&1; then
+      git config core.hooksPath tools/hooks
+      hooksdir=$(git rev-parse --git-dir)/hooks
+      if [[ -d $hooksdir ]]; then
+        ln -sf "$(pwd)/tools/hooks/pre-commit" "$hooksdir/pre-commit"
+        ln -sf "$(pwd)/tools/hooks/commit-msg" "$hooksdir/commit-msg"
+      fi
     fi
     python3 tools/inventory_check.py
     sbt -batch test
