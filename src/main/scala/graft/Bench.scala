@@ -217,19 +217,28 @@ object Bench {
     val qs = defended.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = defended.map(_._2).sum
+    // batch/streaming subtotals: the streaming queries sit at a profiled
+    // structural floor (state-store commit + WAL + per-batch re-plan)
+    // whose run-to-run spread dominated cross-round wobble adjudication
+    // in r14/r15 — emitting the split makes the comparison mechanical
+    // instead of hand-extracted from prose (r15 verdict item 2)
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val streamingS = defended.collect { case (n, t) if isStreaming(n) => t }.sum
+    val batchS = total - streamingS
+    val subtotals =
+      s""""batch_s":${r3(batchS)},"streaming_s":${r3(streamingS)}"""
     // full per-query detail (humans / round notes; too long for the
     // driver's 2000-char stdout tail to hold in one piece)
-    println(s"""{"metric":"total_per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_per_query","value":$total,"unit":"sec",$subtotals,"queries":$qs,"sf":"$sfDir"}""")
     // machine-readable line LAST and COMPACT: the driver keeps only a
     // ~2000-char tail of stdout (plus sbt's epilogue line), so the line
     // it parses must fit entirely inside that window — emit the total,
-    // the query count, and only the slowest queries at 3 decimals.
-    // (Double.toString always uses '.': no Locale hazard.)
-    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    // the subtotals, the query count, and only the slowest queries at 3
+    // decimals. (Double.toString always uses '.': no Locale hazard.)
     val slow = defended.sortBy(-_._2).take(40)
     val qsCompact = slow.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${defended.size},"queries":$qsCompact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$subtotals,"n_queries":${defended.size},"queries":$qsCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only: measure ANN recall@10 vs the exact cosine top-10 at both
-  * gate scales, to pin the spec thresholds on recorded values. */
+  * gate scales, to pin the spec thresholds on recorded values.
+  * Optional args override the measured dirs — pass `target/scale10`
+  * (the DevScale replica) to check the band/codebook parameters hold
+  * as corpus density grows 10× (r15 verdict item 8). */
 object DevRecall {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -11,7 +14,9 @@ object DevRecall {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { sf =>
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    dirs.foreach { sf =>
       val exact = graft.llm.VectorOps.simTopkCosine(spark, sf).collect()
         .map(_.getAs[Long]("vec_id")).toSet
       val lsh = graft.llm.EmbedLsh.simAnnLsh(spark, sf).collect()

@@ -176,6 +176,22 @@ object DevScale {
     "window_ratio_to_report", "sample_poisson_bootstrap",
     "embed_drift_stats")
 
+  /** The top-10 BATCH queries by r15 bench cost (r15 verdict item 1) —
+    * the 100× evidence set: `runMain graft.DevScale 100 top10`. The
+    * replicas multiply data 100-fold while local[32] holds the core
+    * count at 1/32nd of even a small production cluster, so the bar at
+    * 100× is slope SUB-LINEAR-IN-DATA per core, not wall-clock parity.
+    * dedup_containment is excluded from the generic QuerySubset because
+    * cloned text makes its TRUE pair set quadratic (every doc gains
+    * M−1 verbatim containment partners — a fixture artifact, not plan
+    * cost); it is still measured here, with the output blow-up recorded
+    * next to the timing in SCALE.md rather than hidden. */
+  private val Top10Bench = Seq(
+    "q21_late_suppliers", "q18_large_orders", "dedup_substring_spans",
+    "text_perplexity_bucket", "dedup_containment", "q11_important_stock",
+    "q2_min_cost_supplier", "q8_market_share", "join_5way_revenue",
+    "text_bigram_logprob")
+
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
     val out = s"/root/repo/target/scale$m"
@@ -227,8 +243,12 @@ object DevScale {
     spark.read.parquet(s"$Base/region.parquet").count()
     spark.read.parquet(s"$out/region.parquet").count()
     println(f"${"query"}%-24s ${"1x_sec"}%8s ${s"${m}x_sec"}%8s ${"slope"}%6s")
-    // optional 2nd+ args: time only the named queries (replica reused)
-    val sel = if (args.length > 1) args.drop(1).toSeq else QuerySubset
+    // optional 2nd+ args: time only the named queries (replica reused);
+    // `top10` = the r15-verdict 100× evidence set
+    val sel =
+      if (args.length == 2 && args(1) == "top10") Top10Bench
+      else if (args.length > 1) args.drop(1).toSeq
+      else QuerySubset
     sel.foreach { q =>
       val t1 = time(q, Base)
       val tm = time(q, out)

@@ -67,9 +67,20 @@ object DevStress {
     val spark = session()
     import spark.implicits._
     val out = s"/root/repo/target/skew-${new java.io.File(src).getName}"
-    // memo keys on the LAST artifact written: an interrupted build
-    // (events written, customer not yet) must rebuild, not half-run
-    if (!new java.io.File(s"$out/customer.parquet").exists()) {
+    // memo stamp (r15 advisor note): key the cached twin on the source's
+    // absolute path + per-table mtime, not just the basename + existence
+    // — a regenerated replica (or two sources sharing a basename) must
+    // rebuild, not silently reuse stale skewed data. Written LAST so an
+    // interrupted build (events written, customer not yet) also rebuilds.
+    def srcStamp: String = (Seq(src) ++ Seq("events", "orders", "customer")
+      .map(t => new java.io.File(s"$src/$t.parquet").lastModified.toString))
+      .mkString("\n")
+    val stampFile = new java.io.File(s"$out/.src-stamp")
+    val fresh = stampFile.exists() && {
+      val in = scala.io.Source.fromFile(stampFile)
+      try in.mkString == srcStamp finally in.close()
+    }
+    if (!fresh) {
       println(s"[skew] building hot-key twin of $src at $out")
       // 80% of events land on user 0 — the one-key-is-a-celebrity shape
       spark.read.parquet(s"$src/events.parquet")
@@ -83,6 +94,8 @@ object DevStress {
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
       spark.read.parquet(s"$src/customer.parquet")
         .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      val w = new java.io.PrintWriter(stampFile)
+      try w.print(srcStamp) finally w.close()
     }
     spark.read.parquet(s"$out/events.parquet").count() // warm listings
     spark.read.parquet(s"$src/events.parquet").count()

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cdc.Changelog
@@ -12,9 +13,15 @@ import graft.rel.{FuncSurface, Modern}
   * string family, and the timezone projection — semantics pinned on
   * planted fixtures plus independent in-Scala recomputation, alongside
   * their three-scale DuckDB oracles. */
-class Round12OpsSpec extends AnyFunSuite {
+class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkFixture.spark
   private val sf = SparkFixture.Sf
+
+  // planted fixtures are read-and-collected inside each test; drop the
+  // whole root when the suite ends (same accumulation leak the r15
+  // advisor flagged on r15-tmp)
+  override def afterAll(): Unit =
+    StageDirs.rm(Paths.get("/root/repo/target/r12-tmp"))
 
   test("asof tolerance: planted boundary fixture (≤24h in, >24h out, no-click null)") {
     val s = spark

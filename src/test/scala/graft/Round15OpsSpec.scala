@@ -1,5 +1,6 @@
 package graft
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -10,14 +11,22 @@ import org.apache.spark.sql.functions._
   * statistics. Each test computes the expected answer INDEPENDENTLY
   * (closed form or a from-scratch reimplementation), never by running
   * the query twice. */
-class Round15OpsSpec extends AnyFunSuite {
+class Round15OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkFixture.spark
+
+  private val TmpRoot = "/root/repo/target/r15-tmp"
 
   private def tmp(prefix: String): String = {
     import java.nio.file.{Files, Paths}
     Files.createTempDirectory(
-      Files.createDirectories(Paths.get("/root/repo/target/r15-tmp")), prefix).toString
+      Files.createDirectories(Paths.get(TmpRoot)), prefix).toString
   }
+
+  // planted fixtures are read-and-collected inside each test, so the
+  // whole root can go when the suite ends (r15 advisor note: the temp
+  // dirs otherwise accumulate across test runs)
+  override def afterAll(): Unit =
+    StageDirs.rm(java.nio.file.Paths.get(TmpRoot))
 
   test("bfs: planted 2-component graph — exact hops, multi-source min, 4-round horizon") {
     val s = spark

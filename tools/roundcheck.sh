@@ -67,6 +67,12 @@ case "${1:-}" in
     # bypass the symlinks; the symlink install is kept as a fallback
     # for tooling that reads .git/hooks directly.
     if git rev-parse --git-dir >/dev/null 2>&1; then
+      # don't silently clobber a developer-configured hooksPath (r15
+      # advisor note) — say so when the repo-local value is changing
+      prev=$(git config --local --get core.hooksPath || true)
+      if [[ -n "$prev" && "$prev" != "tools/hooks" ]]; then
+        echo "[roundcheck] NOTE: overriding repo-local core.hooksPath '$prev' -> tools/hooks"
+      fi
       git config core.hooksPath tools/hooks
       hooksdir=$(git rev-parse --git-dir)/hooks
       if [[ -d $hooksdir ]]; then
