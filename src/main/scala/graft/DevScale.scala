@@ -192,12 +192,45 @@ object DevScale {
     "q2_min_cost_supplier", "q8_market_share", "join_5way_revenue",
     "text_bigram_logprob")
 
+  /** Artifact-corrected replica for the near-dup PAIR MINERS
+    * (`runMain graft.DevScale <m> saltdocs <queries…>`): the verbatim
+    * replica gives every document M−1 identical clones, so the TRUE
+    * containment/near-dup pair set grows ~M² — measuring the fixture,
+    * not the plan (the reason those queries are excluded from
+    * QuerySubset). Here every replica's tokens get a per-replica prefix
+    * (`r<i>_`), making vocabularies DISJOINT across replicas: each
+    * replica reproduces the 1× intra-corpus pair structure exactly
+    * (token-equality patterns are prefix-invariant), so the true pair
+    * count grows M-linearly — a 100× corpus at 1× duplicate density,
+    * the realistic shape of a 100 TB crawl. Only `documents` is
+    * salted/written (the pair miners read nothing else). */
+  private def saltedDocs(spark: SparkSession, m: Int): String = {
+    val out = s"/root/repo/target/scale${m}salt"
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      println(s"[scale] generating $m x token-salted documents at $out")
+      val src = spark.read.parquet(s"$Base/documents.parquet")
+      (0 until m).map { i =>
+        src.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text", regexp_replace(col("text"), "(^| )", s"$$1r${i}_"))
+      }.reduce(_.union(_))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
     val out = s"/root/repo/target/scale$m"
+    // SPARK_GRAFT_SHUFFLE: a production run sizes shuffle partitions to
+    // the data (AQE coalesces an over-provisioned initialPartitionNum);
+    // pinning 32 at every M under-partitions the biggest replicas —
+    // measured r16: the salted-100× containment candidate join reads
+    // slope 153 at 32 partitions (per-reducer spill) vs sub-linear once
+    // partitions scale with the data. Both readings are in SCALE.md.
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -231,28 +264,33 @@ object DevScale {
       }
     }
 
-    def time(name: String, dir: String): Double = {
+    def time(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       fn(spark, dir).count() // warm plan+codegen
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      val rows = fn(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
     }
 
     // warm both scan paths
     spark.read.parquet(s"$Base/region.parquet").count()
     spark.read.parquet(s"$out/region.parquet").count()
-    println(f"${"query"}%-24s ${"1x_sec"}%8s ${s"${m}x_sec"}%8s ${"slope"}%6s")
+    // `saltdocs` mode: time the named pair miners on the token-salted
+    // documents replica instead (see saltedDocs above)
+    val salt = args.length > 1 && args(1) == "saltdocs"
+    val mDir = if (salt) saltedDocs(spark, m) else out
     // optional 2nd+ args: time only the named queries (replica reused);
     // `top10` = the r15-verdict 100× evidence set
     val sel =
-      if (args.length == 2 && args(1) == "top10") Top10Bench
+      if (salt) args.drop(2).toSeq
+      else if (args.length == 2 && args(1) == "top10") Top10Bench
       else if (args.length > 1) args.drop(1).toSeq
       else QuerySubset
+    println(f"${"query"}%-24s ${"1x_sec"}%8s ${s"${m}x_sec"}%8s ${"slope"}%6s ${"1x_rows"}%9s ${s"${m}x_rows"}%10s")
     sel.foreach { q =>
-      val t1 = time(q, Base)
-      val tm = time(q, out)
-      println(f"$q%-24s $t1%8.3f $tm%8.3f ${tm / t1}%6.2f")
+      val (t1, r1) = time(q, Base)
+      val (tm, rm) = time(q, mDir)
+      println(f"$q%-24s $t1%8.3f $tm%8.3f ${tm / t1}%6.2f $r1%9d $rm%10d")
     }
     spark.stop()
   }
