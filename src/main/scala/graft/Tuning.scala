@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle sizing for the iteration rounds of the relational-Pregel
+  * operators (pagerank, label propagation, BFS, connected components).
+  *
+  * The rounds shuffle only narrow integer frames (ids, labels, hop
+  * counts, nano-ranks) whose row count is bounded by the materialized
+  * edge set, so they want far fewer reducers than the session's
+  * scan/join parallelism — but a FIXTURE-sized literal is the r16
+  * partition-regime finding pre-installed in operator code (q21's 100×
+  * slope read 13.8 at 32 fixed partitions vs 3.9 once partitions scaled
+  * with the data; a billion-edge pair graph on four reducers per round
+  * is per-reducer spill by construction). The round count is therefore
+  * DERIVED from the edge count the caller has already materialized:
+  * `max(floor, ceil(edges / rowsPerPartition))` — the fixture graphs
+  * still land on the old floor of 4 (plans and timings unchanged at
+  * gate scale), while the count grows linearly with the graph exactly
+  * where the literal used to flatline.
+  */
+object Tuning {
+
+  /** Edge rows per round-stage reducer. Round-stage rows are two or
+    * three longs (~48 bytes in unsafe-row form), so 2M rows/reducer is
+    * ~100 MB of shuffle input — comfortably in-memory for the hash
+    * aggregates the rounds run, with headroom for the join-side
+    * amplification of high-degree nodes. */
+  val RowsPerRoundPartition: Long = 2L * 1000 * 1000
+
+  private[graft] def roundPartitions(edgeCount: Long,
+      rowsPerPartition: Long = RowsPerRoundPartition, floor: Int = 4): Int = {
+    require(rowsPerPartition > 0, "rowsPerPartition must be positive")
+    val derived = (edgeCount + rowsPerPartition - 1) / rowsPerPartition
+    // 1<<20 reducers is past any plausible single-stage need; the cap
+    // only guards against a nonsense edgeCount wrapping the Int
+    math.max(floor.toLong, math.min(derived, 1L << 20)).toInt
+  }
+
+  /** Run `body` with the round-stage shuffle sizing derived from
+    * `edgeCount`, restoring the session's previous values afterwards.
+    * Both knobs are set because they answer different regimes:
+    * `shuffle.partitions` is the static count when AQE coalesce is off,
+    * and `initialPartitionNum` OVERRIDES it as the pre-coalesce count
+    * when AQE coalesce is on (the production default) — setting only
+    * the former would leave a session-wide `initialPartitionNum` (e.g.
+    * the bench's production-AQE form) silently re-inflating every
+    * round's shuffle. */
+  def withRoundPartitions[T](spark: SparkSession, edgeCount: Long)(body: => T): T = {
+    val n = roundPartitions(edgeCount).toString
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, n))
+    try body
+    finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+}

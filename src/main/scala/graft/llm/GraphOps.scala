@@ -51,18 +51,16 @@ object GraphOps {
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .cache()
-    // materialize at full parallelism BEFORE shrinking shuffle partitions
+    // materialize at full parallelism BEFORE resizing shuffle partitions
     // (the near-dup pair join is the expensive stage; the rank rounds
-    // below are sized to the node count) — same staging as
-    // connectedComponents
-    edges.count()
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, "4")
+    // below are sized to the materialized edge count via
+    // graft.Tuning.roundPartitions — derived, not a fixture literal) —
+    // same staging as connectedComponents
+    val edgeCnt = edges.count()
     // cached frames are released in the finally block (not the success
     // path) so a failed iteration can't leave them pinned for the session
     var edgesD: DataFrame = null
-    try {
+    try graft.Tuning.withRoundPartitions(spark, edgeCnt) {
       // symmetric edges: out-degree = in-degree and every node has both,
       // so the per-iteration aggregate covers exactly the node set (no
       // dangling-node mass correction needed)
@@ -94,7 +92,6 @@ object GraphOps {
     } finally {
       if (edgesD != null) edgesD.unpersist(false)
       edges.unpersist(false)
-      spark.conf.set(partKey, prevParts)
     }
   }
 
@@ -112,10 +109,21 @@ object GraphOps {
     * oscillating or not — determinism over fixpoint, the same choice as
     * the fixed-iteration PageRank.
     *
-    * Scale shape: per round one edges⋈labels equi-join + two hash
-    * aggregates, all keyed on node ids — Pregel-on-relational, shuffles
-    * sized to the node set; the pair graph is the staged
-    * [[TextOps.ngramJaccardPairs]] build, shared with
+    * Scale shape: FRONTIER form (r16 verdict item 5) — a node's vote
+    * multiset can only change if at least one NEIGHBOR changed label
+    * last round, so each round semi-joins the edge set against the
+    * previous round's changed set and re-aggregates votes ONLY for the
+    * affected nodes; everyone else keeps their label by an anti-join.
+    * Round 1 starts with every node "changed" (labels were just
+    * initialized), making it identical to the dense form; afterwards
+    * the per-round work shrinks with the converging frontier instead of
+    * re-shuffling the full (node, label) space every round — the
+    * measured 100× LPA slope ceiling (32.6, the r16 suite maximum) was
+    * exactly that dense re-aggregation. Result is bit-identical to the
+    * dense form: the skipped argmaxes have unchanged inputs, including
+    * the tie-break. Shuffles are sized to the materialized edge count
+    * ([[graft.Tuning.withRoundPartitions]]); the pair graph is the
+    * staged [[TextOps.ngramJaccardPairs]] build, shared with
     * pagerank/cluster_canonical (one expensive stage, three consumers). */
   def labelPropagation(spark: SparkSession, sfDir: String, iters: Int = 4): DataFrame = {
     import spark.implicits._
@@ -136,28 +144,55 @@ object GraphOps {
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .cache()
-    edges.count()
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, "4")
-    try {
+    val edgeCnt = edges.count()
+    try graft.Tuning.withRoundPartitions(spark, edgeCnt) {
+      // Each round's frames are eagerly localCheckpoint-ed: the frontier
+      // form consumes `labels` twice per round (anti-join + vote join),
+      // so chaining lazy plans would double the plan per round; the
+      // checkpoint keeps every round O(1) plan size and lets the
+      // previous round's blocks be freed as soon as its successors are
+      // materialized.
       var labels = edges.select($"src".as("id")).distinct()
-        .select($"id", $"id".as("lbl"))
-      for (_ <- 1 to iters) {
-        labels = edges.join(labels, edges("dst") === labels("id"))
+        .select($"id", $"id".as("lbl")).localCheckpoint(true)
+      // round-1 frontier: every node (labels were just initialized)
+      var changed = labels.select($"id".as("cid")).localCheckpoint(true)
+      var changedCnt = changed.count()
+      var i = 0
+      while (i < iters && changedCnt > 0) {
+        // nodes with ≥1 changed neighbour — the only argmaxes that can
+        // move this round (their vote multisets are the only ones that
+        // changed; the synchronous update has no other input)
+        val affected = edges.join(changed, edges("dst") === changed("cid"), "left_semi")
+          .select($"src".as("aid")).distinct().localCheckpoint(true)
+        val votes = edges.join(affected, edges("src") === affected("aid"), "left_semi")
+          .join(labels, edges("dst") === labels("id"))
           .groupBy($"src", $"lbl").agg(count(lit(1)).as("c"))
           .groupBy($"src")
           .agg(min(struct((-$"c").as("nc"), $"lbl".as("l"))).as("m"))
           .select($"src".as("id"), $"m.l".as("lbl"))
+          .localCheckpoint(true)
+        val next = labels.join(affected, labels("id") === affected("aid"), "left_anti")
+          .union(votes)
+          .localCheckpoint(true)
+        val delta = votes.join(labels.select($"id", $"lbl".as("prev")), "id")
+          .filter($"lbl" =!= $"prev")
+          .select($"id".as("cid"))
+          .localCheckpoint(true)
+        changedCnt = delta.count()
+        // free the round's scratch blocks now that next/delta exist
+        Seq(labels, changed, affected, votes)
+          .foreach(graft.SessionCache.freeLocalCheckpoint)
+        labels = next
+        changed = delta
+        i += 1
       }
-      labels
+      val out = labels
         .select($"id".as("doc_id"), $"lbl".as("community"))
         .orderBy($"doc_id")
         .localCheckpoint(true)
-    } finally {
-      edges.unpersist(false)
-      spark.conf.set(partKey, prevParts)
-    }
+      Seq(labels, changed).foreach(graft.SessionCache.freeLocalCheckpoint)
+      out
+    } finally edges.unpersist(false)
   }
 
   private val orientedCache =
@@ -307,13 +342,11 @@ object GraphOps {
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .cache()
-    // materialize at full parallelism, then shrink shuffles to the
-    // node-count-sized rounds — same staging economics as pageRank
-    edges.count()
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, "4")
-    try {
+    // materialize at full parallelism, then size the relaxation-round
+    // shuffles to the edge count (graft.Tuning.roundPartitions — derived,
+    // not a fixture literal) — same staging economics as pageRank
+    val edgeCnt = edges.count()
+    try graft.Tuning.withRoundPartitions(spark, edgeCnt) {
       var dist = edges.select($"src".as("id")).distinct()
         .filter($"id" % 25 === 0)
         .select($"id", lit(0).as("hops"))
@@ -326,9 +359,6 @@ object GraphOps {
       dist.select($"id".as("doc_id"), $"hops")
         .orderBy($"doc_id")
         .localCheckpoint(true)
-    } finally {
-      edges.unpersist(false)
-      spark.conf.set(partKey, prevParts)
-    }
+    } finally edges.unpersist(false)
   }
 }

@@ -288,17 +288,15 @@ object TextOps {
       .union(pairs.toDF("doc_a", "doc_b").select($"doc_b", $"doc_a"))
       .toDF("src", "dst")
       .cache()
-    // materialize the edge cache BEFORE shrinking shuffle partitions:
+    // materialize the edge cache BEFORE resizing shuffle partitions:
     // the pair-graph build (the near-dup join) is the expensive part and
     // wants the session's full scan/shuffle parallelism — only the
-    // propagation rounds below are small enough to size to the near-dup
-    // doc count (restored after the fixpoint; at 100 TB this would
-    // instead scale with the edge count)
-    edges.count()
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, "4")
-    try {
+    // propagation rounds below are sized down, and they scale with the
+    // MATERIALIZED EDGE COUNT (graft.Tuning.roundPartitions; restored
+    // after the fixpoint) — the r17 fix for the fixture-sized literal
+    // this comment used to apologize for
+    val edgeCnt = edges.count()
+    graft.Tuning.withRoundPartitions(spark, edgeCnt) {
       var labels = edges.select($"src".as("doc_id"))
         .distinct()
         .select($"doc_id", $"doc_id".as("label"))
@@ -340,7 +338,7 @@ object TextOps {
       labels.unpersist(false)
       edges.unpersist(false)
       out
-    } finally spark.conf.set(partKey, prevParts)
+    }
   }
 
   private val StopwordSets: Seq[(String, Seq[String])] = Seq(
