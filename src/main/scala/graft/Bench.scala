@@ -27,6 +27,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Production AQE form (r16 verdict item 2): over-provision the
+      // pre-coalesce shuffle partition count and let AQE coalesce to the
+      // data, so the benched config is the config a cluster would ship
+      // with — a fixed count equal to the core count becomes per-reducer
+      // spill the moment data outgrows the fixture (q21 at 100×: slope
+      // 13.8 pinned at 32 partitions vs 3.9 once partitions scale).
+      // shuffle.partitions above stays as the non-AQE fallback.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "256"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // back-compat for the legacy ns-precision events fixture; the
@@ -224,9 +233,13 @@ object Bench {
     // instead of hand-extracted from prose (r15 verdict item 2)
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val streamingS = defended.collect { case (n, t) if isStreaming(n) => t }.sum
-    val batchS = total - streamingS
+    // derive one rounded subtotal from the other so the printed split
+    // always sums exactly to the printed total (independently-rounded
+    // subtotals could disagree with the total by 0.001 — r16 advisor)
+    val batchR = r3(total - streamingS)
+    val streamingR = r3(r3(total) - batchR)
     val subtotals =
-      s""""batch_s":${r3(batchS)},"streaming_s":${r3(streamingS)}"""
+      s""""batch_s":$batchR,"streaming_s":$streamingR"""
     // full per-query detail (humans / round notes; too long for the
     // driver's 2000-char stdout tail to hold in one piece)
     println(s"""{"metric":"total_per_query","value":$total,"unit":"sec",$subtotals,"queries":$qs,"sf":"$sfDir"}""")

@@ -5,16 +5,26 @@ import org.apache.spark.sql.SparkSession
   * gate scales, to pin the spec thresholds on recorded values.
   * Optional args override the measured dirs — pass `target/scale10`
   * (the DevScale replica) to check the band/codebook parameters hold
-  * as corpus density grows 10× (r15 verdict item 8). */
+  * as corpus density grows 10× (r15 verdict item 8), or `jit:<m>` to
+  * build/reuse the ε-jittered replica ([[DevScale.jitteredEmbeddings]])
+  * whose M× ground truth is near-duplicate RANKINGS rather than
+  * verbatim clones — the discrimination measurement the r16 caveat
+  * asked for (verdict item 3). */
 object DevRecall {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // production AQE form, same as Bench/DevScale (r16 verdict item 2)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dirs = if (args.nonEmpty) args.toSeq
+    val dirs = if (args.nonEmpty) args.toSeq.map {
+        case s if s.startsWith("jit:") =>
+          DevScale.jitteredEmbeddings(spark, s.stripPrefix("jit:").toInt)
+        case s => s
+      }
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     dirs.foreach { sf =>
       val exact = graft.llm.VectorOps.simTopkCosine(spark, sf).collect()

@@ -204,33 +204,93 @@ object DevScale {
     * count grows M-linearly — a 100× corpus at 1× duplicate density,
     * the realistic shape of a 100 TB crawl. Only `documents` is
     * salted/written (the pair miners read nothing else). */
-  private def saltedDocs(spark: SparkSession, m: Int): String = {
-    val out = s"/root/repo/target/scale${m}salt"
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
-      println(s"[scale] generating $m x token-salted documents at $out")
-      val src = spark.read.parquet(s"$Base/documents.parquet")
-      (0 until m).map { i =>
-        src.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
-          .withColumn("text", regexp_replace(col("text"), "(^| )", s"$$1r${i}_"))
-      }.reduce(_.union(_))
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  /** Memo stamp shared by the salted/jittered replicas (the DevStress
+    * .src-stamp idiom, r16 advisor note): keyed on the source's absolute
+    * path + mtime and written only AFTER the parquet write completes, so
+    * an interrupted write, a regenerated base fixture, or a logic change
+    * (bump `tag`) rebuilds instead of silently reusing a stale/partial
+    * replica. */
+  private def stamped(out: String, src: String, tag: String)(build: => Unit): String = {
+    val stampFile = new java.io.File(s"$out/.src-stamp")
+    val want = Seq(tag, src, new java.io.File(src).lastModified.toString).mkString("\n")
+    val fresh = stampFile.exists() && {
+      val in = scala.io.Source.fromFile(stampFile)
+      try in.mkString == want finally in.close()
+    }
+    if (!fresh) {
+      build
+      val w = new java.io.PrintWriter(stampFile)
+      try w.print(want) finally w.close()
     }
     out
   }
 
+  private def saltedDocs(spark: SparkSession, m: Int): String =
+    stamped(s"/root/repo/target/scale${m}salt", s"$Base/documents.parquet", "salt-v2") {
+      val out = s"/root/repo/target/scale${m}salt"
+      println(s"[scale] generating $m x token-salted documents at $out")
+      val src = spark.read.parquet(s"$Base/documents.parquet")
+      (0 until m).map { i =>
+        src.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          // whitespace CLASS, not literal space (r16 advisor note): a
+          // token after \n or \t must get the prefix too, or replicas
+          // share vocabulary there and cross-replica pairs reappear
+          .withColumn("text", regexp_replace(col("text"), "(^|\\s)", s"$$1r${i}_"))
+      }.reduce(_.union(_))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+
+  /** ε-jittered embedding replica for the ANN recall measurements
+    * (`DevRecall jit:<m>`): the verbatim replica clones vectors exactly,
+    * so the M× ground-truth top-k is clone-dominated and recall only
+    * proves ROUTING consistency (the r16 caveat). Here replica 0 stays
+    * pristine and every other replica perturbs each coordinate with a
+    * deterministic hash-seeded uniform draw in ±[[JitterAmp]] — clones
+    * become near-duplicates (cosine ≈ 0.975 to the parent at amp 0.05 on
+    * the unit-norm 64-dim fixture), so the exact top-10 is a ranking the
+    * index must DISCRIMINATE, not just re-route. Deterministic: the
+    * noise is murmur3(vec_id, dim) — no RNG state, rebuild-identical. */
+  private[graft] val JitterAmp = 0.05
+
+  /** The jitter core, on arbitrary dirs — exposed so the suite can pin a
+    * recall floor on a small jittered fixture (Round17OpsSpec). */
+  private[graft] def jitterReplica(
+      spark: SparkSession, srcDir: String, outDir: String, m: Int): Unit = {
+    val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    (0 until m).map { i =>
+      val shifted = src.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding", expr(
+        s"""transform(embedding, (x, d) ->
+           |  CAST(x + $JitterAmp * ((pmod(hash(vec_id, d), 2001) - 1000) / 1000.0)
+           |       AS FLOAT))""".stripMargin))
+    }.reduce(_.union(_))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private[graft] def jitteredEmbeddings(spark: SparkSession, m: Int): String =
+    stamped(s"/root/repo/target/scale${m}jit", s"$Base/embeddings.parquet", "jit-v1") {
+      println(s"[scale] generating $m x jittered embeddings at /root/repo/target/scale${m}jit")
+      jitterReplica(spark, Base, s"/root/repo/target/scale${m}jit", m)
+    }
+
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
     val out = s"/root/repo/target/scale$m"
-    // SPARK_GRAFT_SHUFFLE: a production run sizes shuffle partitions to
-    // the data (AQE coalesces an over-provisioned initialPartitionNum);
-    // pinning 32 at every M under-partitions the biggest replicas —
-    // measured r16: the salted-100× containment candidate join reads
-    // slope 153 at 32 partitions (per-reducer spill) vs sub-linear once
-    // partitions scale with the data. Both readings are in SCALE.md.
+    // Production AQE form by default (r16 verdict item 2): a high
+    // pre-coalesce initialPartitionNum + AQE coalesce, so the measured
+    // config is the config a cluster would ship — this removes the
+    // 32p-vs-256p dual-column bookkeeping that r16 needed (q21 read
+    // slope 13.8 pinned at 32 partitions / per-reducer spill vs 3.9 at
+    // 256; salted-100× containment 153 vs 54). SPARK_GRAFT_SHUFFLE=<n>
+    // reproduces the old pinned-partition regimes for A/B against the
+    // recorded tables (it pins BOTH knobs, disabling the headroom).
+    val pinned = sys.env.get("SPARK_GRAFT_SHUFFLE")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.shuffle.partitions", pinned.getOrElse("32"))
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        pinned.getOrElse("1024"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

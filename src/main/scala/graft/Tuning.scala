@@ -31,7 +31,10 @@ object Tuning {
   private[graft] def roundPartitions(edgeCount: Long,
       rowsPerPartition: Long = RowsPerRoundPartition, floor: Int = 4): Int = {
     require(rowsPerPartition > 0, "rowsPerPartition must be positive")
-    val derived = (edgeCount + rowsPerPartition - 1) / rowsPerPartition
+    // overflow-safe ceiling (edgeCount + rowsPerPartition - 1 wraps near
+    // Long.MaxValue and would silently floor the result)
+    val derived =
+      edgeCount / rowsPerPartition + (if (edgeCount % rowsPerPartition == 0) 0 else 1)
     // 1<<20 reducers is past any plausible single-stage need; the cap
     // only guards against a nonsense edgeCount wrapping the Int
     math.max(floor.toLong, math.min(derived, 1L << 20)).toInt
