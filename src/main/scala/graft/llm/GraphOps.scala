@@ -84,6 +84,10 @@ object GraphOps {
       }
       val out = rank
         .select($"id".as("doc_id"), $"rank_nano",
+          // intentional global window: one final rank pass over the
+          // node-sized result (near-dup members only, orders of
+          // magnitude below corpus size); a multi-billion-node graph
+          // would swap this for a range-partitioned prefix rank
           row_number().over(Window.orderBy($"rank_nano".desc, $"id"))
             .as("pr_pos"))
         .orderBy($"doc_id")

@@ -563,6 +563,8 @@ object TextOps {
       .select($"source", nTokens.as("toks"), hv.as("hv"))
       .groupBy($"source", $"hv")
       .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_toks"))
+    // intentional global window: frame is the post-agg (source, hex)
+    // grid, ≤ 16×#sources rows at any corpus size
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val wSrc = org.apache.spark.sql.expressions.Window.partitionBy($"source")
     g.withColumn("src_toks", sum($"n_toks").over(wSrc))
@@ -840,6 +842,8 @@ object TextOps {
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
     counts
       .withColumn("vocab_id",
+        // intentional global window: frame is the aggregated vocab
+        // (Zipf-sub-linear in corpus size), never the token stream
         row_number().over(Window.orderBy($"cnt".desc, $"tok")) - 1)
       .filter($"vocab_id" < 100)
       .select($"vocab_id", $"tok", $"cnt")
@@ -863,6 +867,8 @@ object TextOps {
     val counts = Tables.documents(spark, sfDir)
       .select(explode(split($"text", " ")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    // intentional global windows: all three frames are the aggregated
+    // vocab (Zipf-sub-linear in corpus size), never the token stream
     val ord = Window.orderBy($"cnt".desc, $"tok")
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy().rowsBetween(
@@ -1226,6 +1232,8 @@ object TextOps {
     import spark.implicits._
     val nTokens = (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
       .cast(LongType)
+    // intentional global windows: frames are the per-lang aggregate
+    // (#langs rows at any corpus size)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val wRank = org.apache.spark.sql.expressions.Window.partitionBy()
       .orderBy($"rem".desc, $"lang")
@@ -1268,6 +1276,7 @@ object TextOps {
     val wLang = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang").orderBy($"h", $"doc_id")
     val wCls = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    // intentional global window: min over the #langs class sizes
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", md5($"doc_id".cast(StringType)).as("h"))
@@ -1362,6 +1371,8 @@ object TextOps {
       .agg(min(struct($"doc_id", $"lang", $"n_toks")).as("m"))
       .select($"m.doc_id".as("doc_id"), $"m.lang".as("lang"),
         $"m.n_toks".as("n_toks"))
+    // intentional global windows: frames are the per-lang aggregate
+    // (#langs rows at any corpus size)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val wRank = org.apache.spark.sql.expressions.Window.partitionBy()
       .orderBy($"rem".desc, $"lang")

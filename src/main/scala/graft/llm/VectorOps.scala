@@ -221,6 +221,7 @@ object VectorOps {
     * the handful of iterations, exactly this staging. */
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // intentional global window: frame is the 64-row dim vector
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val e = Tables.embeddings(spark, sfDir)
       .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))

@@ -20,7 +20,10 @@ import graft.cdc.KafkaWire
   *    live Kafka/Redpanda AND the spark-sql-kafka runtime jar is on the
   *    classpath. The build sandbox has neither, so by default the test
   *    is registered as ignored (with the reason in its name) instead of
-  *    canceling mid-run — the default suite reports 0 canceled. */
+  *    canceling mid-run — the default suite reports 0 canceled. A
+  *    docker-capable host can stand the broker up with
+  *    `tools/docker-compose-kafka.yml` (single-node Redpanda; the file
+  *    header documents the connector-jar + env incantation). */
 class KafkaWireSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sf = SparkFixture.Sf
