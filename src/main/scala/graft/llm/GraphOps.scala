@@ -158,43 +158,52 @@ object GraphOps {
       // materialized.
       var labels = edges.select($"src".as("id")).distinct()
         .select($"id", $"id".as("lbl")).localCheckpoint(true)
-      // round-1 frontier: every node (labels were just initialized)
-      var changed = labels.select($"id".as("cid")).localCheckpoint(true)
-      var changedCnt = changed.count()
+      // round-1 frontier: every node (labels were just initialized) —
+      // represented as None so round 1 takes the dense path (the
+      // all-node semi/anti joins would be pure overhead there)
+      var changed = Option.empty[DataFrame]
+      var changedCnt = -1L
       var i = 0
-      while (i < iters && changedCnt > 0) {
+      while (i < iters && changedCnt != 0) {
         // nodes with ≥1 changed neighbour — the only argmaxes that can
         // move this round (their vote multisets are the only ones that
         // changed; the synchronous update has no other input)
-        val affected = edges.join(changed, edges("dst") === changed("cid"), "left_semi")
-          .select($"src".as("aid")).distinct().localCheckpoint(true)
-        val votes = edges.join(affected, edges("src") === affected("aid"), "left_semi")
+        val affected = changed.map(ch =>
+          edges.join(ch, edges("dst") === ch("cid"), "left_semi")
+            .select($"src".as("aid")).distinct().localCheckpoint(true))
+        val voteEdges = affected.fold(edges)(a =>
+          edges.join(a, edges("src") === a("aid"), "left_semi"))
+        val votes = voteEdges
           .join(labels, edges("dst") === labels("id"))
           .groupBy($"src", $"lbl").agg(count(lit(1)).as("c"))
           .groupBy($"src")
           .agg(min(struct((-$"c").as("nc"), $"lbl".as("l"))).as("m"))
           .select($"src".as("id"), $"m.l".as("lbl"))
           .localCheckpoint(true)
-        val next = labels.join(affected, labels("id") === affected("aid"), "left_anti")
-          .union(votes)
-          .localCheckpoint(true)
+        // every node has ≥1 edge (symmetric union), so the dense round's
+        // vote output covers exactly the node set — no anti-join needed
+        val next = affected.fold(votes)(a =>
+          labels.join(a, labels("id") === a("aid"), "left_anti")
+            .union(votes)
+            .localCheckpoint(true))
         val delta = votes.join(labels.select($"id", $"lbl".as("prev")), "id")
           .filter($"lbl" =!= $"prev")
           .select($"id".as("cid"))
           .localCheckpoint(true)
         changedCnt = delta.count()
         // free the round's scratch blocks now that next/delta exist
-        Seq(labels, changed, affected, votes)
+        (Seq(labels) ++ changed ++ affected ++
+          (if (affected.isDefined) Seq(votes) else Nil))
           .foreach(graft.SessionCache.freeLocalCheckpoint)
         labels = next
-        changed = delta
+        changed = Some(delta)
         i += 1
       }
       val out = labels
         .select($"id".as("doc_id"), $"lbl".as("community"))
         .orderBy($"doc_id")
         .localCheckpoint(true)
-      Seq(labels, changed).foreach(graft.SessionCache.freeLocalCheckpoint)
+      (Seq(labels) ++ changed).foreach(graft.SessionCache.freeLocalCheckpoint)
       out
     } finally edges.unpersist(false)
   }
