@@ -91,9 +91,16 @@ class Round17OpsSpec extends AnyFunSuite {
       labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     (1 to 5).foreach { iters =>
-      val frontier = graft.llm.GraphOps.labelPropagationOnPairs(spark, pairs, iters)
+      // force the FRONTIER form (the planted graph is below the
+      // stats-based switch, so the default would take the dense path)
+      val frontier = graft.llm.GraphOps
+        .labelPropagationOnPairs(spark, pairs, iters, frontierMinEdges = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(frontier == dense(iters), s"frontier ≠ dense at iters=$iters")
+      // ...and the default (stats-chosen) path must agree too
+      val auto = graft.llm.GraphOps.labelPropagationOnPairs(spark, pairs, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(auto == dense(iters), s"default path ≠ dense at iters=$iters")
     }
   }
 
