@@ -267,25 +267,29 @@ object TpchShapes {
   /** `q2_min_cost_supplier` (TPC-H Q2 shape; lineitem sale prices stand
     * in for the missing partsupp.ps_supplycost): for each mid-size part,
     * the supplier(s) whose average sale price for it is the part's
-    * minimum — aggregate, per-group min, equality join back (the
-    * correlated-min decorrelation). The average is rounded to 4dp BEFORE
-    * the min/equality so both engines compare identical doubles. */
+    * minimum — the correlated min decorrelated as a per-part WINDOW over
+    * the (part, supplier) aggregate, the same single-exchange trick as
+    * q21: the aggregate's groupBy(partkey, suppkey) exchange already
+    * clusters by partkey's superset, so the window's min-per-part runs
+    * without a second fact-scale exchange — where the previous
+    * agg → localCheckpoint → min-agg → equality-self-join form
+    * materialized the multi-million-row aggregate and shuffled it twice
+    * more (measured 18–32 s at 100× in both partition regimes; the
+    * window form re-measured below). The average is rounded to 4dp
+    * BEFORE the min/equality so both engines compare identical doubles. */
   def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val mid = broadcast(Tables.part(spark, sfDir)
       .filter($"p_size".between(10, 20)).select($"p_partkey"))
-    // materialized once: the per-part min and the winners join both
-    // consume this aggregate (the fact scan+agg would run twice)
-    val avgPrice = Tables.lineitem(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
       .join(mid, $"l_partkey" === $"p_partkey")
       .groupBy($"l_partkey", $"l_suppkey")
       .agg(graft.Det.r4(sum($"l_extendedprice".cast(DecimalType(18, 4)))
         .cast(DoubleType) / count(lit(1))).as("avg_price"))
-      .localCheckpoint()
-    val minPrice = avgPrice.groupBy($"l_partkey".as("m_partkey"))
-      .agg(min($"avg_price").as("min_price"))
-    avgPrice
-      .join(minPrice, $"l_partkey" === $"m_partkey" && $"avg_price" === $"min_price")
+      .withColumn("min_price",
+        min($"avg_price").over(Window.partitionBy($"l_partkey")))
+      .filter($"avg_price" === $"min_price")
       .join(broadcast(Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")),
         $"l_suppkey" === $"s_suppkey")
       .select($"l_partkey".as("p_partkey"), $"s_suppkey", $"s_name", $"avg_price")
