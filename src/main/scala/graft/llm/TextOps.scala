@@ -1042,11 +1042,18 @@ object TextOps {
     * width are clean by definition. */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // shingles are carried as xxhash64 the moment they are formed (the
+    // dedup_substring_spans rule — counts are hash-invariant absent
+    // 64-bit collisions, which the raw-string DuckDB oracle proves):
+    // the broadcast bench set is 8 bytes/shingle instead of the raw
+    // 8-token strings (~100 MB at the 100× replica, where the string
+    // broadcast was the query's whole cost), and the probe side's
+    // distinct-count state shrinks identically
     def shingles(df: DataFrame): DataFrame = df
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 8), i -> array_join(slice(toks, i + 1, 8), ' '))"))
+        "transform(sequence(0, size(toks) - 8), i -> xxhash64(array_join(slice(toks, i + 1, 8), ' ')))"))
         .as("shingle"))
     val docs = Tables.documents(spark, sfDir)
     // bench side: distinct to shrink the broadcast; probe side needs no
