@@ -284,8 +284,19 @@ object TpchShapes {
       .filter($"p_size".between(10, 20)).select($"p_partkey"))
     Tables.lineitem(spark, sfDir)
       .join(mid, $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_suppkey",
+        $"l_extendedprice".cast(DecimalType(18, 4)).as("price"))
+      // the q21 single-exchange trick, literally: partkey alone
+      // satisfies the aggregate's ClusteredDistribution (a subset of
+      // its grouping keys) AND the window's — without it Catalyst
+      // plans hashpartitioning(partkey, suppkey) for the agg and a
+      // SECOND partkey exchange for the window (verified in
+      // DevExplain). Per-part supplier groups are bounded, so
+      // partkey-only partitioning is skew-free, and the exchanged row
+      // is projected to three narrow columns first.
+      .repartition($"l_partkey")
       .groupBy($"l_partkey", $"l_suppkey")
-      .agg(graft.Det.r4(sum($"l_extendedprice".cast(DecimalType(18, 4)))
+      .agg(graft.Det.r4(sum($"price")
         .cast(DoubleType) / count(lit(1))).as("avg_price"))
       .withColumn("min_price",
         min($"avg_price").over(Window.partitionBy($"l_partkey")))
