@@ -13,8 +13,24 @@ import org.apache.spark.sql.functions._
   * function of fixture + in-plan seeds, so a Spark/DataSketches upgrade
   * that silently shifts any output fails here instead of drifting
   * unnoticed past the DuckDB gate that cannot see them. */
-class Round17OpsSpec extends AnyFunSuite {
+class Round17OpsSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = SparkFixture.spark
+
+  // per-run temp root for the jittered fixture, deleted in afterAll
+  // (the Round12/Round15 planted-fixture rule — specs must not leave
+  // artifacts under target/)
+  private val jitDir =
+    java.nio.file.Files.createTempDirectory("r17-jit10").toString
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(jitDir))
+    super.afterAll()
+  }
 
   test("roundPartitions scales with the edge count (and floors at the fixture size)") {
     import graft.Tuning.roundPartitions
@@ -111,7 +127,7 @@ class Round17OpsSpec extends AnyFunSuite {
     // the index has to discriminate — the r16 verbatim-clone caveat.
     // Floors pinned one notch under the measured 10/10 (jittered 10×
     // and 100× of sf0.1 both read 10/10 for lsh/ivf/pq — SCALE.md r17).
-    val dir = "/root/repo/target/test-jit10"
+    val dir = jitDir
     DevScale.jitterReplica(spark, SparkFixture.Sf, dir, 10)
     val exact = graft.llm.VectorOps.simTopkCosine(spark, dir).collect()
       .map(_.getAs[Long]("vec_id")).toSet
