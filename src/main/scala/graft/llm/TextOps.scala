@@ -1449,7 +1449,7 @@ object TextOps {
     // the full (h, ndocs) frequency table: boilerplate (a hash seen in
     // ≥ MinDocs documents) is small by nature, so AQE broadcasts it and
     // the exploded-segment side never shuffles for the join at all —
-    // measured 6.1 s → (re-measured below) at salted-100× where the
+    // measured 6.1 s → 0.72 s at salted-100× (SCALE.md r17), where the
     // full-freq equi-join was the one AQE-regressed plan in the r17
     // sweep (byte-sized coalescing can't see the per-row rebuild CPU).
     // Unhinted on purpose: if boilerplate ever outgrows the broadcast

@@ -274,8 +274,9 @@ object TpchShapes {
     * without a second fact-scale exchange — where the previous
     * agg → localCheckpoint → min-agg → equality-self-join form
     * materialized the multi-million-row aggregate and shuffled it twice
-    * more (measured 18–32 s at 100× in both partition regimes; the
-    * window form re-measured below). The average is rounded to 4dp
+    * more (measured 18–32 s at 100× in both partition regimes; this
+    * form re-measures at 3.9–4.0 s — SCALE.md r17). The average is
+    * rounded to 4dp
     * BEFORE the min/equality so both engines compare identical doubles. */
   def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
