@@ -241,8 +241,11 @@ object Bench {
     val subtotals =
       s""""batch_s":$batchR,"streaming_s":$streamingR"""
     // full per-query detail (humans / round notes; too long for the
-    // driver's 2000-char stdout tail to hold in one piece)
-    println(s"""{"metric":"total_per_query","value":$total,"unit":"sec",$subtotals,"queries":$qs,"sf":"$sfDir"}""")
+    // driver's 2000-char stdout tail to hold in one piece). The total is
+    // printed ROUNDED in both lines (r17 advisor): batchR + streamingR
+    // sums to r3(total) by construction, so a consumer re-adding the
+    // split agrees with "value" exactly, not to within 5e-4.
+    println(s"""{"metric":"total_per_query","value":${r3(total)},"unit":"sec",$subtotals,"queries":$qs,"sf":"$sfDir"}""")
     // machine-readable line LAST and COMPACT: the driver keeps only a
     // ~2000-char tail of stdout (plus sbt's epilogue line), so the line
     // it parses must fit entirely inside that window — emit the total,

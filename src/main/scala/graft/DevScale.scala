@@ -204,15 +204,28 @@ object DevScale {
     * count grows M-linearly — a 100× corpus at 1× duplicate density,
     * the realistic shape of a 100 TB crawl. Only `documents` is
     * salted/written (the pair miners read nothing else). */
+  /** Content signature of a parquet table directory: name+size+mtime of
+    * every file INSIDE it (sorted), not the directory inode's mtime —
+    * a fixture regenerated within the directory-mtime granularity, or
+    * part files rewritten without touching the directory entry, must
+    * invalidate the stamp (r17 advisor note). Falls back to the path's
+    * own stats when it isn't a directory. */
+  private[graft] def srcSig(src: String): String = {
+    val d = new java.io.File(src)
+    val files = Option(d.listFiles()).map(_.filter(_.isFile).sortBy(_.getName))
+      .getOrElse(Array(d))
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
+  }
+
   /** Memo stamp shared by the salted/jittered replicas (the DevStress
     * .src-stamp idiom, r16 advisor note): keyed on the source's absolute
-    * path + mtime and written only AFTER the parquet write completes, so
-    * an interrupted write, a regenerated base fixture, or a logic change
-    * (bump `tag`) rebuilds instead of silently reusing a stale/partial
-    * replica. */
+    * path + per-part-file signature and written only AFTER the parquet
+    * write completes, so an interrupted write, a regenerated base
+    * fixture, or a logic change (bump `tag`) rebuilds instead of
+    * silently reusing a stale/partial replica. */
   private def stamped(out: String, src: String, tag: String)(build: => Unit): String = {
     val stampFile = new java.io.File(s"$out/.src-stamp")
-    val want = Seq(tag, src, new java.io.File(src).lastModified.toString).mkString("\n")
+    val want = Seq(tag, src, srcSig(src)).mkString("\n")
     val fresh = stampFile.exists() && {
       val in = scala.io.Source.fromFile(stampFile)
       try in.mkString == want finally in.close()

@@ -58,8 +58,15 @@ object DevStress {
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("skew")  => skew(args.lift(1).getOrElse(Base))
-    case Some("graph") => graph(args.lift(1).map(_.toInt).getOrElse(60000))
-    case _ => System.err.println("usage: DevStress skew [srcDir] | graph [nEdges]")
+    case Some("graph") =>
+      graph(args.lift(1).map(_.toInt).getOrElse(60000),
+        args.lift(2).getOrElse("bfs"))
+    case Some("scd2")  => scd2(args.lift(1).getOrElse("/root/repo/target/scale10"))
+    case Some("containment") =>
+      containment(args.lift(1).getOrElse("/root/repo/target/scale100salt"))
+    case _ => System.err.println(
+      "usage: DevStress skew [srcDir] | graph [nEdges] [bfs|lpa|pagerank] | " +
+        "scd2 [replicaDir] | containment [saltedDocsDir]")
   }
 
   // ── hot-key stress ─────────────────────────────────────────────────
@@ -71,12 +78,14 @@ object DevStress {
     import spark.implicits._
     val out = s"/root/repo/target/skew-${new java.io.File(src).getName}"
     // memo stamp (r15 advisor note): key the cached twin on the source's
-    // absolute path + per-table mtime, not just the basename + existence
-    // — a regenerated replica (or two sources sharing a basename) must
-    // rebuild, not silently reuse stale skewed data. Written LAST so an
-    // interrupted build (events written, customer not yet) also rebuilds.
+    // absolute path + per-table part-file signature (name+size+mtime of
+    // the files INSIDE each table dir — DevScale.srcSig, r17 advisor),
+    // not just the basename + existence — a regenerated replica (or two
+    // sources sharing a basename) must rebuild, not silently reuse stale
+    // skewed data. Written LAST so an interrupted build (events written,
+    // customer not yet) also rebuilds.
     def srcStamp: String = (Seq(src) ++ Seq("events", "orders", "customer")
-      .map(t => new java.io.File(s"$src/$t.parquet").lastModified.toString))
+      .map(t => DevScale.srcSig(s"$src/$t.parquet")))
       .mkString("\n")
     val stampFile = new java.io.File(s"$out/.src-stamp")
     val fresh = stampFile.exists() && {
@@ -152,8 +161,16 @@ object DevStress {
     spark.stop()
   }
 
-  // ── synthetic-graph BFS slope ──────────────────────────────────────
-  private def graph(nEdges: Int): Unit = {
+  // ── synthetic-graph round-shape slopes (bfs | lpa | pagerank) ──────
+  // BFS drives the Bellman-Ford relaxation rounds; `lpa` drives the
+  // heavier vote-aggregate round shape (frontier semi-join + two hash
+  // aggs — the r17-verdict gap: the above-floor derived-partitioning
+  // evidence covered only BFS), `pagerank` the rank-push round. The
+  // synthetic sizes sit far past BOTH engagement thresholds: the
+  // frontier form switch (16,384 edges) and the derived-partition floor
+  // (8M symmetric edge rows at 2M rows/reducer), so the measured slope
+  // is the production round shape, not the fixture floor.
+  private def graph(nEdges: Int, op: String): Unit = {
     val spark = session()
     import spark.implicits._
     def pairsOf(m: Long): DataFrame = {
@@ -163,14 +180,117 @@ object DevStress {
         pmod(xxhash64($"id", lit(2)), lit(n)).as("doc_b"))
         .filter($"doc_a" =!= $"doc_b")
     }
-    println(f"${"edges"}%10s ${"sec"}%8s ${"reached"}%10s")
+    val run: DataFrame => Long = op match {
+      case "lpa" => p => graft.llm.GraphOps.labelPropagationOnPairs(spark, p).count()
+      case "pagerank" => p => graft.llm.GraphOps.pageRankOnPairs(spark, p).count()
+      case _ => p => graft.llm.GraphOps.bfsOnPairs(spark, p).count()
+    }
+    println(f"${"edges"}%10s ${"sec"}%8s ${"rows"}%10s ${"round_parts"}%12s")
     // sizes as Long: 30 * an Int nEdges near 2^31/30 would overflow to
     // a negative range and silently time an empty graph
     Seq(nEdges.toLong, 10L * nEdges, 30L * nEdges).foreach { m =>
-      val (t, reached) = timeIt(
-        graft.llm.GraphOps.bfsOnPairs(spark, pairsOf(m)).count())
-      println(f"$m%10d $t%8.3f $reached%10d")
+      val (t, rows) = timeIt(run(pairsOf(m)))
+      // the operators symmetrize pairs, so the round stages see ~2m edge
+      // rows — print the partition count the rounds actually derived
+      println(f"$m%10d $t%8.3f $rows%10d ${Tuning.roundPartitions(2 * m)}%12d")
     }
+    spark.stop()
+  }
+
+  // ── scd2 point-in-time cost attribution (r17 verdict item 4) ───────
+  // join_scd2_pointintime's 100× slope (8.2) has two candidate owners:
+  // the per-user SCD2 history build (a lead() window over M×-deeper user
+  // partitions) and the containment lookup (equi-join on user_id whose
+  // PRE-FILTER pair count is purchases×versions per user — M² per key on
+  // the verbatim replica, where user_id is deliberately not shifted).
+  // This times each in isolation on a DevScale replica dir, plus the
+  // union-as-of rewrite candidate (fact probes ∪ dim versions, ONE
+  // window pass per user — the join_asof_attribution composition, which
+  // never forms the M² pairs), and asserts the candidate is row-identical
+  // to the shipped form before any timing is trusted.
+  private def scd2(dir: String): Unit = {
+    val spark = session()
+    require(new java.io.File(s"$dir/events.parquet").exists(),
+      s"$dir has no events.parquet — run `DevScale <m>` first")
+    spark.read.parquet(s"$dir/events.parquet").count() // warm listings
+    val shipped = graft.cdc.Changelog.scd2PointInTime(spark, dir)
+    val asof = scd2AsofCandidate(spark, dir)
+    require(asof.exceptAll(shipped).count() == 0 &&
+      shipped.exceptAll(asof).count() == 0,
+      "as-of rewrite diverged from the shipped scd2 point-in-time join")
+    println(f"${"component"}%-28s ${"sec"}%8s ${"rows"}%10s")
+    Seq[(String, () => Long)](
+      ("history build (window only)",
+        () => graft.cdc.Changelog.scd2History(spark, dir).count()),
+      ("shipped (window + join)",
+        () => graft.cdc.Changelog.scd2PointInTime(spark, dir).count()),
+      ("union as-of candidate",
+        () => scd2AsofCandidate(spark, dir).count())
+    ).foreach { case (name, body) =>
+      val (t, rows) = timeIt(body())
+      println(f"$name%-28s $t%8.3f $rows%10d")
+    }
+    spark.stop()
+  }
+
+  /** The union-as-of form of `join_scd2_pointintime`: probes (purchase,
+    * t = ts−1µs) and dim versions interleave in ONE per-user window
+    * ordered by (time, kind, event_id) — state rows sort before a probe
+    * at the same microsecond (valid_from ≤ t is inclusive), duplicate-
+    * timestamp versions resolve to the last event_id exactly like the
+    * lead()-built history's empty intervals — and each probe reads its
+    * in-effect version via last(_, ignoreNulls) over the preceding
+    * frame. Promoted into Changelog only if the measured A/B wins. */
+  private def scd2AsofCandidate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val states = ev.select($"user_id", $"ts_us".as("t"), lit(0).as("k"),
+      $"event_id".as("oid"), $"event_id".as("state_event_id"),
+      $"event_type".as("state_event_type"), $"ts_us".as("state_from_us"),
+      lit(null).cast("long").as("purchase_event_id"))
+    val probes = ev.filter($"event_type" === "purchase")
+      .select($"user_id", ($"ts_us" - 1).as("t"), lit(1).as("k"),
+        $"event_id".as("oid"), lit(null).cast("long").as("state_event_id"),
+        lit(null).cast("string").as("state_event_type"),
+        lit(null).cast("long").as("state_from_us"),
+        $"event_id".as("purchase_event_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"k", $"oid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    states.unionByName(probes)
+      .select($"purchase_event_id", $"user_id",
+        last($"state_event_id", ignoreNulls = true).over(w).as("state_event_id"),
+        last($"state_event_type", ignoreNulls = true).over(w).as("state_event_type"),
+        ($"t" - last($"state_from_us", ignoreNulls = true).over(w)).as("state_age_us"),
+        $"k")
+      .filter($"k" === 1)
+      .drop("k")
+      .orderBy($"purchase_event_id")
+  }
+
+  // ── dedup_containment length-bucket A/B (r17 verdict item 6) ───────
+  // Expects the token-salted documents replica (DevScale <m> saltdocs —
+  // the only fixture where the true containment pair set grows linearly;
+  // see graft-scale-evidence). Asserts the bucketed form is bit-identical
+  // before timing both.
+  private def containment(dir: String): Unit = {
+    val spark = session()
+    require(new java.io.File(s"$dir/documents.parquet").exists(),
+      s"$dir has no documents.parquet — run `DevScale <m> saltdocs` first")
+    spark.read.parquet(s"$dir/documents.parquet").count() // warm listings
+    val flat = graft.llm.TextOps.dedupContainment(spark, dir, lengthBucketed = false)
+    val bucketed = graft.llm.TextOps.dedupContainment(spark, dir, lengthBucketed = true)
+    require(flat.exceptAll(bucketed).count() == 0 &&
+      bucketed.exceptAll(flat).count() == 0,
+      "length-bucketed containment diverged from the flat form")
+    println(f"${"form"}%-28s ${"sec"}%8s ${"pairs"}%10s")
+    Seq(("flat posting join", false), ("length-bucketed join", true))
+      .foreach { case (name, lb) =>
+        val (t, rows) = timeIt(
+          graft.llm.TextOps.dedupContainment(spark, dir, lengthBucketed = lb).count())
+        println(f"$name%-28s $t%8.3f $rows%10d")
+      }
     spark.stop()
   }
 }

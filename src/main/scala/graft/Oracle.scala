@@ -623,6 +623,20 @@ $rounds
                   AS pos_in_shard
          FROM keyed ORDER BY doc_id""",
 
+    "sample_tablesample" ->
+      // content-keyed Bernoulli sample (oracle-eligible since r18): the
+      // md5-threshold draw is engine- and partitioning-independent, so
+      // DuckDB reproduces the exact sampled row set — unlike df.sample's
+      // per-partition RNG (lowercase-hex substring compare, the
+      // sample_split_assign idiom)
+      """SELECT l_returnflag,
+                count(*) AS n_sampled,
+                round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem
+         WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                          CAST(l_linenumber AS VARCHAR) || ':42'), 1, 3) < '19a'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "explode_outer_tokens" ->
       """SELECT doc_id, long_tok
          FROM (SELECT doc_id,

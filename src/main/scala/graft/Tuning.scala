@@ -48,7 +48,19 @@ object Tuning {
     * when AQE coalesce is on (the production default) — setting only
     * the former would leave a session-wide `initialPartitionNum` (e.g.
     * the bench's production-AQE form) silently re-inflating every
-    * round's shuffle. */
+    * round's shuffle.
+    *
+    * SESSION-GLOBAL BY DESIGN (r17 advisor note): the override mutates
+    * the session's SQL conf for the duration of the rounds, so any plan
+    * compiled on the same SparkSession meanwhile inherits the (small)
+    * round-stage partition count. The engine's entry points run queries
+    * sequentially on their session (Bench / Verify / the suite / the
+    * driver's per-query dispatch), where this is sound; a session shared
+    * across concurrent query threads must instead scope the sizing
+    * per-plan (`df.repartition(n, keys…)` on the round frames) — the
+    * conf form is kept because a repartition node pins the round's
+    * OUTPUT partitioning too, defeating AQE coalesce on the last round,
+    * and because no concurrent-session entry point exists here. */
   def withRoundPartitions[T](spark: SparkSession, edgeCount: Long)(body: => T): T = {
     val n = roundPartitions(edgeCount).toString
     val keys = Seq("spark.sql.shuffle.partitions",

@@ -1083,8 +1083,23 @@ object TextOps {
     * asymmetry is the price of the asymmetric predicate); the
     * first-common-token positional bound min(|A|−pa, |B|−pb) ≥ τ·|A|
     * and the |B| ≥ τ·|A| size gate prune before the verify join.
-    * Output: directed (contained, container, containment) pairs. */
-  def dedupContainment(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+    * Output: directed (contained, container, containment) pairs.
+    *
+    * `lengthBucketed` moves the |B| ≥ τ·|A| size gate INTO the posting
+    * join key (the r17-verdict candidate lever): every B posting carries
+    * its doc's base-4 length bucket g(|B|) = ⌊log₄|B|⌋ (computed with
+    * integer bit-length arithmetic, `(length(bin(n))−1) div 2` — no
+    * float-rounding edge at exact powers), and each A prefix posting is
+    * replicated across the buckets [g(⌈τ·|A|⌉), g(max |n|)] that can
+    * still satisfy the gate, so too-short containers are never FORMED as
+    * candidates instead of formed-then-filtered. Buckets strictly below
+    * g(⌈τ·|A|⌉) hold only nb < ⌈τ·|A|⌉ ≤ alpha-rejects, so the bucketed
+    * candidate set equals the unbucketed one minus rows the size filter
+    * discarded anyway — bit-identical output (DevStress `containment`
+    * asserts it while timing the A/B). Default reflects the measured
+    * winner at salted-100× (SCALE.md r18). */
+  def dedupContainment(spark: SparkSession, sfDir: String, threshold: Double = 0.8,
+      lengthBucketed: Boolean = false): DataFrame = {
     import spark.implicits._
     val sets = Tables.documents(spark, sfDir)
       .select($"doc_id",
@@ -1100,18 +1115,42 @@ object TextOps {
     // superset of the accepts at any |A|
     val tauLo = threshold - 5e-5
     val prefixLen = ($"n" - ceil($"n" * lit(tauLo)) + 1).cast("int")
-    val a = sets
+    // ⌊log₄ n⌋ via bit length — exact integer arithmetic (a float log at
+    // n = 4^k could round across the bucket edge and silently prune a
+    // legitimate pair)
+    def g4(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor((length(bin(n)) - 1) / 2.0).cast("int")
+    val a0 = sets
       .select($"doc_id".as("doc_a"), $"n".as("na"),
         posexplode(slice($"toks", lit(1), prefixLen)))
       .toDF("doc_a", "na", "pa", "tok")
-    val b = sets
-      .select($"doc_id".as("doc_b"), $"n".as("nb"), posexplode($"toks"))
-      .toDF("doc_b", "nb", "pb", "tok")
     val alpha = lit(tauLo) * $"na" - lit(1e-9)
-    val cand = a.join(b, Seq("tok"))
-      .filter($"doc_a" =!= $"doc_b" && $"nb" >= alpha &&
-        least($"na" - $"pa", $"nb" - $"pb") >= alpha)
-      .select($"doc_a", $"doc_b")
+    val cand =
+      if (!lengthBucketed) {
+        val b = sets
+          .select($"doc_id".as("doc_b"), $"n".as("nb"), posexplode($"toks"))
+          .toDF("doc_b", "nb", "pb", "tok")
+        a0.join(b, Seq("tok"))
+          .filter($"doc_a" =!= $"doc_b" && $"nb" >= alpha &&
+            least($"na" - $"pa", $"nb" - $"pb") >= alpha)
+          .select($"doc_a", $"doc_b")
+      } else {
+        // one scalar over the checkpointed stats frame (the LPA
+        // stats-switch idiom — a documented driver-side aggregate, not a
+        // collect loop): the top bucket every A row replicates up to
+        val maxN = sets.agg(max($"n")).first().getInt(0).toLong
+        val gMax = (63 - java.lang.Long.numberOfLeadingZeros(math.max(maxN, 1L))) / 2
+        val b = sets
+          .select($"doc_id".as("doc_b"), $"n".as("nb"), posexplode($"toks"))
+          .toDF("doc_b", "nb", "pb", "tok")
+          .withColumn("g", g4($"nb"))
+        val gMin = g4(greatest(ceil(lit(tauLo) * $"na" - lit(1e-9)), lit(1.0)).cast("long"))
+        val a = a0.select($"*", explode(sequence(gMin, lit(gMax))).as("g"))
+        a.join(b, Seq("tok", "g"))
+          .filter($"doc_a" =!= $"doc_b" && $"nb" >= alpha &&
+            least($"na" - $"pa", $"nb" - $"pb") >= alpha)
+          .select($"doc_a", $"doc_b")
+      }
     cand
       .join(sets.select($"doc_id".as("doc_a"), $"toks".as("ta"), $"n".as("na")), "doc_a")
       .join(sets.select($"doc_id".as("doc_b"), $"toks".as("tb")), "doc_b")

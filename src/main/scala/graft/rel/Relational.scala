@@ -940,19 +940,28 @@ object Relational {
       .orderBy($"err_id")
   }
 
-  /** `sample_tablesample`: fraction sampling (df.sample / SQL
-    * TABLESAMPLE) — seeded Bernoulli sample of lineitem, aggregated per
-    * return flag. The per-row accept draw is seed-deterministic given the
-    * partitioning but engine-specific (Spark XORShift vs DuckDB's RNG),
-    * so no SQL oracle — rows-only; the statistical contract (fraction
-    * ±tolerance, per-partition independence) is property-tested in
-    * RelationalSpec. For splits that must be REPRODUCIBLE across engines
-    * and repartitionings, use content-keyed hashing instead
-    * (sample_split_assign / sample_group_hash_topk). */
+  /** `sample_tablesample`: seeded Bernoulli fraction sampling of
+    * lineitem (the TABLESAMPLE shape), aggregated per return flag. The
+    * accept draw is CONTENT-KEYED — a row is in the 10% sample iff the
+    * first 3 hex chars of `md5(l_orderkey:l_linenumber:seed)` fall under
+    * `19a` (0x19a/0x1000 = 410/4096 ≈ 10.01%) — rather than
+    * `df.sample`'s per-partition RNG stream: the engine-native draw
+    * makes the sampled SET a function of scan split planning (core
+    * count, maxPartitionBytes, file layout), so it reproduces only
+    * under identical partitioning and differs per engine (r17 advisor).
+    * The hash draw is reproducible across repartitionings, engines, and
+    * cluster sizes — the only Bernoulli sample a 100 TB pipeline can
+    * re-run incrementally — and makes the query DuckDB-oracle-eligible
+    * (the `sample_split_assign` md5 idiom; lowercase-hex string compare
+    * agrees byte-for-byte across engines). `df.sample`'s statistical
+    * contract stays property-tested in Round5OpsSpec. */
   def sampleTablesample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val draw = substring(md5(concat(
+      $"l_orderkey".cast("string"), lit(":"),
+      $"l_linenumber".cast("string"), lit(":42"))), 1, 3)
     Tables.lineitem(spark, sfDir)
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .filter(draw < "19a")
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n_sampled"),

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * sizing derives from the edge count instead of the fixture literal,
   * (5) frontier-form label propagation is bit-identical to the dense
   * form at every round horizon, (3) ANN recall holds on ε-JITTERED
-  * clones (discrimination, not just routing), and (4) the 15 no-oracle
-  * exempt queries are golden-pinned end-to-end — each is a pure
-  * function of fixture + in-plan seeds, so a Spark/DataSketches upgrade
-  * that silently shifts any output fails here instead of drifting
-  * unnoticed past the DuckDB gate that cannot see them. */
+  * clones (discrimination, not just routing), and (4) the no-oracle
+  * exempt queries (14 since sample_tablesample went content-keyed in
+  * r18) are golden-pinned end-to-end at all three fixture scales — each
+  * is a pure function of fixture + in-plan seeds, so a Spark or
+  * DataSketches upgrade that silently shifts any output fails here
+  * instead of drifting unnoticed past the DuckDB gate that cannot see
+  * them. */
 class Round17OpsSpec extends AnyFunSuite
     with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = SparkFixture.spark
@@ -149,48 +151,73 @@ class Round17OpsSpec extends AnyFunSuite
 
   test("golden pins: every no-oracle exempt query hashes to its recorded value") {
     // values recorded by `runMain graft.DevGolden` on Spark 4.1.2,
-    // 2026-08-15, and re-verified identical across two fresh sessions;
-    // Golden.hash sorts columns and rows, so partitioning/order can't
-    // move them — a mismatch is a genuine output change
+    // 2026-08-15 (r18: re-recorded for the injective canonical form —
+    // strings JSON-quoted — and extended to sf0.1, the bench scale where
+    // a plan-affecting regression would actually bite; r17 verdict item
+    // 3), and re-verified identical in a second fresh session (this
+    // suite's own SparkFixture session); Golden.hash sorts columns and
+    // rows, so partitioning/order can't move them — a mismatch is a
+    // genuine output change. sample_tablesample left the exempt list in
+    // r18 (content-keyed draw → DuckDB-oracled, no pin needed).
     val pinned = Map(
-      ("agg_approx_distinct", "/root/testdata/sf0.001") -> "b3b49d8a0f087a07",
-      ("agg_approx_percentile", "/root/testdata/sf0.001") -> "363d074241e506ad",
+      ("agg_approx_distinct", "/root/testdata/sf0.001") -> "d47018d8fad10289",
+      ("agg_approx_percentile", "/root/testdata/sf0.001") -> "e692439d96b9aba8",
       ("agg_count_min_sketch", "/root/testdata/sf0.001") -> "199d1226ed9f25f3",
       ("dedup_embed_cosine", "/root/testdata/sf0.001") -> "fcd6c83dc40d4cf7",
       ("dedup_fuzzy_minhash", "/root/testdata/sf0.001") -> "d0acd88ef70cf25a",
       ("dedup_simhash", "/root/testdata/sf0.001") -> "1b54e65931085dbb",
-      ("mm_decode_stub", "/root/testdata/sf0.001") -> "e71e4e5011f96409",
+      ("mm_decode_stub", "/root/testdata/sf0.001") -> "ecd1d84e08144225",
       ("mm_image_phash", "/root/testdata/sf0.001") -> "7aaffa8b3667340d",
-      ("mm_resize_stub", "/root/testdata/sf0.001") -> "f694b4da479efe38",
-      ("sample_tablesample", "/root/testdata/sf0.001") -> "d66362d06004ed5b",
+      ("mm_resize_stub", "/root/testdata/sf0.001") -> "e18c33cadea87ef6",
       ("sim_ann_ivf", "/root/testdata/sf0.001") -> "a82b6abd26685d5f",
       ("sim_ann_lsh", "/root/testdata/sf0.001") -> "38e631a68da3df81",
       ("sim_ann_pq", "/root/testdata/sf0.001") -> "38e631a68da3df81",
       ("text_compression_ratio", "/root/testdata/sf0.001") -> "ba1ba488c7ff4e2a",
       ("text_fingerprint", "/root/testdata/sf0.001") -> "d5dce3132b49855b",
-      ("agg_approx_distinct", "/root/testdata/sf0.01") -> "f1316fc1912cedab",
-      ("agg_approx_percentile", "/root/testdata/sf0.01") -> "96d3bdeab07acbb5",
+      ("agg_approx_distinct", "/root/testdata/sf0.01") -> "4b4b56835e98dd1c",
+      ("agg_approx_percentile", "/root/testdata/sf0.01") -> "aac6948c19517a0c",
       ("agg_count_min_sketch", "/root/testdata/sf0.01") -> "e5b43d2def096062",
       ("dedup_embed_cosine", "/root/testdata/sf0.01") -> "505aff41cc245d08",
       ("dedup_fuzzy_minhash", "/root/testdata/sf0.01") -> "fdf29f2fc2bbac43",
       ("dedup_simhash", "/root/testdata/sf0.01") -> "a50ffc2fac5d9a62",
-      ("mm_decode_stub", "/root/testdata/sf0.01") -> "0337e05638dd8cee",
+      ("mm_decode_stub", "/root/testdata/sf0.01") -> "54ea3382ff1540ab",
       ("mm_image_phash", "/root/testdata/sf0.01") -> "f975b2f3844d987c",
-      ("mm_resize_stub", "/root/testdata/sf0.01") -> "5471eb2f756dcb6a",
-      ("sample_tablesample", "/root/testdata/sf0.01") -> "7dd46dc4ff10e118",
+      ("mm_resize_stub", "/root/testdata/sf0.01") -> "0d4bdf368f6a3b01",
       ("sim_ann_ivf", "/root/testdata/sf0.01") -> "9981d9f2a42324c6",
       ("sim_ann_lsh", "/root/testdata/sf0.01") -> "9981d9f2a42324c6",
       ("sim_ann_pq", "/root/testdata/sf0.01") -> "9981d9f2a42324c6",
       ("text_compression_ratio", "/root/testdata/sf0.01") -> "6e9d7e564a69ec00",
-      ("text_fingerprint", "/root/testdata/sf0.01") -> "02ca506ff7603f82")
+      ("text_fingerprint", "/root/testdata/sf0.01") -> "02ca506ff7603f82",
+      ("agg_approx_distinct", "/root/testdata/sf0.1") -> "45798ecca0017f23",
+      ("agg_approx_percentile", "/root/testdata/sf0.1") -> "38487bd570d552fa",
+      ("agg_count_min_sketch", "/root/testdata/sf0.1") -> "097db0b7f8f15778",
+      ("dedup_embed_cosine", "/root/testdata/sf0.1") -> "fff677d0fa1c228b",
+      ("dedup_fuzzy_minhash", "/root/testdata/sf0.1") -> "d196ef0b86030387",
+      ("dedup_simhash", "/root/testdata/sf0.1") -> "d518dbe5dee287e4",
+      ("mm_decode_stub", "/root/testdata/sf0.1") -> "b7803a6d1ceb027d",
+      ("mm_image_phash", "/root/testdata/sf0.1") -> "cbbbf3b1fb8a85d9",
+      ("mm_resize_stub", "/root/testdata/sf0.1") -> "3f89184706710d77",
+      ("sim_ann_ivf", "/root/testdata/sf0.1") -> "e7b788728bf960cd",
+      ("sim_ann_lsh", "/root/testdata/sf0.1") -> "e7b788728bf960cd",
+      ("sim_ann_pq", "/root/testdata/sf0.1") -> "e7b788728bf960cd",
+      ("text_compression_ratio", "/root/testdata/sf0.1") -> "03383a0a7efc455b",
+      ("text_fingerprint", "/root/testdata/sf0.1") -> "7081a9ae8121ab30")
+    // completeness: the pins cover EXACTLY the exempt set at all three
+    // fixture scales — an exempt added without a pin (or a pin for a
+    // query that gained an oracle) fails here, not silently
+    val scales = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    assert(pinned.keySet ==
+      (for (q <- DevGolden.Exempt; sf <- scales) yield (q, sf)).toSet)
     val bad = pinned.toSeq.sortBy(_._1).flatMap { case ((q, sf), want) =>
       val got = Golden.hash(SparkEntry.queries(q)(spark, sf))
       if (got == want) None else Some(s"$q@$sf: got $got, pinned $want")
     }
-    // (the lsh == pq @sf0.001 and lsh == ivf == pq @sf0.01 coincidences
-    // are real: all three indexes rank verified candidates by the same
-    // exact cosine, so equal hashes = same top-10 — consistent with the
-    // measured 10/10 recall, not a copy-paste error in the pins)
+    // (the lsh == pq @sf0.001 and lsh == ivf == pq @sf0.01/sf0.1
+    // coincidences are real: all three indexes rank verified candidates
+    // by the same exact cosine, so equal hashes = same top-10 —
+    // consistent with the measured 10/10 recall, not a copy-paste error
+    // in the pins)
     assert(bad.isEmpty, bad.mkString("; "))
   }
 }

@@ -99,15 +99,42 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(flagged == expected)
   }
 
-  test("sample_tablesample: seeded sample is stable and near the fraction") {
+  test("sample_tablesample: content-keyed draw is partitioning-invariant and near the fraction") {
     val s = spark
     import s.implicits._
     val a = Relational.sampleTablesample(spark, sf).collect().toSeq
-    val b = Relational.sampleTablesample(spark, sf).collect().toSeq
-    assert(a == b, "same seed + same partitioning must reproduce")
+    // the md5-threshold draw must survive a repartitioning — the exact
+    // property df.sample's per-partition RNG lacks (r17 advisor): rerun
+    // the same aggregate over a deliberately reshuffled scan
+    val reshuffled = Tables.lineitem(spark, sf).repartition(7, $"l_partkey")
+    val draw = substring(md5(concat(
+      $"l_orderkey".cast("string"), lit(":"),
+      $"l_linenumber".cast("string"), lit(":42"))), 1, 3)
+    val b = reshuffled.filter(draw < "19a")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum($"l_quantity"), 4).as("sum_qty"))
+      .orderBy($"l_returnflag").collect().toSeq
+    assert(a == b, "content-keyed sample must be identical under repartitioning")
     val total = Tables.lineitem(spark, sf).count().toDouble
     val sampled = a.map(_.getLong(1)).sum.toDouble
     assert(sampled > total * 0.05 && sampled < total * 0.15,
       s"sample fraction ${sampled / total} far from 0.1")
+  }
+
+  test("df.sample statistical contract (the TABLESAMPLE API surface the query keyed away from)") {
+    val s = spark
+    import s.implicits._
+    // the engine-native seeded Bernoulli draw: reproducible under the
+    // SAME partitioning and near the fraction — kept as the df.sample
+    // API property test after sample_tablesample moved to the
+    // content-keyed draw (r18)
+    val li = Tables.lineitem(spark, sf)
+    val a = li.sample(withReplacement = false, fraction = 0.1, seed = 42L).count()
+    val b = li.sample(withReplacement = false, fraction = 0.1, seed = 42L).count()
+    assert(a == b, "same seed + same partitioning must reproduce")
+    val total = li.count().toDouble
+    assert(a > total * 0.05 && a < total * 0.15,
+      s"df.sample fraction ${a / total} far from 0.1")
   }
 }

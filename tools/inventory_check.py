@@ -35,7 +35,7 @@ NO_ORACLE_OK = {
     "agg_approx_distinct", "agg_approx_percentile", "agg_count_min_sketch",
     "dedup_embed_cosine", "dedup_fuzzy_minhash",
     "dedup_simhash", "mm_decode_stub", "mm_image_phash", "mm_resize_stub",
-    "sample_tablesample", "sim_ann_ivf", "sim_ann_lsh", "sim_ann_pq",
+    "sim_ann_ivf", "sim_ann_lsh", "sim_ann_pq",
     "text_compression_ratio", "text_fingerprint",
 }
 
