@@ -344,38 +344,56 @@ object Changelog {
   }
 
   /** `join_scd2_pointintime`: point-in-time dimension lookup against the
-    * SCD2 history — the read side [[scd2History]]'s build exists for:
-    * each purchase is joined to the version of its user's state that was
-    * in effect STRICTLY BEFORE the purchase (query time t−1 µs, so the
-    * purchase's own just-opened version never matches itself). The join
-    * is equi-key on `user_id` plus interval containment
-    * `valid_from ≤ t < valid_to` — Spark plans the equi-key as a normal
-    * shuffled/broadcast hash join and applies the interval predicate as
-    * a post-join filter, and because SCD2 intervals PARTITION time per
-    * key, at most one version matches: no fan-out, output ≤ fact rows,
-    * at any scale. A first purchase has no prior version (left join →
-    * nulls). This is the interval-join counterpart of
-    * `join_asof_attribution`'s window composition: the lookup shape you
-    * use when the dim history is already materialized and the fact
-    * stream arrives separately. */
+    * SCD2 history — each purchase reads the version of its user's state
+    * that was in effect STRICTLY BEFORE the purchase (query time t−1 µs,
+    * so the purchase's own just-opened version never matches itself).
+    *
+    * Computed as a UNION-AS-OF window pass, not a join (r18 — the r17
+    * verdict's attribution item): fact probes (purchase, t = ts−1µs) and
+    * dim versions interleave in ONE per-user window ordered by
+    * (time, kind, event_id), and each probe reads its in-effect version
+    * via `last(_, ignoreNulls)` over the preceding running frame. The
+    * natural-looking alternative — equi-join on `user_id` with the
+    * interval containment `valid_from ≤ t < valid_to` as a post-join
+    * filter — FORMS purchases×versions pairs per user before filtering,
+    * and both factors grow with history depth: measured on the DevScale
+    * replicas (user_id deliberately unshifted, so depth scales), the
+    * join form cost 1.10 s at 10× and 20.2 s at 100× while this form
+    * cost 0.29 s and 0.83 s (24× at 100×, slope ~2.9) with the history
+    * window itself only 1.1 s of the 20.2 — the pair formation, not the
+    * lead() build, owned the old 100× slope. One shuffle (user_id) + one
+    * sort; O(n log n) per key instead of O(purchases·versions).
+    * Semantics preserved exactly (`DevStress scd2` asserts row equality
+    * against the join form before timing): state rows sort before a
+    * probe at the same microsecond (`valid_from ≤ t` is inclusive), and
+    * duplicate-timestamp versions resolve to the highest event_id just
+    * as the lead()-built history's empty [ts, ts) intervals never match.
+    * A first purchase has no preceding version → null state columns,
+    * the old left join's miss case. */
   def scd2PointInTime(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dim = scd2History(spark, sfDir)
-      .select($"user_id", $"event_id".as("state_event_id"),
-        $"event_type".as("state_event_type"),
-        $"valid_from_us", $"valid_to_us")
-    val fact = Tables.events(spark, sfDir)
-      .filter($"event_type" === "purchase")
-      .select($"event_id".as("purchase_event_id"), $"user_id",
-        (unix_micros($"ts") - 1).as("t_us"))
-    fact.join(dim,
-        fact("user_id") === dim("user_id") &&
-          $"valid_from_us" <= $"t_us" &&
-          ($"valid_to_us".isNull || $"valid_to_us" > $"t_us"),
-        "left")
-      .select($"purchase_event_id", fact("user_id"),
-        $"state_event_id", $"state_event_type",
-        ($"t_us" - $"valid_from_us").as("state_age_us"))
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val states = ev.select($"user_id", $"ts_us".as("t"), lit(0).as("k"),
+      $"event_id".as("oid"), $"event_id".as("state_event_id"),
+      $"event_type".as("state_event_type"), $"ts_us".as("state_from_us"),
+      lit(null).cast("long").as("purchase_event_id"))
+    val probes = ev.filter($"event_type" === "purchase")
+      .select($"user_id", ($"ts_us" - 1).as("t"), lit(1).as("k"),
+        $"event_id".as("oid"), lit(null).cast("long").as("state_event_id"),
+        lit(null).cast("string").as("state_event_type"),
+        lit(null).cast("long").as("state_from_us"),
+        $"event_id".as("purchase_event_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"k", $"oid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    states.unionByName(probes)
+      .select($"purchase_event_id", $"user_id",
+        last($"state_event_id", ignoreNulls = true).over(w).as("state_event_id"),
+        last($"state_event_type", ignoreNulls = true).over(w).as("state_event_type"),
+        ($"t" - last($"state_from_us", ignoreNulls = true).over(w)).as("state_age_us"),
+        $"k")
+      .filter($"k" === 1)
+      .drop("k")
       .orderBy($"purchase_event_id")
   }
 

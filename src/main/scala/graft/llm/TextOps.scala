@@ -1096,10 +1096,13 @@ object TextOps {
     * g(⌈τ·|A|⌉) hold only nb < ⌈τ·|A|⌉ ≤ alpha-rejects, so the bucketed
     * candidate set equals the unbucketed one minus rows the size filter
     * discarded anyway — bit-identical output (DevStress `containment`
-    * asserts it while timing the A/B). Default reflects the measured
-    * winner at salted-100× (SCALE.md r18). */
+    * asserts it while timing the A/B). Default ON: measured 26.2 s vs
+    * the flat join's 43.9 s at salted-100× (the suite's worst 100×
+    * slope, 25.0 in r17 — this was the one lever that survived the
+    * accept/revert discipline after r17's dropDuplicates negative;
+    * SCALE.md r18). */
   def dedupContainment(spark: SparkSession, sfDir: String, threshold: Double = 0.8,
-      lengthBucketed: Boolean = false): DataFrame = {
+      lengthBucketed: Boolean = true): DataFrame = {
     import spark.implicits._
     val sets = Tables.documents(spark, sfDir)
       .select($"doc_id",
