@@ -18,6 +18,11 @@ object DevStreamProfile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench's production-AQE form (r17 default; r17 verdict item
+      // 5 asks for the floor re-profile under the SHIPPED regime) so the
+      // per-batch durations decompose the numbers the bench reports
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "256"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -147,9 +147,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!hf.contains("Join") && !hf.contains("Window"))
     assert(count(hf, "Exchange hashpartitioning") <= 2,
       "hash features must stay the distinct-agg exchange pair")
-    // SCD2 lookup: exactly one (left outer) join, no fan-out shapes
+    // SCD2 lookup (r18 union-as-of form): NO join at all — probes ∪
+    // versions resolve in one per-user window pass (the equi-join
+    // predecessor formed purchases×versions pairs per user before the
+    // interval filter: 20.2 s vs 0.83 s at 100×, SCALE.md r18); the
+    // plan must stay one user_id hash exchange + one Window
     val pit = plan("join_scd2_pointintime")
-    assert(count(pit, "Join") == 1 && pit.contains("LeftOuter"))
+    assert(!pit.contains("Join"), "scd2 point-in-time must not re-grow a join")
+    assert(pit.contains("Window"))
+    assert(count(pit, "Exchange hashpartitioning") == 1,
+      "probes and versions must ride ONE user_id exchange")
     // corpus build: the tiny rate/raw-stat frames ride broadcasts back
     // onto the deduped docs — never a shuffle of the corpus against them
     assert(plan("pipeline_corpus_build").contains("BroadcastHashJoin"))
