@@ -1140,14 +1140,23 @@ object TextOps {
       } else {
         // one scalar over the checkpointed stats frame (the LPA
         // stats-switch idiom — a documented driver-side aggregate, not a
-        // collect loop): the top bucket every A row replicates up to
-        val maxN = sets.agg(max($"n")).first().getInt(0).toLong
+        // collect loop): the top bucket every A row replicates up to.
+        // coalesce: max over an EMPTY documents table is SQL null, and
+        // this path must degrade to an empty result like the flat form
+        // does (the bogus-sfDir Verify flow), not NPE on getInt
+        val maxN = sets.agg(coalesce(max($"n"), lit(0))).first().getInt(0).toLong
         val gMax = (63 - java.lang.Long.numberOfLeadingZeros(math.max(maxN, 1L))) / 2
         val b = sets
           .select($"doc_id".as("doc_b"), $"n".as("nb"), posexplode($"toks"))
           .toDF("doc_b", "nb", "pb", "tok")
           .withColumn("g", g4($"nb"))
         val gMin = g4(greatest(ceil(lit(tauLo) * $"na" - lit(1e-9)), lit(1.0)).cast("long"))
+        // when τ·na exceeds every doc (gMin > gMax), sequence() runs
+        // DESCENDING rather than empty — the stray buckets it emits are
+        // all ≤ gMin, their pairs still die on the nb ≥ alpha filter
+        // below, and the case needs a doc longer than any container
+        // exists for; correctness is unaffected (DevStress asserts
+        // output equality with the flat form)
         val a = a0.select($"*", explode(sequence(gMin, lit(gMax))).as("g"))
         a.join(b, Seq("tok", "g"))
           .filter($"doc_a" =!= $"doc_b" && $"nb" >= alpha &&
