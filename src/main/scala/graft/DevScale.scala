@@ -281,6 +281,26 @@ object DevScale {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Events-only replica (`DevScale <m> events`) for the streaming
+    * state-volume measurements (`DevStress streamvol`): the streaming
+    * queries replay nothing but the events table, and the full replica
+    * at large M is dominated by lineitem — an events-only build makes
+    * M=400 (40M events, derived state partitions 20, 5× above the
+    * floor) cost seconds instead of the full-table build. Same
+    * event_id shift as the main replica; user_id and timestamps stay
+    * unshifted, so M× means M× rows per trigger and M× per-key depth —
+    * the launch-volume axis. */
+  private[graft] def eventsReplica(spark: SparkSession, m: Int): String =
+    stamped(s"/root/repo/target/scale${m}ev", s"$Base/events.parquet", "ev-v1") {
+      val out = s"/root/repo/target/scale${m}ev"
+      println(s"[scale] generating $m x events-only replica at $out")
+      val src = spark.read.parquet(s"$Base/events.parquet")
+      (0 until m).map { i =>
+        src.withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+      }.reduce(_.union(_))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+
   private[graft] def jitteredEmbeddings(spark: SparkSession, m: Int): String =
     stamped(s"/root/repo/target/scale${m}jit", s"$Base/embeddings.parquet", "jit-v1") {
       println(s"[scale] generating $m x jittered embeddings at /root/repo/target/scale${m}jit")
@@ -309,6 +329,15 @@ object DevScale {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // events-only build for the streaming volume measurements — must
+    // branch BEFORE the full-replica build below (the whole point is
+    // not paying for a 400x lineitem)
+    if (args.length > 1 && args(1) == "events") {
+      eventsReplica(spark, m)
+      spark.stop()
+      return
+    }
 
     val shifts: Map[String, Map[String, Long]] = Map(
       "region"   -> Map("r_regionkey" -> 100L),

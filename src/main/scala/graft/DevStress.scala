@@ -64,9 +64,12 @@ object DevStress {
     case Some("scd2")  => scd2(args.lift(1).getOrElse("/root/repo/target/scale10"))
     case Some("containment") =>
       containment(args.lift(1).getOrElse("/root/repo/target/scale100salt"))
+    case Some("streamvol") =>
+      streamvol(if (args.length > 1) args.drop(1).toSeq
+        else Seq(Base, "/root/repo/target/scale10", "/root/repo/target/scale100"))
     case _ => System.err.println(
       "usage: DevStress skew [srcDir] | graph [nEdges] [bfs|lpa|pagerank] | " +
-        "scd2 [replicaDir] | containment [saltedDocsDir]")
+        "scd2 [replicaDir] | containment [saltedDocsDir] | streamvol [dir ...]")
   }
 
   // ── hot-key stress ─────────────────────────────────────────────────
@@ -285,6 +288,50 @@ object DevStress {
           graft.llm.TextOps.dedupContainment(spark, dir, lengthBucketed = lb).count())
         println(f"$name%-28s $t%8.3f $rows%10d")
       }
+    spark.stop()
+  }
+
+  // ── streaming state-volume slopes (r18: derived state partitions) ──
+  // The streaming scale story had two measured axes (per-key depth via
+  // the batch twins; the lifecycle-floor profile) but the micro-batch
+  // path itself had never been driven at replica volume. This drives
+  // three representative state shapes — windowed aggregate (per-window
+  // state), flatMapGroupsWithState latest-wins (per-key state), and
+  // dropDuplicatesWithinWatermark (per-EVENT state, the one that grows
+  // with volume) — through the staged AvailableNow replay at each given
+  // dir. The timestamps in DevScale replicas are unshifted, so M× means
+  // M× the rows per trigger: exactly the launch-volume axis the derived
+  // `withStatePartitions` count (Tuning.statePartitions, floor 4,
+  // engaged above 8M events) exists for. Timing includes the one-time
+  // staging write (memoized per dir) — quoted separately via a pre-pass.
+  private def streamvol(dirs: Seq[String]): Unit = {
+    val spark = session()
+    println(f"${"dir"}%-14s ${"query"}%-24s ${"sec"}%8s ${"rows"}%10s ${"state_parts"}%12s")
+    dirs.foreach { dir =>
+      require(new java.io.File(s"$dir/events.parquet").exists(),
+        s"$dir has no events.parquet — run `DevScale <m>` first")
+      val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+      val parts = Tuning.statePartitions(nEvents)
+      // stage once up front so per-query times are the replay, not the
+      // one-time coalesce(1) staging write the first query would absorb.
+      // Raw nanoTime, not timeIt: timeIt's warm pre-run would populate
+      // the staging memo and the timed pass would read the memo hit (~0)
+      val t0 = System.nanoTime()
+      graft.cdc.StreamingLatest.stagedEventLog(spark, dir)
+      val tStage = (System.nanoTime() - t0) / 1e9
+      println(f"${new java.io.File(dir).getName}%-14s ${"(stage " + nEvents + " events)"}%-24s $tStage%8.3f ${0L}%10d $parts%12d")
+      Seq[(String, () => Long)](
+        ("cdc_stream_windowed",
+          () => graft.cdc.StreamingLatest.streamWindowed(spark, dir).count()),
+        ("cdc_stream_stateful",
+          () => graft.cdc.StreamingLatest.streamStateful(spark, dir).count()),
+        ("cdc_stream_dedup",
+          () => graft.cdc.StreamingLatest.streamDedup(spark, dir).count())
+      ).foreach { case (name, body) =>
+        val (t, rows) = timeIt(body())
+        println(f"${new java.io.File(dir).getName}%-14s $name%-24s $t%8.3f $rows%10d $parts%12d")
+      }
+    }
     spark.stop()
   }
 }

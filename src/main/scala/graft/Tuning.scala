@@ -61,6 +61,23 @@ object Tuning {
     * conf form is kept because a repartition node pins the round's
     * OUTPUT partitioning too, defeating AQE coalesce on the last round,
     * and because no concurrent-session entry point exists here. */
+  /** Streaming state-stage shuffle sizing — the launch-time twin of
+    * [[roundPartitions]]. A streaming query's `spark.sql.shuffle
+    * .partitions` at FIRST start is pinned into the checkpoint as the
+    * state-store partition count for the query's whole lifetime (every
+    * restart reuses it), so a fixture literal here is strictly worse
+    * than the batch-round one the r17 verdict killed: a 100 TB replay
+    * checkpointed at 4 would push every trigger's state shuffle through
+    * four reducers FOREVER, with no AQE and no re-plan to save it.
+    * Derived from the replayed event count with the same
+    * rows-per-reducer constant as the batch rounds; every test fixture
+    * lands on the floor of 4 (checkpoints, state layouts and timings
+    * unchanged at gate scale). `SPARK_GRAFT_STATE_PARTITIONS` overrides
+    * for A/B reproduction of a pinned regime. */
+  def statePartitions(eventRows: Long): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt)
+      .getOrElse(roundPartitions(eventRows))
+
   def withRoundPartitions[T](spark: SparkSession, edgeCount: Long)(body: => T): T = {
     val n = roundPartitions(edgeCount).toString
     val keys = Seq("spark.sql.shuffle.partitions",

@@ -134,6 +134,20 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ── (2b) streaming state-partition derivation ───────────────────────
+
+  test("statePartitions: fixture volumes land on the pre-r18 floor of 4; large replays scale") {
+    // the streaming launch-time twin of roundPartitions: the count is
+    // checkpoint-pinned at first start, so the floor must hold at every
+    // fixture scale (identical checkpoints/state layouts to the old
+    // literal) and the derivation must engage for big replays
+    assert(Tuning.statePartitions(0L) == 4)
+    assert(Tuning.statePartitions(100000L) == 4)     // sf0.1 events
+    assert(Tuning.statePartitions(8000000L) == 4)    // floor edge
+    assert(Tuning.statePartitions(8000001L) == 5)
+    assert(Tuning.statePartitions(2000000000L) == 1000)
+  }
+
   // ── (3) srcSig stamp signature ──────────────────────────────────────
 
   test("srcSig keys on part files inside the directory, not the dir inode") {
