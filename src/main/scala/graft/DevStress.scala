@@ -65,11 +65,15 @@ object DevStress {
     case Some("containment") =>
       containment(args.lift(1).getOrElse("/root/repo/target/scale100salt"))
     case Some("streamvol") =>
-      streamvol(if (args.length > 1) args.drop(1).toSeq
-        else Seq(Base, "/root/repo/target/scale10", "/root/repo/target/scale100"))
+      val rest = args.drop(1).toSeq
+      val pin = rest.collectFirst { case s if s.startsWith("pin:") => s.drop(4).toInt }
+      val dirs = rest.filterNot(_.startsWith("pin:"))
+      streamvol(if (dirs.nonEmpty) dirs
+        else Seq(Base, "/root/repo/target/scale10", "/root/repo/target/scale100"), pin)
     case _ => System.err.println(
       "usage: DevStress skew [srcDir] | graph [nEdges] [bfs|lpa|pagerank] | " +
-        "scd2 [replicaDir] | containment [saltedDocsDir] | streamvol [dir ...]")
+        "scd2 [replicaDir] | containment [saltedDocsDir] | " +
+        "streamvol [pin:<n>] [dir ...]")
   }
 
   // ── hot-key stress ─────────────────────────────────────────────────
@@ -304,10 +308,19 @@ object DevStress {
   // `withStatePartitions` count (Tuning.statePartitions, floor 4,
   // engaged above 8M events) exists for. Timing includes the one-time
   // staging write (memoized per dir) — quoted separately via a pre-pass.
-  private def streamvol(dirs: Seq[String]): Unit = {
+  // `pin` runs each dir a SECOND time with the count pinned (via the
+  // graft.statePartitions system property) in the SAME session, sharing
+  // the staged files and the warm JVM — the same-session derived-vs-
+  // pinned pairing the repo's A/B discipline asks for.
+  private def streamvol(dirs: Seq[String], pin: Option[Int] = None): Unit = {
     val spark = session()
     println(f"${"dir"}%-14s ${"query"}%-24s ${"sec"}%8s ${"rows"}%10s ${"state_parts"}%12s")
-    dirs.foreach { dir =>
+    val passes = Seq(None) ++ pin.map(Some(_))
+    for (dir <- dirs; pinned <- passes) {
+      pinned match {
+        case Some(n) => sys.props("graft.statePartitions") = n.toString
+        case None    => sys.props -= "graft.statePartitions"
+      }
       require(new java.io.File(s"$dir/events.parquet").exists(),
         s"$dir has no events.parquet — run `DevScale <m>` first")
       val nEvents = spark.read.parquet(s"$dir/events.parquet").count()

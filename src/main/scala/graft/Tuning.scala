@@ -73,9 +73,13 @@ object Tuning {
     * rows-per-reducer constant as the batch rounds; every test fixture
     * lands on the floor of 4 (checkpoints, state layouts and timings
     * unchanged at gate scale). `SPARK_GRAFT_STATE_PARTITIONS` overrides
-    * for A/B reproduction of a pinned regime. */
+    * for A/B reproduction of a pinned regime; the `graft.statePartitions`
+    * system property does the same WITHIN a JVM so `DevStress streamvol`
+    * can pair derived-vs-pinned in one session (the repo's A/B
+    * discipline: same-session pairings decide, absolutes wobble). */
   def statePartitions(eventRows: Long): Int =
-    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt)
+    sys.props.get("graft.statePartitions")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")).map(_.toInt)
       .getOrElse(roundPartitions(eventRows))
 
   def withRoundPartitions[T](spark: SparkSession, edgeCount: Long)(body: => T): T = {
