@@ -87,11 +87,17 @@ object StreamingLatest {
     * not once per query. Every test fixture lands on the derivation's
     * floor of 4 — the pre-r18 literal — so fixture checkpoints, state
     * layouts and the bench are unchanged; the count only grows when
-    * the replayed log does (measured in `DevStress streamvol`). */
+    * the replayed log does (measured in `DevStress streamvol`). The
+    * memo keys on the part-file signature, not the path alone (the
+    * DevScale.srcSig idiom, r16/r17 advisor precedent): an events
+    * table regenerated in place within one JVM re-counts instead of
+    * silently reusing the stale volume. */
   private val eventRows = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def stateParts(spark: SparkSession, sfDir: String): Int =
-    graft.Tuning.statePartitions(eventRows.computeIfAbsent(sfDir,
+  private def stateParts(spark: SparkSession, sfDir: String): Int = {
+    val key = sfDir + "\n" + graft.DevScale.srcSig(s"$sfDir/events.parquet")
+    graft.Tuning.statePartitions(eventRows.computeIfAbsent(key,
       _ => java.lang.Long.valueOf(graft.Tables.events(spark, sfDir).count())))
+  }
 
   /** Fresh temp dir under this JVM's namespace (`<base>/jvm-<pid>/`) —
     * all staged/run/checkpoint dirs allocate through [[graft.StageDirs]]
@@ -112,7 +118,11 @@ object StreamingLatest {
     * shared by every streaming query: the staging write is harness
     * scaffolding standing in for the durable log, not operator work. */
   private[graft] def stagedEventLog(spark: SparkSession, sfDir: String): String =
-    stagedDirs.computeIfAbsent(sfDir, { _ =>
+    // keyed on the part-file signature like the stateParts count memo
+    // (and every replica .src-stamp): a source regenerated in place
+    // within one JVM re-stages instead of replaying the stale log
+    stagedDirs.computeIfAbsent(
+      sfDir + "\n" + graft.DevScale.srcSig(s"$sfDir/events.parquet"), { _ =>
       import spark.implicits._
       // Staged/run dirs are namespaced per JVM (jvm-<pid>) and allocated
       // through StageDirs.fresh, whose dead-owner purge is the ONE
