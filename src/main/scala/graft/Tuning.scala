@@ -61,6 +61,18 @@ object Tuning {
     * conf form is kept because a repartition node pins the round's
     * OUTPUT partitioning too, defeating AQE coalesce on the last round,
     * and because no concurrent-session entry point exists here. */
+  def withRoundPartitions[T](spark: SparkSession, edgeCount: Long)(body: => T): T = {
+    val n = roundPartitions(edgeCount).toString
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, n))
+    try body
+    finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   /** Streaming state-stage shuffle sizing — the launch-time twin of
     * [[roundPartitions]]. A streaming query's `spark.sql.shuffle
     * .partitions` at FIRST start is pinned into the checkpoint as the
@@ -79,18 +91,13 @@ object Tuning {
     * discipline: same-session pairings decide, absolutes wobble). */
   def statePartitions(eventRows: Long): Int =
     sys.props.get("graft.statePartitions")
-      .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS"))
+      .map { s =>
+        val n = scala.util.Try(s.trim.toInt)
+        require(n.isSuccess && n.get > 0,
+          s"state-partition override must be a positive integer, got '$s' " +
+            "(graft.statePartitions sys-prop / SPARK_GRAFT_STATE_PARTITIONS env)")
+        n.get
+      }
       .getOrElse(roundPartitions(eventRows))
-
-  def withRoundPartitions[T](spark: SparkSession, edgeCount: Long)(body: => T): T = {
-    val n = roundPartitions(edgeCount).toString
-    val keys = Seq("spark.sql.shuffle.partitions",
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
-    val prev = keys.map(k => k -> spark.conf.getOption(k))
-    keys.foreach(k => spark.conf.set(k, n))
-    try body
-    finally prev.foreach { case (k, v) =>
-      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-    }
-  }
 }

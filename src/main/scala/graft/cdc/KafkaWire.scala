@@ -132,16 +132,30 @@ object KafkaWire {
 
   /** The consume-side pipeline body over ANY parsed wire stream —
     * shared verbatim by the broker path ([[latestState]]) and the
-    * MemoryStream twin spec, so the two cannot drift. */
-  private[graft] def latestStateOver(spark: SparkSession, events: DataFrame): DataFrame =
-    StreamingLatest.withStatePartitions(spark, 4) {
+    * MemoryStream twin spec, so the two cannot drift. `eventRows` is
+    * the replayed volume the caller knows (the published table's count,
+    * or the twin's fixture size): the state-partition count is DERIVED
+    * from it via [[graft.Tuning.statePartitions]] exactly like the
+    * staged-file queries — a launch literal here would checkpoint-pin
+    * the count forever on a real topic replay, the one failure mode the
+    * r18 derivation exists to prevent (the env/sys-prop override in
+    * `Tuning.statePartitions` still applies for A/B reproduction). */
+  private[graft] def latestStateOver(spark: SparkSession, events: DataFrame,
+      eventRows: Long): DataFrame =
+    StreamingLatest.withStatePartitions(spark,
+        graft.Tuning.statePartitions(eventRows)) {
       StreamingLatest.withoutNoDataBatch(spark) {
         StreamingLatest.latestWinsOver(spark, events)
       }
     }
 
   /** `cdc_stream_stateful` over a real topic: identical pipeline body
-    * ([[StreamingLatest.latestWinsOver]]), different source. */
-  def latestState(spark: SparkSession): DataFrame =
-    latestStateOver(spark, eventStream(spark))
+    * ([[StreamingLatest.latestWinsOver]]), different source. Takes the
+    * source dir the topic was published from ([[publishEvents]]) so the
+    * state-partition count derives from the same volume that went over
+    * the wire — a consumer of an externally-filled topic should pass
+    * its own volume estimate via [[latestStateOver]] instead. */
+  def latestState(spark: SparkSession, sfDir: String): DataFrame =
+    latestStateOver(spark, eventStream(spark),
+      graft.Tables.events(spark, sfDir).count())
 }

@@ -93,8 +93,27 @@ object StreamingLatest {
     * table regenerated in place within one JVM re-counts instead of
     * silently reusing the stale volume. */
   private val eventRows = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Drop memo entries for the SAME source dir under a SUPERSEDED
+    * part-file signature (the source was regenerated in place within
+    * this JVM), running `onEvict` on each removed value — for the
+    * staged-log memo that rmTree's the stale staged parquet copy, which
+    * would otherwise sit on disk for the JVM's lifetime (the dead-owner
+    * purge only reclaims after JVM exit). Eviction runs OUTSIDE
+    * computeIfAbsent: mutating other keys from inside its remapping
+    * function is forbidden by ConcurrentHashMap's contract. */
+  private def evictStale[V](memo: java.util.concurrent.ConcurrentHashMap[String, V],
+      sfDir: String, liveKey: String)(onEvict: V => Unit): Unit = {
+    val prefix = sfDir + "\n"
+    import scala.jdk.CollectionConverters._
+    memo.keySet.iterator.asScala
+      .filter(k => k.startsWith(prefix) && k != liveKey).toList
+      .foreach(k => Option(memo.remove(k)).foreach(onEvict))
+  }
+
   private def stateParts(spark: SparkSession, sfDir: String): Int = {
     val key = sfDir + "\n" + graft.DevScale.srcSig(s"$sfDir/events.parquet")
+    evictStale(eventRows, sfDir, key)(_ => ())
     graft.Tuning.statePartitions(eventRows.computeIfAbsent(key,
       _ => java.lang.Long.valueOf(graft.Tables.events(spark, sfDir).count())))
   }
@@ -117,12 +136,15 @@ object StreamingLatest {
     * streamStateful/streamJoin). Staged once per (session, sfDir) and
     * shared by every streaming query: the staging write is harness
     * scaffolding standing in for the durable log, not operator work. */
-  private[graft] def stagedEventLog(spark: SparkSession, sfDir: String): String =
+  private[graft] def stagedEventLog(spark: SparkSession, sfDir: String): String = {
     // keyed on the part-file signature like the stateParts count memo
     // (and every replica .src-stamp): a source regenerated in place
-    // within one JVM re-stages instead of replaying the stale log
-    stagedDirs.computeIfAbsent(
-      sfDir + "\n" + graft.DevScale.srcSig(s"$sfDir/events.parquet"), { _ =>
+    // within one JVM re-stages instead of replaying the stale log —
+    // and the superseded staged copy (a full parquet copy of the log)
+    // is deleted eagerly rather than leaked until JVM exit
+    val key = sfDir + "\n" + graft.DevScale.srcSig(s"$sfDir/events.parquet")
+    evictStale(stagedDirs, sfDir, key)(dir => rmTree(Paths.get(dir)))
+    stagedDirs.computeIfAbsent(key, { _ =>
       import spark.implicits._
       // Staged/run dirs are namespaced per JVM (jvm-<pid>) and allocated
       // through StageDirs.fresh, whose dead-owner purge is the ONE
@@ -153,6 +175,7 @@ object StreamingLatest {
         java.nio.file.attribute.FileTime.fromMillis(t0 + 1000)))
       inDir
     })
+  }
 
   /** `cdc_stream_windowed`: event-time tumbling windows computed by a
     * *streaming* query (watermark + window aggregate, complete mode so the

@@ -73,7 +73,8 @@ class KafkaWireSpec extends AnyFunSuite {
     ms.addData(h1)
     ms.addData(h2)
     val wire = ms.toDF().toDF("key", "value")
-    val fromTwin = KafkaWire.latestStateOver(spark, KafkaWire.fromWire(wire))
+    val fromTwin = KafkaWire.latestStateOver(spark, KafkaWire.fromWire(wire),
+        eventRows = (h1.size + h2.size).toLong)
       .collect().map(_.toSeq).toSet
     val fromBatch = graft.cdc.Changelog.latestState(spark, sf)
       .collect().map(_.toSeq).toSet
@@ -87,7 +88,7 @@ class KafkaWireSpec extends AnyFunSuite {
   if (brokerReady) {
     test("latest-wins over a real Kafka topic equals batch cdc_latest_state") {
       KafkaWire.publishEvents(spark, sf)
-      val fromKafka = KafkaWire.latestState(spark)
+      val fromKafka = KafkaWire.latestState(spark, sf)
         .collect().map(_.toSeq).toSet
       val fromBatch = graft.cdc.Changelog.latestState(spark, sf)
         .collect().map(_.toSeq).toSet

@@ -140,12 +140,49 @@ class Round18OpsSpec extends AnyFunSuite {
     // the streaming launch-time twin of roundPartitions: the count is
     // checkpoint-pinned at first start, so the floor must hold at every
     // fixture scale (identical checkpoints/state layouts to the old
-    // literal) and the derivation must engage for big replays
-    assert(Tuning.statePartitions(0L) == 4)
-    assert(Tuning.statePartitions(100000L) == 4)     // sf0.1 events
-    assert(Tuning.statePartitions(8000000L) == 4)    // floor edge
-    assert(Tuning.statePartitions(8000001L) == 5)
-    assert(Tuning.statePartitions(2000000000L) == 1000)
+    // literal) and the derivation must engage for big replays.
+    // statePartitions honors a sys-prop/env override chain (the A/B
+    // reproduction knob) — pin the sys-prop layer around the derivation
+    // asserts so a leaked graft.statePartitions from another test (or a
+    // SPARK_GRAFT_STATE_PARTITIONS in the ambient environment, which a
+    // JVM can't unset) can't fail them spuriously, then restore it
+    val saved = sys.props.remove("graft.statePartitions")
+    try {
+      if (sys.env.contains("SPARK_GRAFT_STATE_PARTITIONS")) {
+        // env layer is active and unclearable in-JVM: assert the
+        // derivation through roundPartitions directly (same math,
+        // no override chain) and the override through statePartitions
+        assert(Tuning.statePartitions(0L) ==
+          sys.env("SPARK_GRAFT_STATE_PARTITIONS").trim.toInt)
+      } else {
+        assert(Tuning.statePartitions(0L) == 4)
+        assert(Tuning.statePartitions(100000L) == 4)     // sf0.1 events
+        assert(Tuning.statePartitions(8000000L) == 4)    // floor edge
+        assert(Tuning.statePartitions(8000001L) == 5)
+        assert(Tuning.statePartitions(2000000000L) == 1000)
+        // the sys-prop override layer wins over the derivation…
+        sys.props("graft.statePartitions") = "17"
+        assert(Tuning.statePartitions(2000000000L) == 17)
+        // …and a malformed/non-positive override fails descriptively,
+        // not with a bare NumberFormatException
+        for (bad <- Seq("banana", "0", "-3", "")) {
+          sys.props("graft.statePartitions") = bad
+          val e = intercept[IllegalArgumentException] {
+            Tuning.statePartitions(100L)
+          }
+          assert(e.getMessage.contains("positive integer"),
+            s"override '$bad' should name the knob and constraint: ${e.getMessage}")
+        }
+      }
+      // the derivation itself, independent of any override layer
+      assert(Tuning.roundPartitions(0L) == 4)
+      assert(Tuning.roundPartitions(8000000L) == 4)
+      assert(Tuning.roundPartitions(8000001L) == 5)
+      assert(Tuning.roundPartitions(2000000000L) == 1000)
+    } finally {
+      sys.props.remove("graft.statePartitions")
+      saved.foreach(v => sys.props("graft.statePartitions") = v)
+    }
   }
 
   // ── (3) srcSig stamp signature ──────────────────────────────────────
