@@ -301,6 +301,67 @@ object DevScale {
         .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
 
+  /** User-shifted events replica (`DevScale <m> eventsu`) — the SECOND
+    * streaming-volume axis, for the stream-stream interval joins: the
+    * plain [[eventsReplica]] keeps user_id unshifted, so M× there means
+    * M× in-window events PER KEY — which for a symmetric interval join
+    * multiplies the TRUE match set by M² (every purchase replica matches
+    * every click replica of the same user — the same fixture artifact
+    * as the verbatim-text pair graph, data semantics rather than plan
+    * quality). Shifting user_id per replica gives M× KEYS at constant
+    * per-key density: the "more users, same traffic shape" axis a
+    * 100 TB day actually grows along, with the true match set and the
+    * join state both linear in M. Both axes get measured
+    * (`DevStress streamvol join`); this replica is the one whose slope
+    * judges the ENGINE, the unshifted one documents the M² artifact. */
+  private[graft] def eventsUsersReplica(spark: SparkSession, m: Int): String =
+    stamped(s"/root/repo/target/scale${m}evu", s"$Base/events.parquet", "evu-v1") {
+      val out = s"/root/repo/target/scale${m}evu"
+      println(s"[scale] generating $m x user-shifted events replica at $out")
+      val src = spark.read.parquet(s"$Base/events.parquet")
+      (0 until m).map { i =>
+        src.withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+      }.reduce(_.union(_))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+
+  /** pHash-safe documents replica (`DevScale <m> phdocs`) for the
+    * `mm_image_phash` scale measurement. The verbatim and token-salted
+    * replicas both fail it: verbatim copies share payload bytes, so
+    * every replica pair collides at Hamming 0 (M² true pairs — the r17
+    * finding that kept phash out of the 100× table), and the salt
+    * prefixes still leave most pixel blocks identical. Here every
+    * (doc, replica) payload is a deterministic pseudo-random hex string
+    * (sha2 chain seeded by doc_id × replica, length preserved from
+    * n_chars) so dHash fingerprints DECORRELATE — band buckets land at
+    * the uniform occupancy a real deduplicated image corpus shows — and
+    * a known 1%-rate dup set is PLANTED back in: in replica i>0, docs
+    * with doc_id % 100 == i % 100 reuse replica 0's payload, so the
+    * true Hamming-0 pair set grows LINEARLY with M and the measured
+    * output can be asserted against the planted count. */
+  private[graft] def phashDocs(spark: SparkSession, m: Int): String =
+    stamped(s"/root/repo/target/scale${m}ph", s"$Base/documents.parquet", "ph-v1") {
+      val out = s"/root/repo/target/scale${m}ph"
+      println(s"[scale] generating $m x phash-safe documents at $out")
+      val src = spark.read.parquet(s"$Base/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      (0 until m).map { i =>
+        src
+          // seed 0 for the planted dups (same bytes as replica 0), i else
+          .withColumn("ph_seed",
+            if (i > 0) expr(s"IF(doc_id % 100 = $i % 100, 0, $i)") else lit(0))
+          // enough 64-hex-char sha2 chunks to cover n_chars, cut to size
+          .withColumn("text", expr(
+            "substring(array_join(transform(sequence(0, int(n_chars / 64) + 1), " +
+              "k -> sha2(concat(string(doc_id), ':', string(ph_seed), ':', string(k)), 256)), " +
+              "''), 1, int(n_chars))"))
+          .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .select("doc_id", "text", "lang", "source", "n_chars")
+      }.reduce(_.union(_))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+
   private[graft] def jitteredEmbeddings(spark: SparkSession, m: Int): String =
     stamped(s"/root/repo/target/scale${m}jit", s"$Base/embeddings.parquet", "jit-v1") {
       println(s"[scale] generating $m x jittered embeddings at /root/repo/target/scale${m}jit")
@@ -335,6 +396,16 @@ object DevScale {
     // not paying for a 400x lineitem)
     if (args.length > 1 && args(1) == "events") {
       eventsReplica(spark, m)
+      spark.stop()
+      return
+    }
+    if (args.length > 1 && args(1) == "eventsu") {
+      eventsUsersReplica(spark, m)
+      spark.stop()
+      return
+    }
+    if (args.length > 1 && args(1) == "phdocs") {
+      phashDocs(spark, m)
       spark.stop()
       return
     }

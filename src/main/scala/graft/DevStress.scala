@@ -67,13 +67,20 @@ object DevStress {
     case Some("streamvol") =>
       val rest = args.drop(1).toSeq
       val pin = rest.collectFirst { case s if s.startsWith("pin:") => s.drop(4).toInt }
-      val dirs = rest.filterNot(_.startsWith("pin:"))
+      val family = if (rest.contains("join")) "join" else "state"
+      val rocks = rest.contains("rocksdb")
+      val dirs = rest.filterNot(s =>
+        s.startsWith("pin:") || s == "join" || s == "rocksdb")
       streamvol(if (dirs.nonEmpty) dirs
-        else Seq(Base, "/root/repo/target/scale10", "/root/repo/target/scale100"), pin)
+        else Seq(Base, "/root/repo/target/scale10", "/root/repo/target/scale100"),
+        pin, family, rocks)
+    case Some("phash") =>
+      phash(if (args.length > 1) args.drop(1).toSeq
+        else Seq(Base, "/root/repo/target/scale10ph", "/root/repo/target/scale100ph"))
     case _ => System.err.println(
       "usage: DevStress skew [srcDir] | graph [nEdges] [bfs|lpa|pagerank] | " +
         "scd2 [replicaDir] | containment [saltedDocsDir] | " +
-        "streamvol [pin:<n>] [dir ...]")
+        "streamvol [pin:<n>] [join] [rocksdb] [dir ...] | phash [dir ...]")
   }
 
   // ── hot-key stress ─────────────────────────────────────────────────
@@ -279,17 +286,24 @@ object DevStress {
     spark.read.parquet(s"$dir/documents.parquet").count() // warm listings
     val flat = graft.llm.TextOps.dedupContainment(spark, dir, lengthBucketed = false)
     val bucketed = graft.llm.TextOps.dedupContainment(spark, dir, lengthBucketed = true)
+    val dfPref = graft.llm.TextOps.dedupContainment(spark, dir,
+      lengthBucketed = true, dfOrderedPrefix = true)
     // order-insensitive whole-output comparison via Golden.hash, not
     // exceptAll: the two forms share the checkpointed `sets` lineage and
     // exceptAll's replication rewrite trips ATTRIBUTE_NOT_FOUND on the
     // shared window/aggregate attributes (hit live at salted-100×)
     require(Golden.hash(flat) == Golden.hash(bucketed),
       "length-bucketed containment diverged from the flat form")
+    require(Golden.hash(flat) == Golden.hash(dfPref),
+      "df-ordered-prefix containment diverged from the flat form")
     println(f"${"form"}%-28s ${"sec"}%8s ${"pairs"}%10s")
-    Seq(("flat posting join", false), ("length-bucketed join", true))
-      .foreach { case (name, lb) =>
+    Seq(("flat posting join", false, false),
+        ("length-bucketed join", true, false),
+        ("bucketed + df prefix", true, true))
+      .foreach { case (name, lb, dfp) =>
         val (t, rows) = timeIt(
-          graft.llm.TextOps.dedupContainment(spark, dir, lengthBucketed = lb).count())
+          graft.llm.TextOps.dedupContainment(spark, dir,
+            lengthBucketed = lb, dfOrderedPrefix = dfp).count())
         println(f"$name%-28s $t%8.3f $rows%10d")
       }
     spark.stop()
@@ -312,15 +326,53 @@ object DevStress {
   // graft.statePartitions system property) in the SAME session, sharing
   // the staged files and the warm JVM — the same-session derived-vs-
   // pinned pairing the repo's A/B discipline asks for.
-  private def streamvol(dirs: Seq[String], pin: Option[Int] = None): Unit = {
+  private def streamvol(dirs: Seq[String], pin: Option[Int] = None,
+      family: String = "state", rocks: Boolean = false): Unit = {
     val spark = session()
-    println(f"${"dir"}%-14s ${"query"}%-24s ${"sec"}%8s ${"rows"}%10s ${"state_parts"}%12s")
-    val passes = Seq(None) ++ pin.map(Some(_))
-    for (dir <- dirs; pinned <- passes) {
+    // `join` drives the stream-stream interval-join family instead of
+    // the three state shapes — the one streaming state axis r18 left
+    // unmeasured (join state buffers BOTH watermark-deep input sides,
+    // and per-input cost is the per-key in-window match count). Row
+    // counts are printed because on the unshifted events replica the
+    // TRUE match set grows M² (every purchase replica × every click
+    // replica of the same user — data semantics, not plan quality):
+    // the per-PAIR time is the engine-quality metric there, while the
+    // user-shifted `evu` replica (DevScale <m> eventsu) keeps per-key
+    // density constant so its wall-clock slope judges the engine.
+    // `rocksdb` runs a SECOND same-session pass per dir with the state
+    // store provider swapped to RocksDB — the provider a 100 TB
+    // deployment ships (per-key state off-heap; the r18 40M dedup OOMed
+    // the default in-heap HDFS-backed store at the 8 g default heap) —
+    // the same-session A/B the provider claim needs.
+    val queries: Seq[(String, String => Long)] = family match {
+      case "join" => Seq(
+        ("cdc_stream_join",
+          d => graft.cdc.StreamingLatest.streamJoin(spark, d).count()),
+        ("cdc_stream_join_outer",
+          d => graft.cdc.StreamingLatest.streamJoinOuter(spark, d).count()),
+        ("cdc_stream_join_full",
+          d => graft.cdc.StreamingLatest.streamJoinFull(spark, d).count()))
+      case _ => Seq(
+        ("cdc_stream_windowed",
+          d => graft.cdc.StreamingLatest.streamWindowed(spark, d).count()),
+        ("cdc_stream_stateful",
+          d => graft.cdc.StreamingLatest.streamStateful(spark, d).count()),
+        ("cdc_stream_dedup",
+          d => graft.cdc.StreamingLatest.streamDedup(spark, d).count()))
+    }
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val RocksProvider =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    println(f"${"dir"}%-14s ${"query"}%-24s ${"sec"}%8s ${"rows"}%10s ${"state_parts"}%12s ${"provider"}%8s")
+    val pinPasses = Seq(None) ++ pin.map(Some(_))
+    val providerPasses = Seq("hdfs") ++ (if (rocks) Seq("rocksdb") else Nil)
+    for (dir <- dirs; pinned <- pinPasses; provider <- providerPasses) {
       pinned match {
         case Some(n) => sys.props("graft.statePartitions") = n.toString
         case None    => sys.props -= "graft.statePartitions"
       }
+      if (provider == "rocksdb") spark.conf.set(ProviderKey, RocksProvider)
+      else spark.conf.unset(ProviderKey)
       require(new java.io.File(s"$dir/events.parquet").exists(),
         s"$dir has no events.parquet — run `DevScale <m>` first")
       val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
@@ -332,18 +384,60 @@ object DevStress {
       val t0 = System.nanoTime()
       graft.cdc.StreamingLatest.stagedEventLog(spark, dir)
       val tStage = (System.nanoTime() - t0) / 1e9
-      println(f"${new java.io.File(dir).getName}%-14s ${"(stage " + nEvents + " events)"}%-24s $tStage%8.3f ${0L}%10d $parts%12d")
-      Seq[(String, () => Long)](
-        ("cdc_stream_windowed",
-          () => graft.cdc.StreamingLatest.streamWindowed(spark, dir).count()),
-        ("cdc_stream_stateful",
-          () => graft.cdc.StreamingLatest.streamStateful(spark, dir).count()),
-        ("cdc_stream_dedup",
-          () => graft.cdc.StreamingLatest.streamDedup(spark, dir).count())
-      ).foreach { case (name, body) =>
-        val (t, rows) = timeIt(body())
-        println(f"${new java.io.File(dir).getName}%-14s $name%-24s $t%8.3f $rows%10d $parts%12d")
+      println(f"${new java.io.File(dir).getName}%-14s ${"(stage " + nEvents + " events)"}%-24s $tStage%8.3f ${0L}%10d $parts%12d $provider%8s")
+      queries.foreach { case (name, body) =>
+        val (t, rows) = timeIt(body(dir))
+        println(f"${new java.io.File(dir).getName}%-14s $name%-24s $t%8.3f $rows%10d $parts%12d $provider%8s")
       }
+    }
+    spark.conf.unset(ProviderKey)
+    spark.stop()
+  }
+
+  // ── mm_image_phash banded-join slope (r18 verdict item 5) ──────────
+  // Expects the phash-safe documents replicas (`DevScale <m> phdocs` —
+  // decorrelated pseudo-random payloads + a planted 1%-rate Hamming-0
+  // dup set, see DevScale.phashDocs: the verbatim replica makes every
+  // cross-replica self-pair collide at Hamming 0, a quadratic fixture
+  // artifact, and the token-salted one still shares most pixel blocks).
+  // The planted truth is asserted before timings are trusted: every
+  // planted (replica-0 doc, replica-i doc) pair must surface at
+  // hamming = 0, so the banded join's recall claim is checked at scale,
+  // not just at fixture size.
+  private def phash(dirs: Seq[String]): Unit = {
+    val spark = session()
+    import spark.implicits._
+    println(f"${"dir"}%-16s ${"sec"}%8s ${"pairs"}%10s ${"planted"}%10s")
+    dirs.foreach { dir =>
+      require(new java.io.File(s"$dir/documents.parquet").exists(),
+        s"$dir has no documents.parquet — run `DevScale <m> phdocs` first")
+      spark.read.parquet(s"$dir/documents.parquet").count() // warm listings
+      // warm run collects the (small) pair output so the planted-truth
+      // check below costs no third query execution
+      val warmPairs = graft.mm.MultiModal.imagePhash(spark, dir).collect()
+      val t0 = System.nanoTime()
+      val rows = graft.mm.MultiModal.imagePhash(spark, dir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      // planted ground truth (phdocs replicas only — 0 for sf dirs):
+      // per source doc, the replicas carrying replica-0's payload are
+      // {0} ∪ {i ≥ 1 : doc_id % 100 == i % 100}; every pair of them is
+      // a true Hamming-0 near-dup the banded join MUST surface
+      // (pigeonhole: 0 differing bits leave all four bands intact)
+      val ids = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id").as[Long].collect()
+      val idSet = ids.toSet
+      val m = ids.map(_ / 1000000L).max + 1
+      val planted = ids.filter(_ < 1000000L).map { id =>
+        val k = 1 + (1L until m).count(i =>
+          id % 100 == i % 100 && idSet.contains(id + i * 1000000L))
+        k.toLong * (k - 1) / 2
+      }.sum
+      if (planted > 0) {
+        val found = warmPairs.count(_.getAs[Int]("hamming") == 0)
+        require(found >= planted,
+          s"banded join missed planted Hamming-0 pairs: found $found of $planted")
+      }
+      println(f"${new java.io.File(dir).getName}%-16s $t%8.3f $rows%10d $planted%10d")
     }
     spark.stop()
   }

@@ -1102,7 +1102,7 @@ object TextOps {
     * accept/revert discipline after r17's dropDuplicates negative;
     * SCALE.md r18). */
   def dedupContainment(spark: SparkSession, sfDir: String, threshold: Double = 0.8,
-      lengthBucketed: Boolean = true): DataFrame = {
+      lengthBucketed: Boolean = true, dfOrderedPrefix: Boolean = false): DataFrame = {
     import spark.implicits._
     val sets = Tables.documents(spark, sfDir)
       .select($"doc_id",
@@ -1123,10 +1123,35 @@ object TextOps {
     // legitimate pair)
     def g4(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       floor((length(bin(n)) - 1) / 2.0).cast("int")
-    val a0 = sets
-      .select($"doc_id".as("doc_a"), $"n".as("na"),
-        posexplode(slice($"toks", lit(1), prefixLen)))
-      .toDF("doc_a", "na", "pa", "tok")
+    // Probe prefix: the filter is correct for ANY (na − ⌈τ·na⌉ + 1)-sized
+    // subset of A's tokens (if none of them hits B, at most
+    // na − prefixLen = ⌈τ·na⌉ − 1 < τ·na tokens can overlap), so the
+    // DEFAULT head-of-array prefix (hash order ≈ random) can be swapped
+    // for the AllPairs/PPJoin document-frequency order — the prefixLen
+    // RAREST tokens — which probes the shortest posting lists at the
+    // price of building the df table (one full posting aggregate) and a
+    // per-doc top-k. Positional bounds stay valid either way: `pa` is
+    // always the token's position in the full HASH-sorted array, the
+    // same order `pb` uses. Kept behind `dfOrderedPrefix` for the
+    // same-session A/B (DevStress containment) — see SCALE.md for the
+    // measured outcome at salted-100×.
+    val a0 =
+      if (!dfOrderedPrefix) sets
+        .select($"doc_id".as("doc_a"), $"n".as("na"),
+          posexplode(slice($"toks", lit(1), prefixLen)))
+        .toDF("doc_a", "na", "pa", "tok")
+      else {
+        val aAll = sets
+          .select($"doc_id".as("doc_a"), $"n".as("na"), posexplode($"toks"))
+          .toDF("doc_a", "na", "pa", "tok")
+        val dfTab = aAll.groupBy($"tok").agg(count(lit(1)).as("tok_df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_a").orderBy($"tok_df", $"tok")
+        aAll.join(dfTab, "tok")
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= $"na" - ceil($"na" * lit(tauLo)) + 1)
+          .select($"doc_a", $"na", $"pa", $"tok")
+      }
     val alpha = lit(tauLo) * $"na" - lit(1e-9)
     val cand =
       if (!lengthBucketed) {

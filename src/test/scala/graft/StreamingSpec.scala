@@ -109,6 +109,94 @@ class StreamingSpec extends AnyFunSuite {
       secondHalf.select($"user_id").distinct().count())
   }
 
+  test("derived state-partition count is checkpoint-pinned: a grown source keeps the launch count, correctly") {
+    // Lifecycle contract of Tuning.statePartitions (r18): the shuffle
+    // partition count at a streaming query's FIRST start is pinned into
+    // the checkpoint as the state-store partition count for the
+    // checkpoint's whole lifetime — a source that GROWS under an
+    // existing checkpoint keeps the launch-time count silently. This
+    // spec proves both halves of the operational story: (a) the stale
+    // count is a CAPACITY regression only, never a correctness one —
+    // the restarted query still answers exactly; (b) re-sharding means
+    // a NEW checkpoint + full replay, which picks up the count derived
+    // from the grown volume.
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, GroupStateTimeout, Trigger}
+
+    val runDir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get("/root/repo/target/stream-tmp")), "pinned")
+    val inDir = s"$runDir/in"; val outDir = s"$runDir/out"
+
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val firstHalf  = ev.filter($"event_id" % 2 === 0)
+    val secondHalf = ev.filter($"event_id" % 2 === 1)
+
+    def runOnce(ckpt: String, shufflePartitions: Int, out: String): Unit = {
+      val k = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(k)
+      spark.conf.set(k, shufflePartitions.toString)
+      try {
+        val q = spark.readStream.schema(ev.schema).parquet(inDir)
+          .as[StreamingLatest.Ev]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+            StreamingLatest.updateKey _)
+          .writeStream.outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[StreamingLatest.LatestRow], _: Long) =>
+              b.write.mode("append").parquet(out)
+          }.start()
+        q.awaitTermination()
+      } finally spark.conf.set(k, prev)
+    }
+    // state-store partition directories under <ckpt>/state/0/ — the
+    // physical record of the pinned count
+    def statePartitionDirs(ckpt: String): Int = {
+      val st = Files.list(Paths.get(s"$ckpt/state/0"))
+      try st.filter(p => p.getFileName.toString.forall(_.isDigit)).count().toInt
+      finally st.close()
+    }
+    def latestFrom(out: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"last_ts_us".desc, $"last_event_id".desc)
+      spark.read.parquet(out)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"last_event_id", $"last_event_type",
+          round($"last_value", 4).as("last_value"), $"last_ts_us")
+        .orderBy($"user_id").collect().toSeq
+    }
+
+    // launch on the small log: count 4 (the fixture-scale derivation)
+    val ckptA = s"$runDir/ckptA"
+    firstHalf.coalesce(1).write.mode("append").parquet(inDir)
+    runOnce(ckptA, 4, outDir)
+    assert(statePartitionDirs(ckptA) == 4,
+      "first start must pin the launch-time partition count into the checkpoint")
+
+    // the source GROWS; restart on the SAME checkpoint with a LARGER
+    // derived count (9): the checkpoint must keep 4 — and still answer
+    secondHalf.coalesce(1).write.mode("append").parquet(inDir)
+    runOnce(ckptA, 9, outDir)
+    assert(statePartitionDirs(ckptA) == 4,
+      "a restart must reuse the checkpoint-pinned count, not the session conf")
+    assert(latestFrom(outDir) == Changelog.latestState(spark, sf).collect().toSeq,
+      "the stale pinned count must never change the answer")
+
+    // re-shard = NEW checkpoint + full replay: the fresh launch adopts
+    // the count derived from the grown volume
+    val ckptB = s"$runDir/ckptB"; val outB = s"$runDir/outB"
+    runOnce(ckptB, 9, outB)
+    assert(statePartitionDirs(ckptB) == 9,
+      "a fresh checkpoint must adopt the newly derived count")
+    assert(latestFrom(outB) == Changelog.latestState(spark, sf).collect().toSeq)
+  }
+
   test("cdc_state_reader: persisted streaming-agg state equals the batch aggregate") {
     val s2 = spark
     import s2.implicits._
