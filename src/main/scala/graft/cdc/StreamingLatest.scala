@@ -128,6 +128,37 @@ object StreamingLatest {
   /** Fd-safe recursive delete (see [[graft.StageDirs.rm]]). */
   private def rmTree(p: java.nio.file.Path): Unit = graft.StageDirs.rm(p)
 
+  /** Delete a finished replay's checkpoint — closing the native state
+    * stores FIRST when the session ran it on the RocksDB provider.
+    * Loaded providers SURVIVE query stop (they unload on reclaim or
+    * maintenance timeout, not on stop), so RocksDB instances — with
+    * live background compaction threads — linger after awaitTermination
+    * returns. Those native threads SIGSEGV the whole JVM when they log
+    * through the JNI callback while the VM is at the shutdown safepoint
+    * (`LoggerJniCallback::Logv` + "could not attach current thread" —
+    * hit twice, reproducibly, in the r19 40M-event provider A/B; the
+    * second hs_err pinned it: `BackgroundCompaction` → `Logv`, "VM
+    * state: at safepoint (shutting down)"). `StateStore.unloadAll()`
+    * closes every loaded provider deterministically (RocksDB close
+    * cancels its background work), after which deleting the checkpoint
+    * races nothing; providers for later queries reload lazily from
+    * their own checkpoints, so unloading a FINISHED replay's stores is
+    * free. The HDFS-backed path keeps its historical behavior — its
+    * provider tolerates post-stop checkpoint deletion (the triaged-r15
+    * benign FileNotFound WARN) and holds no native threads. */
+  private def cleanupCkpt(spark: SparkSession, p: java.nio.file.Path): Unit = {
+    if (spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        .exists(_.contains("RocksDB"))) {
+      // private[sql] at compile time, public in bytecode (Scala access
+      // modifiers don't survive erasure) — reflection is the supported
+      // way to reach it from outside the spark.sql package tree
+      val ss = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      ss.getMethod("unloadAll").invoke(ss.getField("MODULE$").get(null))
+    }
+    rmTree(p)
+  }
+
   /** The CDC-log surrogate every streaming query replays: the events
     * table staged as two parquet files split at the time midpoint,
     * oldest written first, so file-mtime replay order = event-time order
@@ -211,7 +242,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(ckptDir))
+    cleanupCkpt(spark, Paths.get(ckptDir))
 
     spark.read.parquet(outDir)
       .select(
@@ -261,7 +292,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(ckptDir))
+    cleanupCkpt(spark, Paths.get(ckptDir))
 
     spark.read.parquet(outDir)
       .select(unix_micros($"w.start").as("win_start_us"), $"event_type",
@@ -312,7 +343,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(ckptDir))
+    cleanupCkpt(spark, Paths.get(ckptDir))
 
     // finalized horizon (1-row scalar gate, same pattern as the staged
     // log's watermark scalar): the final no-data batch advances the
@@ -385,7 +416,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(inDir)); rmTree(Paths.get(ckptDir))
+    rmTree(Paths.get(inDir)); cleanupCkpt(spark, Paths.get(ckptDir))
 
     spark.read.parquet(outDir)
       .groupBy($"event_type")
@@ -436,7 +467,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(ckptDir)) // the staged log is shared; keep it
+    cleanupCkpt(spark, Paths.get(ckptDir)) // the staged log is shared; keep it
 
     spark.read.parquet(outDir)
       .orderBy($"purchase_event_id", $"click_event_id")
@@ -493,7 +524,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(ckptDir)) // the staged log is shared; keep it
+    cleanupCkpt(spark, Paths.get(ckptDir)) // the staged log is shared; keep it
 
     spark.read.parquet(outDir)
       .orderBy($"purchase_event_id", $"click_event_id")
@@ -545,7 +576,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(ckptDir)) // the staged log is shared; keep it
+    cleanupCkpt(spark, Paths.get(ckptDir)) // the staged log is shared; keep it
 
     spark.read.parquet(outDir)
       .orderBy($"purchase_event_id".asc_nulls_first, $"click_event_id".asc_nulls_first)
@@ -601,7 +632,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(ckptDir)) // the staged log is shared; keep it
+    cleanupCkpt(spark, Paths.get(ckptDir)) // the staged log is shared; keep it
 
     spark.read.parquet(outDir)
       .orderBy($"purchase_event_id")
@@ -649,7 +680,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(ckptDir))
+    cleanupCkpt(spark, Paths.get(ckptDir))
 
     spark.read.parquet(outDir)
       .orderBy($"event_id")
@@ -729,7 +760,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(ckptDir))
+    cleanupCkpt(spark, Paths.get(ckptDir))
 
     // final emission per group = the total over the whole log
     val w = Window.partitionBy($"event_type").orderBy($"batch_id".desc)
@@ -827,7 +858,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(ckptDir))
+    cleanupCkpt(spark, Paths.get(ckptDir))
 
     // final record per key: max (ts, event_id); an eviction row shares
     // its state's (ts, id), so `expired DESC` breaks the tie in its
@@ -911,7 +942,7 @@ object StreamingLatest {
           .start()
         q.awaitTermination()
 
-        rmTree(Paths.get(ckptDir))
+        cleanupCkpt(spark, Paths.get(ckptDir))
 
         val w = Window.partitionBy($"user_id")
           .orderBy($"last_ts_us".desc, $"last_event_id".desc)
@@ -1016,7 +1047,7 @@ object StreamingLatest {
           .start()
         q.awaitTermination()
 
-        rmTree(Paths.get(ckptDir))
+        cleanupCkpt(spark, Paths.get(ckptDir))
 
         // same final reduce as streamStateTtl: max (ts, event_id) per
         // key, eviction rows winning their tie (the later lifecycle event)
@@ -1113,7 +1144,7 @@ object StreamingLatest {
           .start()
         q.awaitTermination()
 
-        rmTree(Paths.get(ckptDir))
+        cleanupCkpt(spark, Paths.get(ckptDir))
 
         spark.read.parquet(outDir)
           .withColumn("mx", max($"upd").over(Window.partitionBy($"user_id")))
@@ -1193,7 +1224,7 @@ object StreamingLatest {
           .start()
         q.awaitTermination()
 
-        rmTree(Paths.get(ckptDir))
+        cleanupCkpt(spark, Paths.get(ckptDir))
 
         spark.read.parquet(outDir)
           .groupBy($"user_id", $"event_type")
@@ -1253,7 +1284,7 @@ object StreamingLatest {
 
     // the returned DataFrame reads only outDir; drop the checkpoint so
     // repeated runs don't accumulate temp state (the staged log is shared)
-    rmTree(Paths.get(ckptDir))
+    cleanupCkpt(spark, Paths.get(ckptDir))
 
     // Multiple micro-batches append successive per-key snapshots; reduce to
     // the final one per key (same (ts_us, event_id) order as the state fn).
@@ -1338,7 +1369,7 @@ object StreamingLatest {
       .orderBy($"user_id")
       // materialize before deleting the snapshot dirs the plan reads
       .localCheckpoint(true)
-    rmTree(runDir)
+    cleanupCkpt(spark, runDir)
     out
   } }
 
@@ -1385,7 +1416,7 @@ object StreamingLatest {
       // materialize BEFORE deleting the checkpoint the reader scans
       .localCheckpoint(true)
 
-    rmTree(runDir)
+    cleanupCkpt(spark, runDir)
     out
   } }
 
@@ -1433,7 +1464,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(ckptDir))
+    cleanupCkpt(spark, Paths.get(ckptDir))
 
     spark.read.parquet(outDir)
       .select(
@@ -1486,7 +1517,7 @@ object StreamingLatest {
       .start()
     q.awaitTermination()
 
-    rmTree(Paths.get(ckptDir))
+    cleanupCkpt(spark, Paths.get(ckptDir))
 
     val horizonUs = graft.Tables.events(spark, sfDir)
       .agg(unix_micros(max($"ts"))).first().getLong(0) - 3600L * 1000000L

@@ -1130,11 +1130,20 @@ object TextOps {
     // for the AllPairs/PPJoin document-frequency order — the prefixLen
     // RAREST tokens — which probes the shortest posting lists at the
     // price of building the df table (one full posting aggregate) and a
-    // per-doc top-k. Positional bounds stay valid either way: `pa` is
-    // always the token's position in the full HASH-sorted array, the
-    // same order `pb` uses. Kept behind `dfOrderedPrefix` for the
-    // same-session A/B (DevStress containment) — see SCALE.md for the
-    // measured outcome at salted-100×.
+    // per-doc top-k. POSITIONAL bounds do NOT carry over unchanged: the
+    // bound overlap ≤ min(na − pa, nb − pb) is valid only for the FIRST
+    // common token under the SAME total order that defines both
+    // positions — a df-chosen prefix probed against hash-order
+    // positions prunes true pairs (caught live by the DevStress
+    // equality gate at salted-100×). In df mode, `pa` is therefore the
+    // token's df-order RANK within A (free from the prefix-selection
+    // window) and only the A-side half of the bound applies: for the
+    // df-minimal common token every common token ranks ≥ it in df
+    // order, so overlap ≤ na − pa holds with no B-side position at all
+    // (computing a valid pb would need a second full-posting window on
+    // the index side, which is the lever's cost story gone before it
+    // starts). Kept behind `dfOrderedPrefix` for the same-session A/B
+    // (DevStress containment) — see SCALE.md for the measured outcome.
     val a0 =
       if (!dfOrderedPrefix) sets
         .select($"doc_id".as("doc_a"), $"n".as("na"),
@@ -1143,24 +1152,27 @@ object TextOps {
       else {
         val aAll = sets
           .select($"doc_id".as("doc_a"), $"n".as("na"), posexplode($"toks"))
-          .toDF("doc_a", "na", "pa", "tok")
+          .toDF("doc_a", "na", "pa0", "tok")
         val dfTab = aAll.groupBy($"tok").agg(count(lit(1)).as("tok_df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_a").orderBy($"tok_df", $"tok")
         aAll.join(dfTab, "tok")
           .withColumn("rk", row_number().over(w))
           .filter($"rk" <= $"na" - ceil($"na" * lit(tauLo)) + 1)
-          .select($"doc_a", $"na", $"pa", $"tok")
+          .select($"doc_a", $"na", ($"rk" - 1).as("pa"), $"tok")
       }
     val alpha = lit(tauLo) * $"na" - lit(1e-9)
+    // df mode: A-side-only positional bound (see the prefix comment)
+    val posBound =
+      if (dfOrderedPrefix) $"na" - $"pa"
+      else least($"na" - $"pa", $"nb" - $"pb")
     val cand =
       if (!lengthBucketed) {
         val b = sets
           .select($"doc_id".as("doc_b"), $"n".as("nb"), posexplode($"toks"))
           .toDF("doc_b", "nb", "pb", "tok")
         a0.join(b, Seq("tok"))
-          .filter($"doc_a" =!= $"doc_b" && $"nb" >= alpha &&
-            least($"na" - $"pa", $"nb" - $"pb") >= alpha)
+          .filter($"doc_a" =!= $"doc_b" && $"nb" >= alpha && posBound >= alpha)
           .select($"doc_a", $"doc_b")
       } else {
         // one scalar over the checkpointed stats frame (the LPA
@@ -1184,8 +1196,7 @@ object TextOps {
         // output equality with the flat form)
         val a = a0.select($"*", explode(sequence(gMin, lit(gMax))).as("g"))
         a.join(b, Seq("tok", "g"))
-          .filter($"doc_a" =!= $"doc_b" && $"nb" >= alpha &&
-            least($"na" - $"pa", $"nb" - $"pb") >= alpha)
+          .filter($"doc_a" =!= $"doc_b" && $"nb" >= alpha && posBound >= alpha)
           .select($"doc_a", $"doc_b")
       }
     cand
