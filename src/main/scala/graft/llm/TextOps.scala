@@ -1100,9 +1100,22 @@ object TextOps {
     * the flat join's 43.9 s at salted-100× (the suite's worst 100×
     * slope, 25.0 in r17 — this was the one lever that survived the
     * accept/revert discipline after r17's dropDuplicates negative;
-    * SCALE.md r18). */
+    * SCALE.md r18).
+    *
+    * `dfOrderedPrefix` (default ON since r19) swaps the probe prefix
+    * for the AllPairs/PPJoin document-frequency order — the prefixLen
+    * RAREST tokens — so probes walk the SHORTEST posting lists. Won
+    * every same-session pairing at the default-heap regime (27.8 /
+    * 25.9 / 27.1 s at salted-100× vs bucketed 29.9 / 38.1 / 40.4 and
+    * flat 31.8 / 73.5 / 39.0) with far LOWER variance than either
+    * rival — the rare-token candidate set is small enough to stop
+    * tracking heap churn — at ~0.1 s extra at fixture scale (the df
+    * aggregate + per-doc top-k). The r19 A/Bs also exposed that the
+    * r18 flat-vs-bucketed ordering is HEAP-REGIME-DEPENDENT (48 g
+    * reverses it); the df form dominated in both regimes' majorities.
+    * Full record in SCALE.md r19. */
   def dedupContainment(spark: SparkSession, sfDir: String, threshold: Double = 0.8,
-      lengthBucketed: Boolean = true, dfOrderedPrefix: Boolean = false): DataFrame = {
+      lengthBucketed: Boolean = true, dfOrderedPrefix: Boolean = true): DataFrame = {
     import spark.implicits._
     val sets = Tables.documents(spark, sfDir)
       .select($"doc_id",
