@@ -53,7 +53,11 @@ object StreamingLatest {
     * need it (emission happens when the watermark closes the session), so
     * streamSessionize must not use this. */
   private[cdc] def withoutNoDataBatch[T](spark: SparkSession)(body: => T): T =
-    withConf(spark, "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")(body)
+    // `graft.keepNoDataBatch` re-enables the trailing batch WITHIN a JVM
+    // so `DevStress streamvol nodata` can pair the two forms in one
+    // session (the r19 40M inner-join reads motivated the A/B)
+    if (sys.props.contains("graft.keepNoDataBatch")) body
+    else withConf(spark, "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")(body)
 
   /** Checkpoint-file checksums (Spark 4.x, on by default) double the
     * WAL/commit file writes per micro-batch to guard long-lived
