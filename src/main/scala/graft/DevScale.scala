@@ -368,6 +368,65 @@ object DevScale {
       jitterReplica(spark, Base, s"/root/repo/target/scale${m}jit", m)
     }
 
+  /** Number of mixture clusters in the clustered embedding replica, and
+    * the blend weight pulling each replicated vector toward its cluster
+    * centroid. 8 clusters over a 16-centroid IVF index is the
+    * occupancy-skew regime: at 100× roughly 99% of the corpus mass sits
+    * in 8 clumps, so several IVF lists are overloaded while others are
+    * near-empty, and LSH bucket histograms are far from uniform. λ=0.5
+    * keeps half of each vector's own direction so clone rankings stay
+    * non-trivial (λ→1 would collapse every cluster member onto one
+    * point and recall would be decided by tie-break order, not
+    * routing). */
+  private[graft] val MixClusters = 8
+  private[graft] val MixLambda = 0.5
+
+  /** Normalizes the hash-seeded centroid to ≈unit length so [[MixLambda]]
+    * blends comparable magnitudes: a coordinate uniform in ±1 has
+    * E[u²] = 1/3, so the raw 64-dim centroid norm is √(64/3) ≈ 4.6 and
+    * would swamp the unit-norm parent at any λ. With the scale applied,
+    * within-cluster cosine lands ≈ 0.5 (the topical-cluster regime) and
+    * cross-cluster ≈ 0. */
+  private[graft] val MixCentroidScale = math.sqrt(3.0 / 64)
+
+  /** Mixture-CLUSTERED embedding replica (`DevRecall mix:<m>`) — the
+    * occupancy counterpart of [[jitterReplica]]: the ε-jittered replica
+    * keeps the corpus near-uniform over index buckets (every clone stays
+    * within ±[[JitterAmp]] of its parent), which is exactly where IVF
+    * probe budgets and LSH bucket joins DON'T degrade. Real embedding
+    * corpora are mixture-clustered — topical mass concentrates — and
+    * that is where a fixed NumProbe / band count loses recall. Replica 0
+    * stays pristine (the probe vec_id=0 and the IVF seed centroids
+    * vec_id<16 keep their base geometry); every other replica's vector
+    * is blended toward one of [[MixClusters]] SHARED deterministic
+    * centroids (cluster = pmod(hash(vec_id), K), centroid coordinate =
+    * hash-seeded uniform in ±1 scaled to ≈unit norm by
+    * [[MixCentroidScale]]) plus the same per-vector jitter as the
+    * jit replica, so cluster membership is pseudo-random per vector but
+    * the centroids are global: the 100× corpus lands ~99% inside 8
+    * clumps. Deterministic — no RNG state, rebuild-identical. */
+  private[graft] def mixReplica(
+      spark: SparkSession, srcDir: String, outDir: String, m: Int): Unit = {
+    val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    (0 until m).map { i =>
+      val shifted = src.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding", expr(
+        s"""transform(embedding, (x, d) ->
+           |  CAST($MixLambda * $MixCentroidScale * ((pmod(hash(pmod(hash(vec_id), $MixClusters), d, 7), 2001) - 1000) / 1000.0)
+           |       + ${1 - MixLambda} * x
+           |       + $JitterAmp * ((pmod(hash(vec_id, d), 2001) - 1000) / 1000.0)
+           |       AS FLOAT))""".stripMargin))
+    }.reduce(_.union(_))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private[graft] def mixedEmbeddings(spark: SparkSession, m: Int): String =
+    stamped(s"/root/repo/target/scale${m}mix", s"$Base/embeddings.parquet", "mix-v1") {
+      println(s"[scale] generating $m x mixture-clustered embeddings at /root/repo/target/scale${m}mix")
+      mixReplica(spark, Base, s"/root/repo/target/scale${m}mix", m)
+    }
+
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(10)
     val out = s"/root/repo/target/scale$m"

@@ -68,19 +68,29 @@ object DevStress {
       val rest = args.drop(1).toSeq
       val pin = rest.collectFirst { case s if s.startsWith("pin:") => s.drop(4).toInt }
       val family = if (rest.contains("join")) "join" else "state"
-      val rocks = rest.contains("rocksdb")
-      val dirs = rest.filterNot(s =>
-        s.startsWith("pin:") || s == "join" || s == "rocksdb")
+      // provider passes: default HDFS-only; `rocksdb` adds a same-session
+      // RocksDB pass per dir; `rocksonly` runs ONLY RocksDB — the
+      // paired-JVM form the capacity A/B needs (an in-heap OOM kills the
+      // JVM mid-session, so "HDFS then RocksDB in one session" can never
+      // measure the RocksDB half of an OOM boundary)
+      val providers =
+        if (rest.contains("rocksonly")) Seq("rocksdb")
+        else if (rest.contains("rocksdb")) Seq("hdfs", "rocksdb")
+        else Seq("hdfs")
+      val flags = Set("join", "rocksdb", "rocksonly", "nodata", "rev")
+      val dirs = rest.filterNot(s => s.startsWith("pin:") || flags(s))
       streamvol(if (dirs.nonEmpty) dirs
         else Seq(Base, "/root/repo/target/scale10", "/root/repo/target/scale100"),
-        pin, family, rocks)
+        pin, family, providers,
+        nodata = rest.contains("nodata"), rev = rest.contains("rev"))
     case Some("phash") =>
       phash(if (args.length > 1) args.drop(1).toSeq
         else Seq(Base, "/root/repo/target/scale10ph", "/root/repo/target/scale100ph"))
     case _ => System.err.println(
       "usage: DevStress skew [srcDir] | graph [nEdges] [bfs|lpa|pagerank] | " +
         "scd2 [replicaDir] | containment [saltedDocsDir] | " +
-        "streamvol [pin:<n>] [join] [rocksdb] [dir ...] | phash [dir ...]")
+        "streamvol [pin:<n>] [join] [rocksdb|rocksonly] [nodata] [rev] [dir ...] | " +
+        "phash [dir ...]")
   }
 
   // ── hot-key stress ─────────────────────────────────────────────────
@@ -327,7 +337,8 @@ object DevStress {
   // the staged files and the warm JVM — the same-session derived-vs-
   // pinned pairing the repo's A/B discipline asks for.
   private def streamvol(dirs: Seq[String], pin: Option[Int] = None,
-      family: String = "state", rocks: Boolean = false): Unit = {
+      family: String = "state", providers: Seq[String] = Seq("hdfs"),
+      nodata: Boolean = false, rev: Boolean = false): Unit = {
     val spark = session()
     // `join` drives the stream-stream interval-join family instead of
     // the three state shapes — the one streaming state axis r18 left
@@ -344,7 +355,7 @@ object DevStress {
     // deployment ships (per-key state off-heap; the r18 40M dedup OOMed
     // the default in-heap HDFS-backed store at the 8 g default heap) —
     // the same-session A/B the provider claim needs.
-    val queries: Seq[(String, String => Long)] = family match {
+    val baseQueries: Seq[(String, String => Long)] = family match {
       case "join" => Seq(
         ("cdc_stream_join",
           d => graft.cdc.StreamingLatest.streamJoin(spark, d).count()),
@@ -360,17 +371,28 @@ object DevStress {
         ("cdc_stream_dedup",
           d => graft.cdc.StreamingLatest.streamDedup(spark, d).count()))
     }
+    // `rev` reverses the per-dir query order — the r19 no-data-batch
+    // chase showed pass ORDER inside a session is itself a confound
+    // (shared staged files, warm page cache/JIT favor later passes), so
+    // band-narrowing pairings must alternate the order across sessions
+    val queries = if (rev) baseQueries.reverse else baseQueries
     val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
     val RocksProvider =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    println(f"${"dir"}%-14s ${"query"}%-24s ${"sec"}%8s ${"rows"}%10s ${"state_parts"}%12s ${"provider"}%8s")
+    println(f"${"dir"}%-14s ${"query"}%-24s ${"sec"}%8s ${"rows"}%10s ${"state_parts"}%12s ${"provider"}%8s ${"ndb"}%5s")
     val pinPasses = Seq(None) ++ pin.map(Some(_))
-    val providerPasses = Seq("hdfs") ++ (if (rocks) Seq("rocksdb") else Nil)
-    for (dir <- dirs; pinned <- pinPasses; provider <- providerPasses) {
+    // `nodata` pairs each configuration with a second pass that KEEPS
+    // the trailing no-data micro-batch (the graft.keepNoDataBatch escape
+    // in StreamingLatest.withoutNoDataBatch) — the same-session A/B the
+    // r19 inner-join chase ran; "skip" is the shipped default
+    val batchPasses = Seq("skip") ++ (if (nodata) Seq("keep") else Nil)
+    for (dir <- dirs; pinned <- pinPasses; provider <- providers; ndb <- batchPasses) {
       pinned match {
         case Some(n) => sys.props("graft.statePartitions") = n.toString
         case None    => sys.props -= "graft.statePartitions"
       }
+      if (ndb == "keep") sys.props("graft.keepNoDataBatch") = "1"
+      else sys.props -= "graft.keepNoDataBatch"
       if (provider == "rocksdb") spark.conf.set(ProviderKey, RocksProvider)
       else spark.conf.unset(ProviderKey)
       require(new java.io.File(s"$dir/events.parquet").exists(),
@@ -384,12 +406,13 @@ object DevStress {
       val t0 = System.nanoTime()
       graft.cdc.StreamingLatest.stagedEventLog(spark, dir)
       val tStage = (System.nanoTime() - t0) / 1e9
-      println(f"${new java.io.File(dir).getName}%-14s ${"(stage " + nEvents + " events)"}%-24s $tStage%8.3f ${0L}%10d $parts%12d $provider%8s")
+      println(f"${new java.io.File(dir).getName}%-14s ${"(stage " + nEvents + " events)"}%-24s $tStage%8.3f ${0L}%10d $parts%12d $provider%8s $ndb%5s")
       queries.foreach { case (name, body) =>
         val (t, rows) = timeIt(body(dir))
-        println(f"${new java.io.File(dir).getName}%-14s $name%-24s $t%8.3f $rows%10d $parts%12d $provider%8s")
+        println(f"${new java.io.File(dir).getName}%-14s $name%-24s $t%8.3f $rows%10d $parts%12d $provider%8s $ndb%5s")
       }
     }
+    sys.props -= "graft.keepNoDataBatch"
     spark.conf.unset(ProviderKey)
     spark.stop()
   }
@@ -412,9 +435,15 @@ object DevStress {
       require(new java.io.File(s"$dir/documents.parquet").exists(),
         s"$dir has no documents.parquet — run `DevScale <m> phdocs` first")
       spark.read.parquet(s"$dir/documents.parquet").count() // warm listings
-      // warm run collects the (small) pair output so the planted-truth
-      // check below costs no third query execution
-      val warmPairs = graft.mm.MultiModal.imagePhash(spark, dir).collect()
+      // warm run reduces the pair output to ONE agg row (pair count +
+      // Hamming-0 count) so the planted-truth check costs no third query
+      // execution AND nothing pair-sized ever reaches the driver — a
+      // higher-dup replica or a hash-correlation regression balloons a
+      // collect() long before the planted require could fire (r19
+      // advisor note)
+      val warmAgg = graft.mm.MultiModal.imagePhash(spark, dir)
+        .agg(count(lit(1)),
+          sum(when($"hamming" === 0, 1L).otherwise(0L))).first()
       val t0 = System.nanoTime()
       val rows = graft.mm.MultiModal.imagePhash(spark, dir).count()
       val t = (System.nanoTime() - t0) / 1e9
@@ -433,7 +462,9 @@ object DevStress {
         k.toLong * (k - 1) / 2
       }.sum
       if (planted > 0) {
-        val found = warmPairs.count(_.getAs[Int]("hamming") == 0)
+        // sum over an empty frame is SQL null — degrade to 0, same as
+        // the empty-documents guard in dedupContainment
+        val found = if (warmAgg.isNullAt(1)) 0L else warmAgg.getLong(1)
         require(found >= planted,
           s"banded join missed planted Hamming-0 pairs: found $found of $planted")
       }

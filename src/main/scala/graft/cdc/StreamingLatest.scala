@@ -105,7 +105,16 @@ object StreamingLatest {
     * would otherwise sit on disk for the JVM's lifetime (the dead-owner
     * purge only reclaims after JVM exit). Eviction runs OUTSIDE
     * computeIfAbsent: mutating other keys from inside its remapping
-    * function is forbidden by ConcurrentHashMap's contract. */
+    * function is forbidden by ConcurrentHashMap's contract.
+    *
+    * SEQUENTIAL HARNESS BY DESIGN (the `Tuning.withRoundPartitions`
+    * precedent): eviction assumes no OTHER thread is mid-query on the
+    * superseded entry — a concurrent caller still replaying the old
+    * staged copy would have it rmTree'd out from under its source. The
+    * memo map itself is a ConcurrentHashMap (per-key atomicity is
+    * free); it is the evict-then-delete that is only safe because every
+    * entry point runs queries sequentially per session. A concurrent
+    * caller would need to serialize per-sfDir. */
   private def evictStale[V](memo: java.util.concurrent.ConcurrentHashMap[String, V],
       sfDir: String, liveKey: String)(onEvict: V => Unit): Unit = {
     val prefix = sfDir + "\n"
@@ -149,7 +158,19 @@ object StreamingLatest {
     * their own checkpoints, so unloading a FINISHED replay's stores is
     * free. The HDFS-backed path keeps its historical behavior — its
     * provider tolerates post-stop checkpoint deletion (the triaged-r15
-    * benign FileNotFound WARN) and holds no native threads. */
+    * benign FileNotFound WARN) and holds no native threads.
+    *
+    * `unloadAll` is SESSION-GLOBAL (it closes providers of every loaded
+    * query, not just the finished replay) — sound here because the
+    * harness runs streaming queries sequentially per session, so at
+    * cleanup time the finished replay's stores are the only loaded
+    * ones. If two streaming queries ever ran concurrently in one
+    * session, the live query's providers would be unloaded mid-flight
+    * (a reload-from-checkpoint stall, or a state rebuild race on
+    * RocksDB); scope the unload to provider ids rooted at `p` before
+    * allowing that. The reflective lookup itself is pinned by a
+    * Round20OpsSpec unit test so a Spark rename fails at a named test,
+    * not inside a query teardown. */
   private def cleanupCkpt(spark: SparkSession, p: java.nio.file.Path): Unit = {
     if (spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
         .exists(_.contains("RocksDB"))) {

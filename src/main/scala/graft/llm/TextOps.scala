@@ -1163,9 +1163,12 @@ object TextOps {
           posexplode(slice($"toks", lit(1), prefixLen)))
         .toDF("doc_a", "na", "pa", "tok")
       else {
+        // explode, not posexplode: the hash-order position is dead in df
+        // mode (the df rank `rk` replaces it), and it would otherwise
+        // ride through the widest exploded frame (r19 advisor note)
         val aAll = sets
-          .select($"doc_id".as("doc_a"), $"n".as("na"), posexplode($"toks"))
-          .toDF("doc_a", "na", "pa0", "tok")
+          .select($"doc_id".as("doc_a"), $"n".as("na"), explode($"toks"))
+          .toDF("doc_a", "na", "tok")
         val dfTab = aAll.groupBy($"tok").agg(count(lit(1)).as("tok_df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_a").orderBy($"tok_df", $"tok")
