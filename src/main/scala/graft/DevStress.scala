@@ -77,19 +77,20 @@ object DevStress {
         if (rest.contains("rocksonly")) Seq("rocksdb")
         else if (rest.contains("rocksdb")) Seq("hdfs", "rocksdb")
         else Seq("hdfs")
-      val flags = Set("join", "rocksdb", "rocksonly", "nodata", "rev")
+      val flags = Set("join", "rocksdb", "rocksonly", "nodata", "rev", "sync")
       val dirs = rest.filterNot(s => s.startsWith("pin:") || flags(s))
       streamvol(if (dirs.nonEmpty) dirs
         else Seq(Base, "/root/repo/target/scale10", "/root/repo/target/scale100"),
         pin, family, providers,
-        nodata = rest.contains("nodata"), rev = rest.contains("rev"))
+        nodata = rest.contains("nodata"), rev = rest.contains("rev"),
+        syncAfterStage = rest.contains("sync"))
     case Some("phash") =>
       phash(if (args.length > 1) args.drop(1).toSeq
         else Seq(Base, "/root/repo/target/scale10ph", "/root/repo/target/scale100ph"))
     case _ => System.err.println(
       "usage: DevStress skew [srcDir] | graph [nEdges] [bfs|lpa|pagerank] | " +
         "scd2 [replicaDir] | containment [saltedDocsDir] | " +
-        "streamvol [pin:<n>] [join] [rocksdb|rocksonly] [nodata] [rev] [dir ...] | " +
+        "streamvol [pin:<n>] [join] [rocksdb|rocksonly] [nodata] [rev] [sync] [dir ...] | " +
         "phash [dir ...]")
   }
 
@@ -338,7 +339,8 @@ object DevStress {
   // pinned pairing the repo's A/B discipline asks for.
   private def streamvol(dirs: Seq[String], pin: Option[Int] = None,
       family: String = "state", providers: Seq[String] = Seq("hdfs"),
-      nodata: Boolean = false, rev: Boolean = false): Unit = {
+      nodata: Boolean = false, rev: Boolean = false,
+      syncAfterStage: Boolean = false): Unit = {
     val spark = session()
     // `join` drives the stream-stream interval-join family instead of
     // the three state shapes — the one streaming state axis r18 left
@@ -407,6 +409,20 @@ object DevStress {
       graft.cdc.StreamingLatest.stagedEventLog(spark, dir)
       val tStage = (System.nanoTime() - t0) / 1e9
       println(f"${new java.io.File(dir).getName}%-14s ${"(stage " + nEvents + " events)"}%-24s $tStage%8.3f ${0L}%10d $parts%12d $provider%8s $ndb%5s")
+      // `sync` drains the staging write's dirty pages BEFORE timing
+      // starts: at 40M the staged parquet is ~GB-scale and its kernel
+      // writeback otherwise lands under whichever query happens to be
+      // timed first — the r20 band protocol found the first timed query
+      // of a session reading 2-5x its later-position self regardless of
+      // WHICH join it was (65-110 s first vs 14-41 s later, both
+      // orders). The sync time is printed so the drained backlog is
+      // visible rather than hidden.
+      if (syncAfterStage) {
+        val s0 = System.nanoTime()
+        scala.util.Try(new ProcessBuilder("sync").inheritIO().start().waitFor())
+        val tSync = (System.nanoTime() - s0) / 1e9
+        println(f"${new java.io.File(dir).getName}%-14s ${"(sync)"}%-24s $tSync%8.3f ${0L}%10d $parts%12d $provider%8s $ndb%5s")
+      }
       queries.foreach { case (name, body) =>
         val (t, rows) = timeIt(body(dir))
         println(f"${new java.io.File(dir).getName}%-14s $name%-24s $t%8.3f $rows%10d $parts%12d $provider%8s $ndb%5s")
