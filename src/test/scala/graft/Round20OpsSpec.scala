@@ -56,6 +56,34 @@ class Round20OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     m.invoke(module)
   }
 
+  test("LSH probe-radius escape: masks are exactly the Hamming ball, default untouched") {
+    import graft.llm.EmbedLsh
+    val prev = sys.props.get("graft.lshProbeRadius")
+    try {
+      sys.props -= "graft.lshProbeRadius"
+      val r1 = EmbedLsh.probeMasks
+      // radius 1 (default): the exact bucket + one mask per bit
+      assert(r1 == 0 +: (0 until EmbedLsh.BitsPerTable).map(1 << _),
+        "default masks must be Hamming-0 plus every single-bit flip")
+      sys.props("graft.lshProbeRadius") = "2"
+      val r2 = EmbedLsh.probeMasks
+      // radius 2: every distinct mask of bit-weight <= 2, each exactly once
+      assert(r2.size == 1 + EmbedLsh.BitsPerTable +
+        EmbedLsh.BitsPerTable * (EmbedLsh.BitsPerTable - 1) / 2)
+      assert(r2.distinct == r2, "no duplicate probe masks")
+      assert(r2.forall(m => Integer.bitCount(m) <= 2 &&
+        m < (1 << EmbedLsh.BitsPerTable)))
+      assert(r2.toSet == (0 until (1 << EmbedLsh.BitsPerTable))
+        .filter(Integer.bitCount(_) <= 2).toSet,
+        "radius-2 masks must be the complete Hamming-2 ball")
+      sys.props("graft.lshProbeRadius") = "3"
+      intercept[IllegalArgumentException](EmbedLsh.probeMasks)
+    } finally {
+      prev.fold[Unit](sys.props -= "graft.lshProbeRadius")(v =>
+        sys.props("graft.lshProbeRadius") = v)
+    }
+  }
+
   test("mixReplica is deterministic, replica-0-pristine, and genuinely clustered") {
     val s2 = spark
     import s2.implicits._
