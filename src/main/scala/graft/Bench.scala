@@ -176,6 +176,28 @@ object Bench {
       wq2.awaitTermination()
     } catch { case scala.util.control.NonFatal(_) => () }
     finally StageDirs.rm(warmDir)
+    // Fixed-work calibration probe (r20 verdict item 1): a constant
+    // synthetic hash+aggregate workload, data- and sfDir-independent,
+    // timed in the UNTIMED warm-up window so every BENCH_rN carries a
+    // same-run box-regime anchor — the r18–r21 band-vs-hot-regime
+    // adjudications (this round: 155.8 s vs 119.5 s on identical code,
+    // 40 min apart) become a mechanical ratio against the same run's
+    // calib_s instead of a cross-session argument. Min-of-2 like every
+    // batch query: a transient stall on one probe run is discarded, a
+    // genuinely hot regime slows both. ~0.4 s nominal on an idle box.
+    val calibS = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(1L << 24)
+          .select(xxhash64(col("id")).as("h"))
+          .groupBy(pmod(col("h"), lit(1024)).as("g"))
+          .agg(sum(col("h")))
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(probe(), probe())
+    }
     // sorted order: deterministic run-to-run (Map iteration order is
     // hash-dependent), so per-query timings are comparable across rounds
     //
@@ -245,7 +267,7 @@ object Bench {
     // printed ROUNDED in both lines (r17 advisor): batchR + streamingR
     // sums to r3(total) by construction, so a consumer re-adding the
     // split agrees with "value" exactly, not to within 5e-4.
-    println(s"""{"metric":"total_per_query","value":${r3(total)},"unit":"sec",$subtotals,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_per_query","value":${r3(total)},"unit":"sec",$subtotals,"calib_s":${r3(calibS)},"queries":$qs,"sf":"$sfDir"}""")
     // machine-readable line LAST and COMPACT: the driver keeps only a
     // ~2000-char tail of stdout (plus sbt's epilogue line), so the line
     // it parses must fit entirely inside that window — emit the total,
@@ -254,7 +276,7 @@ object Bench {
     val slow = defended.sortBy(-_._2).take(40)
     val qsCompact = slow.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$subtotals,"n_queries":${defended.size},"queries":$qsCompact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$subtotals,"calib_s":${r3(calibS)},"n_queries":${defended.size},"queries":$qsCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

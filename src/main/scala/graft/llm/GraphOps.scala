@@ -396,18 +396,35 @@ object GraphOps {
     // not a fixture literal) — same staging economics as pageRank
     val edgeCnt = edges.count()
     try graft.Tuning.withRoundPartitions(spark, edgeCnt) {
+      // Each relaxation round consumes `dist` TWICE (the union carry-over
+      // and the edge join), so a lazy chain doubles the plan per round —
+      // measured at sf0.1 as a 389-operator tree (2^rounds duplicated
+      // subtrees, 3.7 s warm) for a 4-round BFS whose per-round work is a
+      // join + min-agg over a few hundred rows. Eagerly localCheckpoint
+      // each round (the frontierLpa discipline): every round is O(1) plan
+      // size, the previous round's blocks are freed once its successor is
+      // materialized, and the integer min-arithmetic is unchanged —
+      // bit-identical hops, Round15OpsSpec's planted/randomized graphs
+      // prove it.
       var dist = edges.select($"src".as("id")).distinct()
         .filter($"id" % 25 === 0)
         .select($"id", lit(0).as("hops"))
+        .localCheckpoint(true)
       for (_ <- 1 to rounds) {
-        dist = dist.union(
+        val next = dist.union(
             edges.join(dist, edges("src") === dist("id"))
               .select(edges("dst").as("id"), (dist("hops") + 1).as("hops")))
           .groupBy($"id").agg(min($"hops").as("hops"))
+          .localCheckpoint(true)
+        graft.SessionCache.freeLocalCheckpoint(dist)
+        dist = next
       }
+      // the returned frame reads the LAST round's checkpoint only — no
+      // final re-materialization (the old trailing localCheckpoint
+      // re-copied the node-sized result a second time), and lineage is
+      // already cut so the finally-block unpersist of `edges` is safe
       dist.select($"id".as("doc_id"), $"hops")
         .orderBy($"doc_id")
-        .localCheckpoint(true)
     } finally edges.unpersist(false)
   }
 }

@@ -1248,9 +1248,15 @@ object TextOps {
         "transform(sequence(0, size(toks) - 8), i -> xxhash64(array_join(slice(toks, i + 1, 8), ' ')))"))
         .as("h"))
       .distinct()
-    // sp is already distinct per (doc, span) so count(1) = distinct docs
-    val g = sp.groupBy($"h").agg(count(lit(1)).as("n_docs"))
-    sp.join(g, "h")
+    // sp is already distinct per (doc, span), so the per-span doc count
+    // is a COUNT OVER (PARTITION BY h) on sp itself — one window over
+    // the h-shuffled frame instead of the old groupBy(h) + self-join,
+    // which planned the scan→explode→distinct subtree TWICE (4 parquet
+    // scans / 12 exchanges at sf0.1; the span hashing is the dominant
+    // per-row work, so computing it once halves the map work) and added
+    // a join exchange. Identical n_docs per row, bit-identical output.
+    sp.withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"h")))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_spans"),
@@ -1277,25 +1283,45 @@ object TextOps {
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = split($"text", " ")
-    val bigrams = Tables.documents(spark, sfDir)
+    // ONE corpus explode pass, pre-aggregated to (doc, bigram,
+    // multiplicity) — the old shape planned the scan→split→zip_with→
+    // explode subtree THREE times (bgFreq, w1Freq, and the probe side:
+    // 6 parquet scans / 12 exchanges at sf0.1). Everything downstream
+    // derives from this frame: the corpus bigram counts are sums of the
+    // per-doc multiplicities, and the prefix counts are sums over the
+    // (much smaller) distinct-bigram frame — w1 is recoverable from the
+    // bigram text because tokens are space-split (substring_index up to
+    // the first space is exactly the old struct's w1 field).
+    // localCheckpoint = materialize the explode+pre-agg ONCE (exchange
+    // reuse does not fire across the three consumers' differing join
+    // sides, measured: 3 Generates in the lazy plan). Same staging
+    // rationale as ngramJaccardPairs' `sets`: a 100 TB pipeline stages
+    // the per-doc bigram counts to parquet before the model joins.
+    val docBg = Tables.documents(spark, sfDir)
       .select($"doc_id", toks.as("toks"), (size(toks) - 1).as("m"))
       .where($"m" >= 1)
       .select($"doc_id", explode(zip_with(
         slice($"toks", lit(1), $"m"), slice($"toks", lit(2), $"m"),
-        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))).as("p"))
-      .select($"doc_id", $"p.w1".as("w1"), $"p.bg".as("bg"))
-    val bgFreq = bigrams.groupBy($"bg").agg(count(lit(1)).as("bg_cnt"))
-    val w1Freq = bigrams.groupBy($"w1").agg(count(lit(1)).as("w1_cnt"))
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val bgFreq = docBg.groupBy($"bg").agg(sum($"k").as("bg_cnt"))
+    val w1Freq = bgFreq
+      .groupBy(substring_index($"bg", " ", 1).as("w1"))
+      .agg(sum($"bg_cnt").as("w1_cnt"))
     // -ln p(w2|w1) = ln(prefix count) - ln(bigram count), quantized 1e-6
     val nll = floor((log($"w1_cnt") - log($"bg_cnt")) * 1e6 + 0.5) / 1e6
-    bigrams
+    // sum of k identical decimal nllq values = k × nllq exactly, so the
+    // multiplicity-weighted decimal sum is bit-identical to the old
+    // per-instance sum; n_bigrams = Σk is the old count(1)
+    docBg
       .join(bgFreq, "bg")
-      .join(w1Freq, "w1")
-      .select($"doc_id", nll.cast(DecimalType(18, 10)).as("nllq"))
+      .join(w1Freq, substring_index($"bg", " ", 1) === $"w1")
+      .select($"doc_id", $"k", nll.cast(DecimalType(18, 10)).as("nllq"))
       .groupBy($"doc_id")
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        graft.Det.r4(sum($"nllq").cast(DoubleType) / count(lit(1))).as("avg_nll"))
+        sum($"k").as("n_bigrams"),
+        graft.Det.r4(sum($"nllq" * $"k").cast(DoubleType) / sum($"k")).as("avg_nll"))
       .orderBy($"doc_id")
   }
 

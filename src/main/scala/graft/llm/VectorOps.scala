@@ -292,16 +292,26 @@ object VectorOps {
     val c0 = v.filter($"vec_id" < K)
       .select($"vec_id".cast(IntegerType).as("cid"), $"xu".as("cu"))
       .localCheckpoint()
-    // nearest centroid per vector: K-row broadcast, integer distances,
-    // ties to the smaller cluster id (min-of-struct)
-    def assign(cents: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cents))
-        .select($"vec_id", $"xu", $"cid",
-          aggregate(zip_with($"xu", $"cu", (x, c) => (x - c) * (x - c)),
-            lit(0L), (a, d) => a + d).as("dist"))
-        .groupBy($"vec_id", $"xu")
-        .agg(min(struct($"dist", $"cid")).as("m"))
+    // nearest centroid per vector: the K-row centroid frame folded into
+    // ONE array-of-(cid, cu) row and broadcast, so the assignment is a
+    // per-row array_min over the K distances — MAP-ONLY. The old form
+    // (K-row crossJoin fan-out + groupBy(vec_id, xu) min-of-struct)
+    // re-shuffled the ENTIRE vector corpus once per assign — three
+    // corpus-sized exchanges per run that a 100 TB corpus cannot afford
+    // when the decision needs only a K-way compare per row. array_min
+    // over struct(dist, cid) is the same lexicographic min as the old
+    // min(struct(dist, cid)): smallest distance, ties to the smaller
+    // cluster id — integer arithmetic unchanged, bit-identical.
+    def assign(cents: DataFrame): DataFrame = {
+      val panel = cents.agg(collect_list(struct($"cid", $"cu")).as("cs"))
+      v.crossJoin(broadcast(panel))
+        .select($"vec_id", $"xu",
+          array_min(transform($"cs", c => struct(
+            aggregate(zip_with($"xu", c.getField("cu"), (x, u) => (x - u) * (x - u)),
+              lit(0L), (a, d) => a + d).as("dist"),
+            c.getField("cid").as("cid")))).as("m"))
         .select($"vec_id", $"xu", $"m.cid".as("cid"), $"m.dist".as("dist"))
+    }
     // new centroid = per-dim integer floor-mean of the members
     def update(assigned: DataFrame): DataFrame =
       assigned.select($"cid", posexplode($"xu").as(Seq("dim", "x")))
