@@ -69,14 +69,36 @@ object IvfAnn {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
     val cents = centroids(emb)
-    val assigned = nearestCentroids(emb.filter($"vec_id" =!= 0), cents, 1)
+    // List assignment is MAP-ONLY: the 16 centroids fold into one
+    // broadcast array row and each vector picks its list with a per-row
+    // array_min — keeping `embedding` in the row. The old shape
+    // (nearestCentroids n=1: 16-way crossJoin fan-out + a corpus-wide
+    // groupBy(vec_id) shuffle, embedding dropped) then had to JOIN BACK
+    // to the embeddings table for the exact re-rank — a second full
+    // corpus scan plus a corpus shuffle, both gone: the candidate scan
+    // now reads the corpus exactly once and nothing corpus-sized ever
+    // crosses an exchange (the top-10 is a TakeOrdered). array_min over
+    // struct(rel_dist, cid) is the same lexicographic min as the old
+    // min(struct(rel_dist, cid)) — identical assignment, identical
+    // output rows.
+    val panel = cents.agg(collect_list(struct($"cid", $"cvec")).as("cs"))
+    val assigned = emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(panel))
+      .select($"vec_id", $"embedding",
+        // coalesce(…, -1): the panel is never empty so the fallback never
+        // fires, but it makes the derived join key NON-NULLABLE — without
+        // it the optimizer infers an isnotnull() filter on the key and
+        // inlines the whole lambda a second time into the join operator
+        // (the PlanAuditSpec duplicated-HOF class)
+        coalesce(array_min(transform($"cs", c => struct(
+          (VectorOps.sumSquares(c.getField("cvec")) -
+            lit(2.0) * VectorOps.dot($"embedding", c.getField("cvec"))).as("rel_dist"),
+          c.getField("cid").as("cid")))).getField("cid"), lit(-1)).as("cid"))
     val probeLists = nearestCentroids(emb.filter($"vec_id" === 0), cents, NumProbe)
       .select($"cid")
     val probeEmb = emb.filter($"vec_id" === 0).select($"embedding".as("probe_emb"))
     assigned
       .join(broadcast(probeLists), "cid")
-      .select($"vec_id")
-      .join(emb, "vec_id")
       .crossJoin(broadcast(probeEmb))
       .select($"vec_id", cosine($"embedding", $"probe_emb").as("cos_raw"))
       .orderBy($"cos_raw".desc, $"vec_id")

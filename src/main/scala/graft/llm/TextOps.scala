@@ -1280,48 +1280,32 @@ object TextOps {
     * (libm 1-ulp defense, see [[unigramLogprob]]); the decimal-cast
     * average is exact and merge-order-free. Documents with fewer than
     * two tokens have no transitions and no row. */
+  // r21 note: two restructures of this query (single-explode +
+  // staged model) were measured WORSE at 10x (2.2 s and 4.5 s vs
+  // 1.46 s for this form - the partial-aggregated explodes are
+  // cheap scans; the staging barriers were not) and reverted.
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = split($"text", " ")
-    // ONE corpus explode pass, pre-aggregated to (doc, bigram,
-    // multiplicity) — the old shape planned the scan→split→zip_with→
-    // explode subtree THREE times (bgFreq, w1Freq, and the probe side:
-    // 6 parquet scans / 12 exchanges at sf0.1). Everything downstream
-    // derives from this frame: the corpus bigram counts are sums of the
-    // per-doc multiplicities, and the prefix counts are sums over the
-    // (much smaller) distinct-bigram frame — w1 is recoverable from the
-    // bigram text because tokens are space-split (substring_index up to
-    // the first space is exactly the old struct's w1 field).
-    // localCheckpoint = materialize the explode+pre-agg ONCE (exchange
-    // reuse does not fire across the three consumers' differing join
-    // sides, measured: 3 Generates in the lazy plan). Same staging
-    // rationale as ngramJaccardPairs' `sets`: a 100 TB pipeline stages
-    // the per-doc bigram counts to parquet before the model joins.
-    val docBg = Tables.documents(spark, sfDir)
+    val bigrams = Tables.documents(spark, sfDir)
       .select($"doc_id", toks.as("toks"), (size(toks) - 1).as("m"))
       .where($"m" >= 1)
       .select($"doc_id", explode(zip_with(
         slice($"toks", lit(1), $"m"), slice($"toks", lit(2), $"m"),
-        (a, b) => concat(a, lit(" "), b))).as("bg"))
-      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("k"))
-      .localCheckpoint()
-    val bgFreq = docBg.groupBy($"bg").agg(sum($"k").as("bg_cnt"))
-    val w1Freq = bgFreq
-      .groupBy(substring_index($"bg", " ", 1).as("w1"))
-      .agg(sum($"bg_cnt").as("w1_cnt"))
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.bg".as("bg"))
+    val bgFreq = bigrams.groupBy($"bg").agg(count(lit(1)).as("bg_cnt"))
+    val w1Freq = bigrams.groupBy($"w1").agg(count(lit(1)).as("w1_cnt"))
     // -ln p(w2|w1) = ln(prefix count) - ln(bigram count), quantized 1e-6
     val nll = floor((log($"w1_cnt") - log($"bg_cnt")) * 1e6 + 0.5) / 1e6
-    // sum of k identical decimal nllq values = k × nllq exactly, so the
-    // multiplicity-weighted decimal sum is bit-identical to the old
-    // per-instance sum; n_bigrams = Σk is the old count(1)
-    docBg
+    bigrams
       .join(bgFreq, "bg")
-      .join(w1Freq, substring_index($"bg", " ", 1) === $"w1")
-      .select($"doc_id", $"k", nll.cast(DecimalType(18, 10)).as("nllq"))
+      .join(w1Freq, "w1")
+      .select($"doc_id", nll.cast(DecimalType(18, 10)).as("nllq"))
       .groupBy($"doc_id")
       .agg(
-        sum($"k").as("n_bigrams"),
-        graft.Det.r4(sum($"nllq" * $"k").cast(DoubleType) / sum($"k")).as("avg_nll"))
+        count(lit(1)).as("n_bigrams"),
+        graft.Det.r4(sum($"nllq").cast(DoubleType) / count(lit(1))).as("avg_nll"))
       .orderBy($"doc_id")
   }
 
@@ -1502,11 +1486,18 @@ object TextOps {
     val rawStats = docs.groupBy($"lang")
       .agg(count(lit(1)).as("n_docs_raw"),
         sum(when($"q_ok", 1L).otherwise(0L)).as("n_docs_quality"))
+    // localCheckpoint: `uniq` is consumed twice (rate table + the kept
+    // scan) and its subtree is the full corpus scan + text-keyed dedup —
+    // the old lazy form re-ran both per consumer (2 of the plan's 3
+    // documents scans). The staged frame is metadata-sized (doc_id,
+    // lang, n_toks — the deduped doc list a 100 TB pipeline stages to
+    // parquet before sampling).
     val uniq = docs.filter($"q_ok")
       .groupBy($"text")
       .agg(min(struct($"doc_id", $"lang", $"n_toks")).as("m"))
       .select($"m.doc_id".as("doc_id"), $"m.lang".as("lang"),
         $"m.n_toks".as("n_toks"))
+      .localCheckpoint()
     // intentional global windows: frames are the per-lang aggregate
     // (#langs rows at any corpus size)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
@@ -1828,10 +1819,19 @@ object TextOps {
         explode(array(expr("try_element_at(ts, p + 2)"),
           expr("try_element_at(ts, p + 3)"))).as("b"))
       .where($"b".isNotNull)
+    // ONE corpus explode pass: the old shape planned the posexplode+
+    // neighbor-explode subtree FOUR times (c_xy, c_x, c_y, n_pairs each
+    // re-read and re-exploded the corpus — 4 parquet scans / 8 Generates
+    // at sf0.1). Aggregate to pair counts once (localCheckpoint = the
+    // ngramJaccardPairs `sets` staging rule: a 100 TB pipeline stages
+    // the pair counts before the marginals); every marginal is then an
+    // exact integer sum over the vastly smaller pair-count frame.
     val cxy = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_xy"))
-    val cx = pairs.groupBy($"a").agg(count(lit(1)).as("c_x"))
-    val cy = pairs.groupBy($"b").agg(count(lit(1)).as("c_y"))
-    val nTot = pairs.agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint()
+    val cx = cxy.groupBy($"a").agg(sum($"c_xy").as("c_x"))
+    val cy = cxy.groupBy($"b").agg(sum($"c_xy").as("c_y"))
+    // coalesce: empty-corpus sum is NULL where the old count said 0
+    val nTot = cxy.agg(coalesce(sum($"c_xy"), lit(0L)).as("n_pairs"))
     cxy.filter($"c_xy" >= minPairCount)
       .join(cx, "a").join(cy, "b")
       .crossJoin(broadcast(nTot))

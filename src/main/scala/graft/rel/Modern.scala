@@ -463,19 +463,27 @@ object Modern {
     // `div` truncates toward zero, exactly like DuckDB's INTEGER `//`
     // (verified: -7 // 2 = -3; only the float form floors) — identical
     // week buckets on both engines even for pre-epoch events
-    val activity = Tables.events(spark, sfDir)
+    // One corpus pass: the old shape consumed `activity` twice (cohort
+    // min self-join) and `cohorts` twice (size + join) — 3 events scans.
+    // The cohort week is a MIN OVER (PARTITION BY user_id) on activity
+    // itself (the dedup_substring_spans window rule), and the cohort
+    // SIZE needs no second pass at all: every user is active in their
+    // own cohort week (w0 = min w), so n_cohort ≡ n_active at
+    // week_offset 0 — a window max over the aggregated cohort frame.
+    // Identical counts, identical rows.
+    val wUser = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    val wCohort = org.apache.spark.sql.expressions.Window.partitionBy($"cohort_week")
+    Tables.events(spark, sfDir)
       .select($"user_id", unix_micros($"ts").as("us"))
       .select($"user_id", expr(s"(us - $Epoch0) div $WeekUs").as("w"))
       .distinct()
-    val cohorts = activity.groupBy($"user_id").agg(min($"w").as("w0"))
-    val cohortSize = cohorts.groupBy($"w0".as("cohort_week"))
-      .agg(count(lit(1)).as("n_cohort"))
-    activity.join(cohorts, "user_id")
+      .withColumn("w0", min($"w").over(wUser))
       .select($"user_id", $"w0".as("cohort_week"), ($"w" - $"w0").as("week_offset"))
       .filter($"week_offset" <= 4)
       .groupBy($"cohort_week", $"week_offset")
       .agg(count_distinct($"user_id").as("n_active"))
-      .join(cohortSize, "cohort_week")
+      .withColumn("n_cohort",
+        max(when($"week_offset" === 0, $"n_active")).over(wCohort))
       .select($"cohort_week", $"week_offset", $"n_cohort", $"n_active",
         expr("(n_active * 10000) div n_cohort").as("retained_bp"))
       .orderBy($"cohort_week", $"week_offset")
