@@ -429,6 +429,9 @@ object DevStress {
       }
     }
     sys.props -= "graft.keepNoDataBatch"
+    // symmetric cleanup (r20 advisor): a trailing pin:<n> pass must not
+    // leave the pinned state-partition override set past the loop
+    sys.props -= "graft.statePartitions"
     spark.conf.unset(ProviderKey)
     spark.stop()
   }
@@ -457,9 +460,10 @@ object DevStress {
       // higher-dup replica or a hash-correlation regression balloons a
       // collect() long before the planted require could fire (r19
       // advisor note)
+      // single-column warm aggregate (r20 advisor: the count column was
+      // never read — the pair count printed later is the timed .count())
       val warmAgg = graft.mm.MultiModal.imagePhash(spark, dir)
-        .agg(count(lit(1)),
-          sum(when($"hamming" === 0, 1L).otherwise(0L))).first()
+        .agg(sum(when($"hamming" === 0, 1L).otherwise(0L))).first()
       val t0 = System.nanoTime()
       val rows = graft.mm.MultiModal.imagePhash(spark, dir).count()
       val t = (System.nanoTime() - t0) / 1e9
@@ -480,7 +484,7 @@ object DevStress {
       if (planted > 0) {
         // sum over an empty frame is SQL null — degrade to 0, same as
         // the empty-documents guard in dedupContainment
-        val found = if (warmAgg.isNullAt(1)) 0L else warmAgg.getLong(1)
+        val found = if (warmAgg.isNullAt(0)) 0L else warmAgg.getLong(0)
         require(found >= planted,
           s"banded join missed planted Hamming-0 pairs: found $found of $planted")
       }
