@@ -36,6 +36,18 @@ object Bench {
       // shuffle.partitions above stays as the non-AQE fallback.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "256"))
+      // r21 measured default flip: parallelismFirst=false makes AQE
+      // coalesce to the advisory partition size instead of
+      // 1 MB-per-core minimums. Two order-rotated full-bench pairs both
+      // read ~10-13% faster batch subtotals calibration-normalized
+      // (OPTIMIZATION_r21.md), and advisory-size partitions are the
+      // production posture for data that outgrows the fixture (the
+      // mini-partition flood is the §2.2 shuffle-block explosion).
+      // Env-overridable for A/B reproduction of the old regime.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64MB"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // back-compat for the legacy ns-precision events fixture; the
