@@ -77,20 +77,22 @@ object DevStress {
         if (rest.contains("rocksonly")) Seq("rocksdb")
         else if (rest.contains("rocksdb")) Seq("hdfs", "rocksdb")
         else Seq("hdfs")
-      val flags = Set("join", "rocksdb", "rocksonly", "nodata", "rev", "sync")
+      val flags = Set("join", "rocksdb", "rocksonly", "nodata", "rev", "sync",
+        "pinfirst")
       val dirs = rest.filterNot(s => s.startsWith("pin:") || flags(s))
       streamvol(if (dirs.nonEmpty) dirs
         else Seq(Base, "/root/repo/target/scale10", "/root/repo/target/scale100"),
         pin, family, providers,
         nodata = rest.contains("nodata"), rev = rest.contains("rev"),
-        syncAfterStage = rest.contains("sync"))
+        syncAfterStage = rest.contains("sync"),
+        pinFirst = rest.contains("pinfirst"))
     case Some("phash") =>
       phash(if (args.length > 1) args.drop(1).toSeq
         else Seq(Base, "/root/repo/target/scale10ph", "/root/repo/target/scale100ph"))
     case _ => System.err.println(
       "usage: DevStress skew [srcDir] | graph [nEdges] [bfs|lpa|pagerank] | " +
         "scd2 [replicaDir] | containment [saltedDocsDir] | " +
-        "streamvol [pin:<n>] [join] [rocksdb|rocksonly] [nodata] [rev] [sync] [dir ...] | " +
+        "streamvol [pin:<n>] [join] [rocksdb|rocksonly] [nodata] [rev] [sync] [pinfirst] [dir ...] | " +
         "phash [dir ...]")
   }
 
@@ -340,7 +342,7 @@ object DevStress {
   private def streamvol(dirs: Seq[String], pin: Option[Int] = None,
       family: String = "state", providers: Seq[String] = Seq("hdfs"),
       nodata: Boolean = false, rev: Boolean = false,
-      syncAfterStage: Boolean = false): Unit = {
+      syncAfterStage: Boolean = false, pinFirst: Boolean = false): Unit = {
     val spark = session()
     // `join` drives the stream-stream interval-join family instead of
     // the three state shapes — the one streaming state axis r18 left
@@ -382,7 +384,12 @@ object DevStress {
     val RocksProvider =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     println(f"${"dir"}%-14s ${"query"}%-24s ${"sec"}%8s ${"rows"}%10s ${"state_parts"}%12s ${"provider"}%8s ${"ndb"}%5s")
-    val pinPasses = Seq(None) ++ pin.map(Some(_))
+    // `pinfirst` rotates the PASS order (pinned before derived): the
+    // pinned pass otherwise always runs second in a warm session, so a
+    // derived-vs-pinned verdict needs both orders (the same confound
+    // `rev` exists for within a pass — r22 state-partition-floor A/B)
+    val pinPasses0 = Seq(None) ++ pin.map(Some(_))
+    val pinPasses = if (pinFirst) pinPasses0.reverse else pinPasses0
     // `nodata` pairs each configuration with a second pass that KEEPS
     // the trailing no-data micro-batch (the graft.keepNoDataBatch escape
     // in StreamingLatest.withoutNoDataBatch) — the same-session A/B the

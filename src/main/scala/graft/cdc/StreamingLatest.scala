@@ -69,6 +69,26 @@ object StreamingLatest {
   private def fastCheckpointConf = Seq(
     "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
 
+  /** RocksDB provider + changelog checkpointing (default ON, r22): the
+    * legacy commit zip-uploads the store's FULL SST snapshot every
+    * micro-batch; with changelog checkpointing the commit appends only
+    * that batch's key changes and full snapshots move to the background
+    * maintenance cadence — the production posture for large stores with
+    * small per-batch deltas (a 100 TB deployment's per-batch change set
+    * is orders of magnitude smaller than its accumulated state; full
+    * uploads per commit are the §2.3 "shuffle the payload, not the
+    * delta" mistake on the checkpoint axis). State reconstruction on
+    * restart replays snapshot + changelog tail — semantics unchanged
+    * (the oracle re-proves it). `SPARK_GRAFT_ROCKSDB_CHANGELOG` /
+    * `graft.rocksdbChangelog` override for A/B of the legacy regime. */
+  private[cdc] def withRocksDb[T](spark: SparkSession)(body: => T): T =
+    withConf(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        sys.props.getOrElse("graft.rocksdbChangelog",
+          sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true")))(body)
+
   private def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
     val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -80,6 +100,15 @@ object StreamingLatest {
 
   private val StagedCols = Seq("event_id", "ts", "user_id", "event_type", "value")
   private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** max(unix_micros(ts)) of the staged log, memoized beside
+    * [[stagedDirs]] (same signature key): the staging write already
+    * aggregates min/max ts to find the split midpoint, so the
+    * finalized-horizon queries (sessionize, windowed_append) can reuse
+    * the scalar instead of re-running a one-row batch aggregate over
+    * events per invocation (~0.1 s of pure lifecycle cost each on the
+    * bench box — guide §2.4's "don't recompute what a prior pass
+    * already computed", at driver-scalar scale). */
+  private val stagedMaxUs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** State-stage partition count for this source, decided BEFORE the
     * query first starts (the checkpoint pins `shuffle.partitions` as
@@ -200,6 +229,7 @@ object StreamingLatest {
     // is deleted eagerly rather than leaked until JVM exit
     val key = sfDir + "\n" + graft.DevScale.srcSig(s"$sfDir/events.parquet")
     evictStale(stagedDirs, sfDir, key)(dir => rmTree(Paths.get(dir)))
+    evictStale(stagedMaxUs, sfDir, key)(_ => ())
     stagedDirs.computeIfAbsent(key, { _ =>
       import spark.implicits._
       // Staged/run dirs are namespaced per JVM (jvm-<pid>) and allocated
@@ -212,6 +242,7 @@ object StreamingLatest {
         .select(StagedCols.map(col): _*)
       val mm = batch.agg(unix_micros(min($"ts")), unix_micros(max($"ts"))).first()
       val midUs = (mm.getLong(0) + mm.getLong(1)) / 2
+      stagedMaxUs.put(key, java.lang.Long.valueOf(mm.getLong(1)))
       def parquets() = {
         val s = Files.list(Paths.get(inDir))
         try s.filter(p => p.toString.endsWith(".parquet"))
@@ -231,6 +262,18 @@ object StreamingLatest {
         java.nio.file.attribute.FileTime.fromMillis(t0 + 1000)))
       inDir
     })
+  }
+
+  /** Max event time (µs) of the log — the staging aggregate's scalar,
+    * via [[stagedMaxUs]]; falls back to a one-row aggregate only if the
+    * memo is cold under the live signature key. */
+  private def maxEventUs(spark: SparkSession, sfDir: String): Long = {
+    import spark.implicits._
+    stagedEventLog(spark, sfDir) // populates the memo on first staging
+    val key = sfDir + "\n" + graft.DevScale.srcSig(s"$sfDir/events.parquet")
+    stagedMaxUs.computeIfAbsent(key, _ =>
+      java.lang.Long.valueOf(graft.Tables.events(spark, sfDir)
+        .agg(unix_micros(max($"ts"))).first().getLong(0))).longValue()
   }
 
   /** `cdc_stream_windowed`: event-time tumbling windows computed by a
@@ -373,9 +416,10 @@ object StreamingLatest {
     // finalized horizon (1-row scalar gate, same pattern as the staged
     // log's watermark scalar): the final no-data batch advances the
     // watermark to max(ts) − 1 h; sessions strictly below it are the
-    // deterministic, oracle-checkable output set.
-    val horizonUs = graft.Tables.events(spark, sfDir)
-      .agg(unix_micros(max($"ts"))).first().getLong(0) - 3600L * 1000000L
+    // deterministic, oracle-checkable output set. The max-ts scalar is
+    // the staging aggregate's, memoized (maxEventUs) — not a fresh
+    // batch job per invocation.
+    val horizonUs = maxEventUs(spark, sfDir) - 3600L * 1000000L
 
     spark.read.parquet(outDir)
       .filter(unix_micros($"sw.end") < horizonUs)
@@ -743,9 +787,7 @@ object StreamingLatest {
     * gate proves the state-store choice is a pure capacity knob, not a
     * semantics change. */
   def streamStatefulRocksDb(spark: SparkSession, sfDir: String): DataFrame =
-    withConf(spark, "spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(
-      streamStateful(spark, sfDir))
+    withRocksDb(spark)(streamStateful(spark, sfDir))
 
   /** `cdc_stream_update_counts`: UPDATE-mode streaming aggregation —
     * the one output mode the suite didn't yet exercise (complete:
@@ -935,8 +977,7 @@ object StreamingLatest {
     * the gate proves the state API generation is an implementation
     * detail, not a semantics change. */
   def streamStatefulTws(spark: SparkSession, sfDir: String): DataFrame =
-    withConf(spark, "spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(
+    withRocksDb(spark)(
       withStatePartitions(spark, stateParts(spark, sfDir)) { withoutNoDataBatch(spark) {
         import spark.implicits._
         val runDir = jvmTmpDir("runtws")
@@ -1040,8 +1081,7 @@ object StreamingLatest {
     * proves timer eviction is semantics-identical across the API
     * generations. */
   def streamTwsTtl(spark: SparkSession, sfDir: String): DataFrame =
-    withConf(spark, "spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(
+    withRocksDb(spark)(
       withStatePartitions(spark, stateParts(spark, sfDir)) {
         import spark.implicits._
         val runDir  = jvmTmpDir("runtwsttl")
@@ -1137,8 +1177,7 @@ object StreamingLatest {
     * top-3 over the same log; a hash match proves incremental list
     * maintenance equals the global rank. */
   def streamTwsTopk(spark: SparkSession, sfDir: String): DataFrame =
-    withConf(spark, "spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(
+    withRocksDb(spark)(
       withStatePartitions(spark, stateParts(spark, sfDir)) { withoutNoDataBatch(spark) {
         import spark.implicits._
         val runDir  = jvmTmpDir("runtwstopk")
@@ -1217,8 +1256,7 @@ object StreamingLatest {
     * the state-API-v2 slot matrix: ValueState (latest/TTL), timers
     * (eviction), ListState (top-k), MapState (keyed counters). */
   def streamTwsCounts(spark: SparkSession, sfDir: String): DataFrame =
-    withConf(spark, "spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(
+    withRocksDb(spark)(
       withStatePartitions(spark, stateParts(spark, sfDir)) { withoutNoDataBatch(spark) {
         import spark.implicits._
         val runDir  = jvmTmpDir("runtwscnt")
@@ -1544,8 +1582,8 @@ object StreamingLatest {
 
     cleanupCkpt(spark, Paths.get(ckptDir))
 
-    val horizonUs = graft.Tables.events(spark, sfDir)
-      .agg(unix_micros(max($"ts"))).first().getLong(0) - 3600L * 1000000L
+    // horizon scalar from the staging aggregate's memo (see maxEventUs)
+    val horizonUs = maxEventUs(spark, sfDir) - 3600L * 1000000L
 
     spark.read.parquet(outDir)
       .filter(unix_micros($"w.end") < horizonUs)

@@ -1235,10 +1235,12 @@ object TextOps {
     * survives a 100 TB token stream (a production run would widen to a
     * 128-bit hash; at any test scale 64-bit collisions are
     * negligible, the dedup_exact_hash precedent). Distinct spans per
-    * doc → global span→doc-count → join back (both shuffles on the
-    * hash key, Exchange reused between the two consumers) → per-doc
-    * duplicated-span count and fraction. Docs shorter than the span
-    * width have no spans and no row. */
+    * doc, then the per-span doc count is a single
+    * `COUNT(1) OVER (PARTITION BY h)` on that same frame — one h-keyed
+    * shuffle, the span hashing computed once (the r21 rewrite; the old
+    * groupBy(h) + join-back planned the scan→explode→hash subtree
+    * twice) → per-doc duplicated-span count and fraction. Docs shorter
+    * than the span width have no spans and no row. */
   def dedupSubstringSpans(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sp = Tables.documents(spark, sfDir)
@@ -1396,13 +1398,25 @@ object TextOps {
     val wLang = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang").orderBy($"h", $"doc_id")
     val wCls = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
-    // intentional global window: min over the #langs class sizes
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // min class size as a 1-ROW BROADCAST SCALAR (the q11/q15 scalar-
+    // denominator pattern), not `min(cls_n) OVER ()`: the global window
+    // form moved the ENTIRE doc-level frame through one
+    // Exchange SinglePartition → Window — the exact single-partition
+    // scale-killer PlanAuditSpec's r22 global-window guard exists to
+    // catch (it flagged this site; every other global window sits on a
+    // #langs-sized aggregate). The scalar branch re-reads only
+    // (doc_id→count, lang) through a map-side partial aggregate —
+    // partial-agg re-scans are the cheap kind (the bigram_logprob
+    // lesson) — and min-of-class-counts ≡ min-over-window by
+    // definition, so rows, hashes and the oracle are unchanged.
+    val minN = broadcast(Tables.documents(spark, sfDir)
+      .groupBy($"lang").agg(count(lit(1)).as("cls_n0"))
+      .agg(min($"cls_n0").as("min_n")))
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", md5($"doc_id".cast(StringType)).as("h"))
       .withColumn("rk", row_number().over(wLang))
       .withColumn("cls_n", count(lit(1)).over(wCls))
-      .withColumn("min_n", min($"cls_n").over(wAll))
+      .crossJoin(minN)
       .filter($"rk" <= $"min_n")
       .groupBy($"lang")
       .agg(
@@ -1491,7 +1505,9 @@ object TextOps {
     // the old lazy form re-ran both per consumer (2 of the plan's 3
     // documents scans). The staged frame is metadata-sized (doc_id,
     // lang, n_toks — the deduped doc list a 100 TB pipeline stages to
-    // parquet before sampling).
+    // parquet before sampling). No explicit free: the returned lazy
+    // frame reads these blocks (min-of-2 re-executes it) — reclamation
+    // is the ContextCleaner's, as for pmiCooccur's cxy (r21 advisor).
     val uniq = docs.filter($"q_ok")
       .groupBy($"text")
       .agg(min(struct($"doc_id", $"lang", $"n_toks")).as("m"))
@@ -1826,6 +1842,12 @@ object TextOps {
     // ngramJaccardPairs `sets` staging rule: a 100 TB pipeline stages
     // the pair counts before the marginals); every marginal is then an
     // exact integer sum over the vastly smaller pair-count frame.
+    // No explicit free: the RETURNED lazy frame reads these blocks (a
+    // min-of-2 bench re-executes it), so freeing here would truncate
+    // live lineage — reclamation is deliberately left to the
+    // ContextCleaner once the returned frame is GC'd (r21 advisor;
+    // contrast GraphOps' per-round frees, whose consumers are fully
+    // materialized before the free).
     val cxy = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_xy"))
       .localCheckpoint()
     val cx = cxy.groupBy($"a").agg(sum($"c_xy").as("c_x"))

@@ -451,10 +451,13 @@ object Modern {
     * product-analytics staple: users are cohorted by FIRST-activity week
     * (fixed epoch 2024-01-01, integer µs week arithmetic) and each
     * (cohort, week-offset 0..4) cell reports how many cohort members
-    * were active that week, as exact basis points. Self-join-free: one
-    * per-user min (the cohort), one (user, week) distinct, one equi-join
-    * of the two per-user frames, one (cohort, offset) count-distinct —
-    * every shuffle is user- or cohort-keyed, nothing quadratic, and the
+    * were active that week, as exact basis points. Join-free (r21
+    * rewrite): one (user, week) distinct, the cohort week as
+    * `MIN OVER (PARTITION BY user_id)` on that same frame, one
+    * (cohort, offset) count-distinct, and the cohort size derived from
+    * the offset-0 cell via a window max over the aggregated frame
+    * (n_cohort ≡ n_active at offset 0, since w0 = min w) — every
+    * shuffle is user- or cohort-keyed, nothing quadratic, and the
     * integer week/bp math is engine-exact. */
   def windowRetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

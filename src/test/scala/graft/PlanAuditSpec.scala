@@ -62,7 +62,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q11/q15 scalar-denominator pattern — the broadcast(nTot)
     // crossJoin in TextOps.pmiCooccur): a constant fold, not a
     // quadratic join
-    "text_pmi_cooccur")
+    "text_pmi_cooccur",
+    // 1-row min-class-size scalar broadcast onto the ranked doc frame
+    // (r22: replaced the global-window min that single-partitioned the
+    // whole corpus — caught by the global-window guard below)
+    "sample_balanced_classes")
 
   test("no declared batch query plans an accidental cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -214,6 +218,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(duplicatedHofs(SparkEntry.queries("text_sentence_split")(spark, sf)
       .queryExecution.optimizedPlan).isEmpty,
       "shipped text_sentence_split still duplicates a lambda")
+  }
+
+  /** Global-window guard (r21 verdict item 5): a Window with EMPTY
+    * partitioning moves its whole input to one task — a silent
+    * scale-killer if the input is data-sized. Every unpartitioned
+    * Window in the inventory must therefore sit above an Aggregate
+    * (group count bounds the frame: #langs, #rules, one scalar row…)
+    * somewhere in its subtree, or above a GlobalLimit (top-k frames),
+    * or the query must be pinned below with the reason its frame is
+    * bounded by construction. A future edit that lands a global window
+    * on a corpus-sized frame fails HERE, not at 100 TB. */
+  private val globalWindowBoundedOk: Map[String, String] = Map(
+    // currently EMPTY: every intentional global window in the inventory
+    // sits above an Aggregate (#langs/#rules/scalar frames) or a
+    // GlobalLimit, so the structural rule below covers them without
+    // per-query pins. Add an entry (name -> why the frame is bounded)
+    // only for a site the rule cannot see through, e.g. a global window
+    // directly over a localCheckpoint of an aggregate. The first run of
+    // this guard (r22) flagged sample_balanced_classes' min-over-window
+    // — a REAL single-partition hazard, fixed as a 1-row broadcast
+    // scalar — and no pinned exemption survived.
+  )
+
+  test("every unpartitioned Window sits above an Aggregate (global-window guard)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skip(name) || globalWindowBoundedOk.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+              w.child.collectFirst {
+                case _: Aggregate => (); case _: GlobalLimit => ()
+              }.isEmpty =>
+            s"$name: global Window over non-aggregated frame " +
+              s"(${w.windowExpressions.map(_.name).mkString(",")})"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned Windows on unbounded frames:\n${offenders.mkString("\n")}")
+    // and the pinned sites must still EXIST as global windows — a pin
+    // that no longer matches anything is stale and must be removed
+    val stale = globalWindowBoundedOk.keys.filterNot(skip).filter { name =>
+      SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.isEmpty
+    }
+    assert(stale.isEmpty, s"stale global-window pins (no global window in plan): ${stale.mkString(",")}")
   }
 
   test("the one intentional cartesian stays broadcast, never a shuffle cartesian") {
