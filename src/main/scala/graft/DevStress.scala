@@ -39,6 +39,12 @@ object DevStress {
       // production AQE form, same as Bench/DevScale (r16 verdict item 2)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "1024"))
+      // DEFAULT stays the historical DevStress regime (Spark default
+      // parallelismFirst=true) so recorded slope tables remain
+      // comparable; the env override exists for the r22 scale-shape
+      // A/B of the bench's r21 flip (VERDICT r21 item 7)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -64,6 +70,8 @@ object DevStress {
     case Some("scd2")  => scd2(args.lift(1).getOrElse("/root/repo/target/scale10"))
     case Some("containment") =>
       containment(args.lift(1).getOrElse("/root/repo/target/scale100salt"))
+    case Some("containmentpair") =>
+      containmentPair(args.lift(1).getOrElse("/root/repo/target/scale100salt"))
     case Some("streamvol") =>
       val rest = args.drop(1).toSeq
       val pin = rest.collectFirst { case s if s.startsWith("pin:") => s.drop(4).toInt }
@@ -301,6 +309,8 @@ object DevStress {
     val bucketed = graft.llm.TextOps.dedupContainment(spark, dir, lengthBucketed = true)
     val dfPref = graft.llm.TextOps.dedupContainment(spark, dir,
       lengthBucketed = true, dfOrderedPrefix = true)
+    val dfSemi = graft.llm.TextOps.dedupContainment(spark, dir,
+      lengthBucketed = true, dfOrderedPrefix = true, bloomPrefilterB = true)
     // order-insensitive whole-output comparison via Golden.hash, not
     // exceptAll: the two forms share the checkpointed `sets` lineage and
     // exceptAll's replication rewrite trips ATTRIBUTE_NOT_FOUND on the
@@ -309,14 +319,69 @@ object DevStress {
       "length-bucketed containment diverged from the flat form")
     require(Golden.hash(flat) == Golden.hash(dfPref),
       "df-ordered-prefix containment diverged from the flat form")
+    require(Golden.hash(flat) == Golden.hash(dfSemi),
+      "semi-prefiltered containment diverged from the flat form")
     println(f"${"form"}%-28s ${"sec"}%8s ${"pairs"}%10s")
-    Seq(("flat posting join", false, false),
-        ("length-bucketed join", true, false),
-        ("bucketed + df prefix", true, true))
-      .foreach { case (name, lb, dfp) =>
+    Seq(("flat posting join", false, false, false),
+        ("length-bucketed join", true, false, false),
+        ("bucketed + df prefix", true, true, false),
+        ("df prefix + B semi", true, true, true))
+      .foreach { case (name, lb, dfp, bl) =>
         val (t, rows) = timeIt(
           graft.llm.TextOps.dedupContainment(spark, dir,
-            lengthBucketed = lb, dfOrderedPrefix = dfp).count())
+            lengthBucketed = lb, dfOrderedPrefix = dfp,
+            bloomPrefilterB = bl).count())
+        println(f"$name%-28s $t%8.3f $rows%10d")
+      }
+    spark.stop()
+  }
+
+  /** Focused alternating pairing of the two containment front-runners
+    * (shipped df-prefix vs the semi-prefiltered B side) — hash equality
+    * is already proven by [[containment]]; this skips the four
+    * Golden.hash passes and interleaves the forms (dfp, semi, dfp,
+    * semi, each warmed) so monotone box drift penalizes both equally.
+    * The repo's A/B discipline: same-session interleaved pairs decide,
+    * absolutes wobble. */
+  private def containmentPair(dir: String): Unit = {
+    val spark = session()
+    require(new java.io.File(s"$dir/documents.parquet").exists(),
+      s"$dir has no documents.parquet — run `DevScale <m> saltdocs` first")
+    spark.read.parquet(s"$dir/documents.parquet").count() // warm listings
+    // first-principles sizing: how many B postings does the prefix-token
+    // semi actually drop before the (tok, g) exchange? (decides whether
+    // the prefilter CAN win at any scale, independent of box noise) —
+    // replicates the operator's shingling + df-ordered prefix selection
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val tauLo = 0.8 - 5e-5
+      val sets = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), graft.functions.ShingleFunctions
+          .word_shingle_hashes(col("text"), graft.llm.MinHash.ShingleSize,
+            sorted = true).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+        .localCheckpoint()
+      val aAll = sets.select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
+      val dfTab = aAll.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tok_df"), col("tok"))
+      val prefixToks = aAll.join(dfTab, "tok")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("n") - ceil(col("n") * lit(tauLo)) + 1)
+        .select(col("tok")).distinct()
+      val nAll = aAll.count()
+      val nKept = aAll.join(broadcast(prefixToks), Seq("tok"), "left_semi").count()
+      println(f"[pair] B postings total=$nAll%d surviving-semi=$nKept%d " +
+        f"(drop=${100.0 * (nAll - nKept) / math.max(nAll, 1)}%.1f%%)")
+    }
+    println(f"${"form"}%-28s ${"sec"}%8s ${"pairs"}%10s")
+    Seq(("bucketed + df prefix", false), ("df prefix + B semi", true),
+        ("bucketed + df prefix", false), ("df prefix + B semi", true))
+      .foreach { case (name, bl) =>
+        val (t, rows) = timeIt(
+          graft.llm.TextOps.dedupContainment(spark, dir,
+            lengthBucketed = true, dfOrderedPrefix = true,
+            bloomPrefilterB = bl).count())
         println(f"$name%-28s $t%8.3f $rows%10d")
       }
     spark.stop()

@@ -29,15 +29,20 @@ object DevSweep {
     val skip = Set("dedup_cluster_canonical", "graph_pagerank",
       "graph_label_propagation", "graph_bfs_distance") ++
       SparkEntry.queries.keys.filter(_.startsWith("cdc_stream_")) + "cdc_state_reader"
-    val Loc = "Location: [^ ]*InMemoryFileIndex(?:\\(\\d+ paths\\))?\\[([^,\\]]+)".r
+    // details-section lines only ("(7) Scan parquet" / "(3) Exchange"):
+    // the formatted dump prints each operator twice (tree + details), so
+    // tree-line matches would double every count
+    val ScanRe = "(?m)^\\(\\d+\\) Scan parquet".r
+    val ExchRe = "(?m)^\\(\\d+\\) (?:Exchange|BroadcastExchange)".r
+    val Loc = "Location: \\S*InMemoryFileIndex(?:\\(\\d+ paths\\))? ?\\[([^,\\]]+)".r
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => skip(n) }
       .flatMap { case (name, fn) =>
         try {
           val qe = fn(spark, sfDir).queryExecution
           val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
-          val scans = "Scan parquet".r.findAllIn(plan).length
-          val exchanges = "Exchange".r.findAllIn(plan).length
+          val scans = ScanRe.findAllIn(plan).length
+          val exchanges = ExchRe.findAllIn(plan).length
           val perTable = Loc.findAllMatchIn(plan).map(_.group(1))
             .map(p => p.substring(p.lastIndexOf('/') + 1)).toSeq
             .groupBy(identity).map { case (t, os) => t -> os.size }

@@ -1115,7 +1115,8 @@ object TextOps {
     * reverses it); the df form dominated in both regimes' majorities.
     * Full record in SCALE.md r19. */
   def dedupContainment(spark: SparkSession, sfDir: String, threshold: Double = 0.8,
-      lengthBucketed: Boolean = true, dfOrderedPrefix: Boolean = true): DataFrame = {
+      lengthBucketed: Boolean = true, dfOrderedPrefix: Boolean = true,
+      bloomPrefilterB: Boolean = false): DataFrame = {
     import spark.implicits._
     val sets = Tables.documents(spark, sfDir)
       .select($"doc_id",
@@ -1182,12 +1183,36 @@ object TextOps {
     val posBound =
       if (dfOrderedPrefix) $"na" - $"pa"
       else least($"na" - $"pa", $"nb" - $"pb")
+    // §3.2 pre-reduction of the INDEX side (r21 verdict item 3, behind a
+    // flag for the DevStress same-session A/B): only B postings whose
+    // token appears in SOME probe prefix can ever join — dropping the
+    // rest BEFORE the (tok, g) exchange. Prefix tokens are the df-RAREST
+    // per doc, so the dropped mass is the common-token posting bulk.
+    // Costs: a0 is localCheckpoint'ed (computed once, reused by the
+    // reducer build and the join) plus the per-row membership probe.
+    val (a0r, bReduce: (DataFrame => DataFrame)) =
+      if (!bloomPrefilterB)
+        // identity reduce: the default (shipped) plan is byte-identical
+        // to the pre-flag form
+        (a0, identity[DataFrame] _)
+      else {
+        val a0c = a0.localCheckpoint()
+        // codegen-friendly variant of the bloom probe (the UDF bloom
+        // form lost 24.6→29.7 s at 100×): broadcast the DISTINCT prefix
+        // token set and left-semi the B postings against it — same rows
+        // dropped (exact, not probabilistic), no UDF per row, no bloom
+        // build pass; the per-row cost is a broadcast-hash probe inside
+        // whole-stage codegen. Semi-join keeps multiplicity/columns of B
+        // exactly, so the candidate set — and the output — is unchanged.
+        val prefixToks = broadcast(a0c.select($"tok").distinct())
+        (a0c, (b: DataFrame) => b.join(prefixToks, Seq("tok"), "left_semi"))
+      }
     val cand =
       if (!lengthBucketed) {
-        val b = sets
+        val b = bReduce(sets
           .select($"doc_id".as("doc_b"), $"n".as("nb"), posexplode($"toks"))
-          .toDF("doc_b", "nb", "pb", "tok")
-        a0.join(b, Seq("tok"))
+          .toDF("doc_b", "nb", "pb", "tok"))
+        a0r.join(b, Seq("tok"))
           .filter($"doc_a" =!= $"doc_b" && $"nb" >= alpha && posBound >= alpha)
           .select($"doc_a", $"doc_b")
       } else {
@@ -1199,9 +1224,9 @@ object TextOps {
         // does (the bogus-sfDir Verify flow), not NPE on getInt
         val maxN = sets.agg(coalesce(max($"n"), lit(0))).first().getInt(0).toLong
         val gMax = (63 - java.lang.Long.numberOfLeadingZeros(math.max(maxN, 1L))) / 2
-        val b = sets
+        val b = bReduce(sets
           .select($"doc_id".as("doc_b"), $"n".as("nb"), posexplode($"toks"))
-          .toDF("doc_b", "nb", "pb", "tok")
+          .toDF("doc_b", "nb", "pb", "tok"))
           .withColumn("g", g4($"nb"))
         val gMin = g4(greatest(ceil(lit(tauLo) * $"na" - lit(1e-9)), lit(1.0)).cast("long"))
         // when τ·na exceeds every doc (gMin > gMax), sequence() runs
@@ -1210,7 +1235,7 @@ object TextOps {
         // below, and the case needs a doc longer than any container
         // exists for; correctness is unaffected (DevStress asserts
         // output equality with the flat form)
-        val a = a0.select($"*", explode(sequence(gMin, lit(gMax))).as("g"))
+        val a = a0r.select($"*", explode(sequence(gMin, lit(gMax))).as("g"))
         a.join(b, Seq("tok", "g"))
           .filter($"doc_a" =!= $"doc_b" && $"nb" >= alpha && posBound >= alpha)
           .select($"doc_a", $"doc_b")
